@@ -1,0 +1,198 @@
+"""The mapped-grid Helmholtz operator  L[phi] = alpha*phi + beta*(1/J) d_d (J g^{dj} d_j phi).
+
+Re-design of the reference's MappedAMRPoissonOp
+(`/root/reference/src/calculus/AMRElliptic/MappedAMRPoissonOp.H:49`, kernels
+MAPPEDGETFLUX[ORTHO], FILLMAPPEDLAPDIAG*, GSRBITER*, JACOBIITER,
+LineGSRBIter* in MappedAMRPoissonOpF.ChF / GSRBF.ChF): one operator object
+per (geometry, BCs, alpha, beta); apply/residual are fused XLA stencils;
+relaxation is vectorized red-black Gauss-Seidel over checkerboard masks,
+plain damped Jacobi, or vertical line relaxation via batched tridiagonal
+solves (the anisotropy killer, reference LineGSRB).
+
+The operator diagonal is assembled once with the exact BC modifications
+(Dirichlet ghost mirrors double the boundary-face coupling; Neumann zeroes
+it; periodic leaves it), mirroring FILLMAPPEDLAPDIAG + DIAGPRECOND.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from somar_tpu.core.bc import BCType, FieldBCs, fill_ghosts_cc
+from somar_tpu.core.grid import Grid
+from somar_tpu.geometry.level_geometry import LevelGeometry
+from somar_tpu.ops.stencil import mac_divergence, mac_gradient, slc
+from somar_tpu.solvers.tridiag import thomas_solve
+
+
+class PoissonOp:
+    """alpha*I + beta*div(Jgup grad) on one level, with BCs baked in."""
+
+    def __init__(self, geo: LevelGeometry, bcs: FieldBCs, alpha: float = 0.0,
+                 beta: float = 1.0):
+        self.geo = geo
+        self.bcs = bcs
+        self.hom_bcs = bcs.homogeneous()
+        self.alpha = float(alpha)
+        self.beta = float(beta)
+        self.grid = geo.grid
+        self._diag = self._build_diag()
+        self._rb_masks = self._build_rb_masks()
+
+    # ------------------------------------------------------------ operator
+    def apply(self, phi, homogeneous: bool = True):
+        bcs = self.hom_bcs if homogeneous else self.bcs
+        lap = mac_divergence(mac_gradient(phi, self.geo, bcs), self.geo)
+        return self.alpha * phi + self.beta * lap
+
+    def residual(self, phi, rhs, homogeneous: bool = True):
+        return rhs - self.apply(phi, homogeneous)
+
+    # ------------------------------------------------------------ diagonal
+    def _build_diag(self):
+        """Exact operator diagonal including BC ghost-formula effects."""
+        grid, geo = self.grid, self.geo
+        ndim = grid.ndim
+        shape = grid.shape
+        diag = jnp.zeros(shape)
+        for d in range(ndim):
+            ax = grid.axis(d)
+            Jg = geo.Jgup_diag[d] * jnp.ones(grid.fc_shape(d))
+            lo = slc(Jg, ax, 0, -1)     # face below each cell
+            hi = slc(Jg, ax, 1, None)   # face above each cell
+            # boundary-face coupling factors per BC type
+            def factor(bc):
+                if bc.type == BCType.DIRICHLET:
+                    return 2.0
+                if bc.type == BCType.NEUMANN:
+                    return 0.0
+                if bc.type == BCType.PERIODIC:
+                    return 1.0
+                return 0.0  # extrap ~ one-sided; treat as Neumann for diag
+            n = shape[ax]
+            lo_f = jnp.ones(shape).at[self._edge(ax, 0)].set(factor(self.bcs.lo[d]))
+            hi_f = jnp.ones(shape).at[self._edge(ax, n - 1)].set(factor(self.bcs.hi[d]))
+            diag = diag - (lo * lo_f + hi * hi_f) / (grid.dx[d] ** 2)
+        diag = self.alpha + self.beta * geo.Jinv * diag
+        return diag
+
+    def _edge(self, ax: int, idx: int):
+        sl = [slice(None)] * self.grid.ndim
+        sl[ax] = idx
+        return tuple(sl)
+
+    @property
+    def diag(self):
+        return self._diag
+
+    # ---------------------------------------------------------- relaxation
+    def _build_rb_masks(self):
+        shape = self.grid.shape
+        parity = jnp.zeros(shape, jnp.int32)
+        for ax in range(len(shape)):
+            parity = parity + jax.lax.broadcasted_iota(jnp.int32, shape, ax)
+        red = (parity % 2) == 0
+        return red, jnp.logical_not(red)
+
+    def relax_jacobi(self, phi, rhs, iters: int, weight: float = 0.6):
+        inv_diag = weight / self._diag
+
+        def body(_, p):
+            return p + inv_diag * self.residual(p, rhs)
+
+        return jax.lax.fori_loop(0, iters, body, phi)
+
+    def relax_gsrb(self, phi, rhs, iters: int, weight: float = 1.0):
+        """Red-black Gauss-Seidel (reference: LevelGSRB, GSRBITER*)."""
+        red, black = self._rb_masks
+        inv_diag = weight / self._diag
+
+        def half(p, mask):
+            r = self.residual(p, rhs)
+            return jnp.where(mask, p + inv_diag * r, p)
+
+        def body(_, p):
+            p = half(p, red)
+            p = half(p, black)
+            return p
+
+        return jax.lax.fori_loop(0, iters, body, phi)
+
+    def relax_line_vertical(self, phi, rhs, iters: int):
+        """Vertical line relaxation: exact tridiagonal solve along z of
+        (alpha + beta*Lz) per column with the horizontal terms lagged
+        (reference: LineGSRB / LineGSRBIter kernels, the anisotropic
+        smoother).  Zebra (red-black by vertical line parity in x+y) would
+        sharpen this further; plain lagged lines already smooth strong
+        vertical coupling."""
+        grid, geo = self.grid, self.geo
+        dvert = grid.vertical_dir
+        ax = grid.axis(dvert)           # == 0
+        assert ax == 0
+        dz = grid.dx[dvert]
+        nz = grid.shape[0]
+
+        Jg = geo.Jgup_diag[dvert] * jnp.ones(grid.fc_shape(dvert))
+        A_lo = slc(Jg, 0, 0, -1)        # face below cell k
+        A_hi = slc(Jg, 0, 1, None)      # face above cell k
+
+        def bfac(bc):
+            if bc.type == BCType.DIRICHLET:
+                return 2.0
+            if bc.type == BCType.NEUMANN:
+                return 0.0
+            if bc.type == BCType.PERIODIC:
+                # periodic vertical line would need cyclic solve; fall back
+                # to treating it as coupled (rare for ocean columns)
+                return 1.0
+            return 0.0
+
+        scale = self.beta * geo.Jinv / (dz * dz)
+        a = A_lo * scale                 # coupling to k-1
+        c = A_hi * scale                 # coupling to k+1
+        b = self.alpha - (A_lo * jnp.ones(grid.shape).at[self._edge(0, 0)].set(bfac(self.bcs.lo[dvert]))
+                          + A_hi * jnp.ones(grid.shape).at[self._edge(0, nz - 1)].set(bfac(self.bcs.hi[dvert]))) * scale
+        a = a.at[0].set(0.0)
+        c = c.at[nz - 1].set(0.0)
+
+        def body(_, p):
+            # residual with current iterate; the vertical terms of the
+            # residual are re-solved exactly, horizontal terms lagged
+            r = self.residual(p, rhs)
+            dphi = thomas_solve(a, b, c, r)
+            return p + dphi
+
+        return jax.lax.fori_loop(0, iters, body, phi)
+
+    def relax(self, phi, rhs, iters: int, mode: str = "gsrb"):
+        if mode == "jacobi":
+            return self.relax_jacobi(phi, rhs, iters)
+        if mode == "gsrb":
+            return self.relax_gsrb(phi, rhs, iters)
+        if mode == "line":
+            return self.relax_line_vertical(phi, rhs, iters)
+        if mode == "none":
+            return phi
+        raise ValueError(f"unknown relax mode {mode}")
+
+    # ---------------------------------------------------------------- misc
+    def norm(self, r, p: int = 2):
+        if p == 0:
+            return jnp.max(jnp.abs(r))
+        return jnp.sqrt(jnp.mean(r.astype(jnp.float32) ** 2))
+
+    @property
+    def is_singular(self) -> bool:
+        """All-Neumann/periodic + alpha==0 => constant null space."""
+        if self.alpha != 0.0:
+            return False
+        for d in range(self.grid.ndim):
+            for bc in (self.bcs.lo[d], self.bcs.hi[d]):
+                if bc.type == BCType.DIRICHLET:
+                    return False
+        return True
