@@ -1,0 +1,207 @@
+"""Semicoarsening geometric multigrid for the mapped Poisson/Helmholtz op.
+
+Re-design of the reference's MappedMultiGrid / MappedAMRMultiGrid +
+MappedAMRPoissonOpFactory (`/root/reference/src/calculus/AMRElliptic/`):
+
+* The **semicoarsening schedule** mirrors MappedAMRPoissonOpFactory.cpp:
+  476-556 — at each MG level, coarsen only the directions whose dx is at
+  most half the current max dx (equalize anisotropy before coarsening
+  isotropically); if none qualify, coarsen every coarsenable direction;
+  stop when nothing is coarsenable.
+* Restriction is block full-weighting (reference: FullWeightingPS);
+  prolongation is piecewise-constant (ConstInterpPS), with the zero-average
+  variant applied automatically for singular (all-Neumann/periodic)
+  problems (reference: ZeroAvgConstInterpPS, ProlongationStrategy.H:52-66).
+* Coarse-level metrics are re-derived from the GeoSource on the coarsened
+  grid (the reference averages fine-level Jgup; re-evaluating the map is
+  equivalent to truncation order and simpler).
+* The V/W-cycle recursion is unrolled in Python (static per hierarchy), so
+  the whole solve jits into one XLA computation; the outer iteration is a
+  `lax.while_loop` on the residual norm with the reference's iter/hang/
+  convergence semantics (imin/imax/eps/hang, ProblemContext AMRMG.*).
+
+Smoother choice per level: 'gsrb' (default), 'jacobi', 'line' (vertical
+tridiagonal line relaxation — use on strongly anisotropic levels).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from somar_tpu.core.bc import FieldBCs
+from somar_tpu.core.grid import Grid
+from somar_tpu.geometry.level_geometry import LevelGeometry, build_level_geometry
+from somar_tpu.solvers.poisson_op import PoissonOp
+
+
+# --------------------------------------------------------------------------
+# anisotropic block transfer operators
+# --------------------------------------------------------------------------
+def restrict_fullweight(fine, grid_f: Grid, ratio: Sequence[int]):
+    """Block average of a fine CC field onto the coarsened grid.
+
+    ratio is per *logical* direction; array axes are vertical-major.
+    """
+    shape = fine.shape
+    new_shape = []
+    axes_ratio = [ratio[grid_f.dir_of_axis(ax)] for ax in range(len(shape))]
+    for n, r in zip(shape, axes_ratio):
+        new_shape.extend([n // r, r])
+    mean_axes = tuple(range(1, 2 * len(shape), 2))
+    return fine.reshape(new_shape).mean(axis=mean_axes)
+
+
+def prolong_const(coarse, grid_f: Grid, ratio: Sequence[int]):
+    """Piecewise-constant injection of a coarse CC field onto the fine grid."""
+    shape_c = coarse.shape
+    axes_ratio = [ratio[grid_f.dir_of_axis(ax)] for ax in range(len(shape_c))]
+    out = coarse
+    # expand each axis by broadcasting then reshaping (cheaper than repeat)
+    for ax, r in enumerate(axes_ratio):
+        if r == 1:
+            continue
+        out = jnp.expand_dims(out, ax + 1)
+        tile_shape = list(out.shape)
+        tile_shape[ax + 1] = r
+        out = jnp.broadcast_to(out, tile_shape)
+        merged = list(out.shape)
+        merged[ax] = merged[ax] * r
+        del merged[ax + 1]
+        out = out.reshape(merged)
+    return out
+
+
+def semicoarsening_schedule(grid: Grid, max_depth: int = -1) -> List[Tuple[int, ...]]:
+    """Per-MG-level coarsening ratios (reference:
+    MappedAMRPoissonOpFactory.cpp:476-556).
+
+    Returns a list of IntVect ratios; schedule[k] coarsens MG level k to
+    level k+1.  Directions with dx <= max(dx)/2 coarsen first (anisotropy
+    equalization); once dx is balanced, coarsening is isotropic.
+    """
+    sched = []
+    g = grid
+    while max_depth < 0 or len(sched) < max_depth:
+        dx = np.asarray(g.dx)
+        maxdx = dx.max()
+        ratio = []
+        for d in range(g.ndim):
+            wants = dx[d] <= maxdx / 2.0 + 1e-14 * maxdx
+            can = g.nx[d] % 2 == 0 and g.nx[d] >= 4
+            ratio.append(2 if (wants and can) else 1)
+        if not any(r > 1 for r in ratio):
+            # anisotropy equalized (or blocked): coarsen everything possible
+            ratio = [2 if (g.nx[d] % 2 == 0 and g.nx[d] >= 4) else 1
+                     for d in range(g.ndim)]
+        if not any(r > 1 for r in ratio):
+            break
+        sched.append(tuple(ratio))
+        g = g.coarsen(ratio)
+    return sched
+
+
+# --------------------------------------------------------------------------
+# solver parameters (reference: ProblemContext AMRMG.* namespace)
+# --------------------------------------------------------------------------
+@dataclasses.dataclass(frozen=True)
+class MGParams:
+    eps: float = 1e-6            # AMRMG.eps: relative residual tolerance
+    imin: int = 2                # AMRMG.imin: min V-cycles
+    imax: int = 20               # AMRMG.imax: max V-cycles
+    hang: float = 1e-15          # AMRMG.hang: stall detection
+    norm_thresh: float = 1e-30   # AMRMG.normThresh
+    num_smooth_down: int = 4     # AMRMG.num_smooth_down
+    num_smooth_up: int = 4       # AMRMG.num_smooth_up
+    num_smooth_bottom: int = 16  # bottom-level smooth count
+    num_mg: int = 1              # 1 = V-cycle, 2 = W-cycle
+    max_depth: int = -1          # AMRMG.maxDepth
+    relax_mode: str = "gsrb"     # -1 none / 0 jacobi / 1 gsrb / 3 line
+    verbosity: int = 0
+
+
+class LevelMultigrid:
+    """Single-level (no AMR) multigrid solver for one PoissonOp."""
+
+    def __init__(self, geo: LevelGeometry, bcs: FieldBCs, alpha: float = 0.0,
+                 beta: float = 1.0, params: MGParams = MGParams(),
+                 dtype=jnp.float32):
+        self.params = params
+        self.dtype = dtype
+        grid = geo.grid
+
+        sched = semicoarsening_schedule(grid, params.max_depth)
+        self.ratios = sched
+        self.ops: List[PoissonOp] = []
+        g, lg = grid, geo
+        self.ops.append(PoissonOp(lg, bcs, alpha, beta))
+        for ratio in sched:
+            g = g.coarsen(ratio)
+            lg = build_level_geometry(g, geo.geo, dtype=dtype)
+            self.ops.append(PoissonOp(lg, bcs, alpha, beta))
+        self.depth = len(self.ops)
+
+    # ------------------------------------------------------------- V-cycle
+    def _vcycle(self, lev: int, phi, rhs):
+        op = self.ops[lev]
+        p = self.params
+        if lev == self.depth - 1:
+            return op.relax(phi, rhs, p.num_smooth_bottom, p.relax_mode)
+
+        phi = op.relax(phi, rhs, p.num_smooth_down, p.relax_mode)
+        res = op.residual(phi, rhs)
+        ratio = self.ratios[lev]
+        crhs = restrict_fullweight(res, op.grid, ratio)
+        cphi = jnp.zeros_like(crhs)
+        for _ in range(max(1, p.num_mg)):   # num_mg=2 -> W-cycle
+            cphi = self._vcycle(lev + 1, cphi, crhs)
+        corr = prolong_const(cphi, op.grid, ratio)
+        if self.ops[0].is_singular:
+            corr = corr - jnp.mean(corr)    # ZeroAvgConstInterpPS
+        phi = phi + corr.astype(phi.dtype)
+        phi = op.relax(phi, rhs, p.num_smooth_up, p.relax_mode)
+        return phi
+
+    # --------------------------------------------------------------- solve
+    def solve(self, rhs, phi0=None, homogeneous: bool = True):
+        """Iterate V-cycles until converged (imin/imax/eps/hang semantics,
+        reference MappedAMRMultiGrid::solve).  Returns (phi, info) where
+        info = (iters, final_relative_residual).
+
+        With homogeneous=False, inhomogeneous BC values are folded into the
+        RHS by linearity (L_inhom(phi) = L_hom(phi) + L_inhom(0)).
+        """
+        op = self.ops[0]
+        p = self.params
+        rhs = rhs.astype(self.dtype)
+        if not homogeneous:
+            rhs = rhs - op.apply(jnp.zeros_like(rhs), homogeneous=False)
+        if op.is_singular:
+            rhs = rhs - jnp.mean(rhs)
+        phi = jnp.zeros_like(rhs) if phi0 is None else phi0.astype(self.dtype)
+
+        r0 = op.norm(op.residual(phi, rhs))
+        r0 = jnp.maximum(r0, p.norm_thresh)
+
+        def cond(state):
+            phi, rnorm, rprev, it = state
+            unconverged = rnorm > p.eps * r0
+            not_hung = (rprev - rnorm) > p.hang * rprev
+            return ((it < p.imin) | (unconverged & not_hung)) & (it < p.imax)
+
+        def body(state):
+            phi, rnorm, _, it = state
+            phi = self._vcycle(0, phi, rhs)
+            if op.is_singular:
+                phi = phi - jnp.mean(phi)
+            rnew = op.norm(op.residual(phi, rhs))
+            return (phi, rnew, rnorm, it + 1)
+
+        state = (phi, r0, 2.0 * r0, jnp.asarray(0))
+        phi, rnorm, _, iters = jax.lax.while_loop(cond, body, state)
+        return phi, (iters, rnorm / r0)

@@ -141,22 +141,14 @@ class PoissonOp:
         A_lo = slc(Jg, 0, 0, -1)        # face below cell k
         A_hi = slc(Jg, 0, 1, None)      # face above cell k
 
-        def bfac(bc):
-            if bc.type == BCType.DIRICHLET:
-                return 2.0
-            if bc.type == BCType.NEUMANN:
-                return 0.0
-            if bc.type == BCType.PERIODIC:
-                # periodic vertical line would need cyclic solve; fall back
-                # to treating it as coupled (rare for ocean columns)
-                return 1.0
-            return 0.0
-
         scale = self.beta * geo.Jinv / (dz * dz)
         a = A_lo * scale                 # coupling to k-1
         c = A_hi * scale                 # coupling to k+1
-        b = self.alpha - (A_lo * jnp.ones(grid.shape).at[self._edge(0, 0)].set(bfac(self.bcs.lo[dvert]))
-                          + A_hi * jnp.ones(grid.shape).at[self._edge(0, nz - 1)].set(bfac(self.bcs.hi[dvert]))) * scale
+        # the line-block diagonal is the FULL operator diagonal (vertical
+        # couplings + horizontal diagonal + alpha + BC factors): line
+        # relaxation must keep the horizontal self-coupling or modes that
+        # are constant along the line diverge.
+        b = self._diag * jnp.ones(grid.shape)
         a = a.at[0].set(0.0)
         c = c.at[nz - 1].set(0.0)
 

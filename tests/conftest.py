@@ -1,18 +1,15 @@
-"""Test configuration: run on a virtual 8-device CPU mesh.
+"""Test configuration: CPU backend, single device.
 
-Tests never require real TPU hardware; sharding tests use
-xla_force_host_platform_device_count (the TPU analog of the reference's
-serial-vs-mpirun equivalence checks, SURVEY.md section 4).
+Multi-chip sharding tests spawn subprocesses that set
+xla_force_host_platform_device_count themselves (see test_sharding.py) —
+forcing 8 virtual devices in-process would oversubscribe the 1-core CI
+host for every test.  The driver separately validates the multi-chip path
+via __graft_entry__.dryrun_multichip.
 """
 
 import os
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
 
 import jax  # noqa: E402
 

@@ -1,0 +1,156 @@
+"""Solver tests: tridiagonal, multigrid convergence, BiCGStab."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from somar_tpu.core.grid import Grid
+from somar_tpu.core.bc import BC, FieldBCs
+from somar_tpu.geometry.geo_source import CartesianMap, TwistedMap
+from somar_tpu.geometry.level_geometry import build_level_geometry
+from somar_tpu.solvers.tridiag import thomas_solve, vertical_poisson_nn
+from somar_tpu.solvers.multigrid import (
+    LevelMultigrid, MGParams, semicoarsening_schedule,
+    restrict_fullweight, prolong_const)
+from somar_tpu.solvers.bicgstab import bicgstab
+from somar_tpu.solvers.poisson_op import PoissonOp
+
+
+def test_thomas_matches_numpy():
+    rng = np.random.default_rng(0)
+    n, m = 16, 8
+    a = rng.uniform(0.1, 0.5, (n, m))
+    c = rng.uniform(0.1, 0.5, (n, m))
+    b = 2.0 + a + c           # diagonally dominant
+    d = rng.normal(size=(n, m))
+    x = np.asarray(thomas_solve(*map(jnp.asarray, (a, b, c, d))))
+    for col in range(m):
+        A = np.diag(b[:, col]) + np.diag(a[1:, col], -1) + np.diag(c[:-1, col], 1)
+        np.testing.assert_allclose(x[:, col], np.linalg.solve(A, d[:, col]),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_vertical_poisson_nn():
+    # d2x/dz2 = rhs with Neumann ends; manufactured x = cos(pi z), z in [0,1]
+    n = 64
+    dz = 1.0 / n
+    z = (np.arange(n) + 0.5) * dz
+    xexact = np.cos(np.pi * z)
+    rhs = -(np.pi**2) * np.cos(np.pi * z)
+    ones = np.ones((n + 1, 4))
+    sol = vertical_poisson_nn(
+        jnp.asarray(np.tile(rhs[:, None], (1, 4))),
+        jnp.asarray(ones[:-1]), jnp.asarray(ones[1:]), dz)
+    sol = np.asarray(sol)
+    xe = xexact - xexact.mean()
+    np.testing.assert_allclose(sol[:, 0], xe, atol=2e-3)
+
+
+def test_semicoarsening_schedule_equalizes_anisotropy():
+    # dx = (1, 16): vertical much finer -> coarsen vertical only at first
+    g = Grid(nx=(8, 128), dx=(1.0, 1.0 / 16))
+    sched = semicoarsening_schedule(g)
+    assert sched[0] == (1, 2)
+    assert sched[1] == (1, 2)
+    # eventually isotropic
+    assert (2, 2) in sched
+
+
+def test_restrict_prolong_shapes():
+    g = Grid(nx=(8, 4), dx=(0.125, 0.25))
+    f = jnp.arange(32.0).reshape(4, 8)
+    c = restrict_fullweight(f, g, (2, 2))
+    assert c.shape == (2, 4)
+    p = prolong_const(c, g, (2, 2))
+    assert p.shape == (4, 8)
+    np.testing.assert_allclose(np.asarray(restrict_fullweight(p, g, (2, 2))),
+                               np.asarray(c))
+
+
+def _mg_solve_error(n, geo=None, relax="gsrb", ndim=2, dtype=jnp.float32):
+    g = Grid(nx=(n,) * ndim, dx=(1.0 / n,) * ndim, periodic=(True,) * ndim)
+    lg = build_level_geometry(g, geo or CartesianMap(), dtype=dtype)
+    bcs = FieldBCs.uniform(BC.periodic(), ndim)
+    mg = LevelMultigrid(lg, bcs, params=MGParams(eps=1e-5, relax_mode=relax),
+                        dtype=dtype)
+    k = 2 * np.pi
+    coords = g.coords()
+    if geo is None:
+        xph = [np.broadcast_to(c, g.shape) for c in coords]
+    else:
+        xph = [np.broadcast_to(geo.phys_coor(m, coords), g.shape)
+               for m in range(ndim)]
+    phase = sum(np.asarray(x) for x in xph)
+    exact = np.sin(k * phase)
+    rhs = -(ndim * k**2) * np.sin(k * phase) * ndim / ndim  # lap of sin(k sum x)
+    # careful: lap sin(k(x+z)) = -ndim k^2 sin(...)
+    phi, (iters, relres) = jax.jit(mg.solve)(jnp.asarray(rhs))
+    phi = np.asarray(phi) - np.asarray(phi).mean()
+    err = np.max(np.abs(phi - (exact - exact.mean())))
+    return err, int(iters), float(relres)
+
+
+def test_mg_cartesian_periodic_converges():
+    err, iters, relres = _mg_solve_error(64)
+    assert relres < 1e-4, (iters, relres)
+    assert err < 5e-3, err          # discretization error ~ (k dx)^2
+
+
+def test_mg_twisted_converges():
+    geo = TwistedMap((0.04, 0.04), (1.0, 1.0))
+    err, iters, relres = _mg_solve_error(32, geo=geo)
+    assert relres < 1e-4, (iters, relres)
+    assert err < 3e-2, err
+
+
+def test_mg_anisotropic_grid_line_relax():
+    # thin domain: nx=32, nz=32 but dx_z << dx_x (aspect 16)
+    n = 32
+    g = Grid(nx=(n, n), dx=(1.0 / n, 1.0 / (16 * n)), periodic=(True, True))
+    lg = build_level_geometry(g, CartesianMap())
+    bcs = FieldBCs.uniform(BC.periodic(), 2)
+    mg = LevelMultigrid(lg, bcs, params=MGParams(eps=1e-5, relax_mode="line"))
+    k = 2 * np.pi
+    x, z = g.coords()
+    # manufactured: phi = sin(k x) (constant in z) -> lap = -k^2 sin(kx)
+    rhs = -(k**2) * np.sin(k * np.asarray(x)) * np.ones(g.shape)
+    phi, (iters, relres) = jax.jit(mg.solve)(jnp.asarray(rhs))
+    phi = np.array(phi)
+    phi -= phi.mean()
+    ex = np.sin(k * np.asarray(x)) * np.ones(g.shape)
+    ex -= ex.mean()
+    assert relres < 1e-4, (int(iters), relres)
+    assert np.max(np.abs(phi - ex)) < 5e-3
+
+
+def test_mg_dirichlet():
+    n = 32
+    g = Grid(nx=(n, n), dx=(1.0 / n,) * 2)
+    lg = build_level_geometry(g, CartesianMap())
+    bcs = FieldBCs.uniform(BC.dirichlet(0.0), 2)
+    mg = LevelMultigrid(lg, bcs, params=MGParams(eps=1e-6))
+    k = np.pi
+    x, z = g.coords()
+    exact = np.sin(k * np.asarray(x)) * np.sin(k * np.asarray(z))
+    rhs = -2 * k**2 * exact
+    phi, (iters, relres) = jax.jit(mg.solve)(jnp.asarray(rhs))
+    assert relres < 1e-5
+    assert np.max(np.abs(np.asarray(phi) - exact)) < 4e-3
+
+
+def test_bicgstab_poisson():
+    n = 32
+    g = Grid(nx=(n, n), dx=(1.0 / n,) * 2, periodic=(True, True))
+    lg = build_level_geometry(g, CartesianMap())
+    bcs = FieldBCs.uniform(BC.periodic(), 2)
+    op = PoissonOp(lg, bcs)
+    k = 2 * np.pi
+    x, z = g.coords()
+    exact = np.sin(k * np.asarray(x)) * np.cos(k * np.asarray(z))
+    rhs = -2 * k**2 * exact
+    x_sol, (iters, relres) = jax.jit(
+        lambda r: bicgstab(op.apply, r, remove_mean=True))(jnp.asarray(rhs))
+    assert relres < 1e-4, (int(iters), float(relres))
+    sol = np.array(x_sol)
+    sol -= sol.mean()
+    assert np.max(np.abs(sol - (exact - exact.mean()))) < 5e-3
