@@ -1,0 +1,325 @@
+"""Unsplit Godunov (CTU) advection: PLM/PPM tracing + limiters + upwinding.
+
+Re-design of the reference's advection layer
+(`/root/reference/src/advection/AdvectUtil.H:42` MappedAdvectionUtil::
+predictScalar, `MappedGodunovUtilities.H:41` — kernels PLMNormalPredF,
+PPMNormalPredF, PPMFaceValuesF, PPMLimiterF, VanLeerLimiterF,
+RiemannSolver, QuasilinearUpdateF in AdvectUtilF.ChF /
+MappedGodunovUtilitiesF.ChF).  The reference runs these as per-box Fortran
+loops; here each stage is a whole-level shift-and-select expression fused
+by XLA — the entire predictor for one direction is one fused kernel.
+
+Scheme (Colella's unsplit corner-transport-upwind; mapped grids trace in
+xi-space with the contravariant velocity):
+  1. normal predictor per direction: CTU(0) / PLM(1) / PPM(2) half-step
+     traced left/right face states, with optional van-Leer or 4th-order
+     limited slopes (PLM) or CW84 parabola limiting (PPM);
+  2. transverse corrections: 1D Riemann states of the other directions
+     feed an advective-form quasilinear correction (full 3-stage CTU in
+     3D with the dt/3 intermediate states);
+  3. Riemann upwinding by the face advecting velocity;
+  4. conservative flux divergence (1/J) d_d (J u^d s) or advective form.
+
+Ghost requirement: 4 layers (reference ADVECT_GROW, AdvectUtil.H:35).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+
+from somar_tpu.core.bc import FieldBCs, fill_ghosts_cc
+from somar_tpu.core.grid import Grid
+from somar_tpu.geometry.level_geometry import LevelGeometry
+from somar_tpu.ops.stencil import slc, avg_along, diff_along
+
+ADVECT_GROW = 4
+
+
+@dataclasses.dataclass(frozen=True)
+class AdvectionParams:
+    """Reference: `advection.*` input namespace (ProblemContext.H:291-316)."""
+
+    normal_pred_order: int = 2        # 0=CTU, 1=PLM, 2=PPM
+    use_fourth_order_slopes: bool = True
+    use_limiting: bool = True
+    use_high_order_limiter: bool = False  # extremum-preserving variant
+
+
+def _win(arr, ax: int, k: int, lo: int, n: int):
+    """Window of length n starting at padded index lo+k along axis ax."""
+    s = [slice(None)] * arr.ndim
+    s[ax] = slice(lo + k, lo + k + n)
+    return arr[tuple(s)]
+
+
+# --------------------------------------------------------------------------
+# slope kernels (reference: MappedGodunovUtilities van Leer / 4th order)
+# --------------------------------------------------------------------------
+def _vanleer_slope(sm, s0, sp, limit: bool):
+    dc = 0.5 * (sp - sm)
+    if not limit:
+        return dc
+    dl = s0 - sm
+    dr = sp - s0
+    lim = 2.0 * jnp.minimum(jnp.abs(dl), jnp.abs(dr))
+    mono = (dl * dr) > 0.0
+    return jnp.where(mono, jnp.sign(dc) * jnp.minimum(jnp.abs(dc), lim), 0.0)
+
+
+def _fourth_order_slope(smm, sm, s0, sp, spp, limit: bool):
+    """delta4 = (2/3)[(s_{+1} - s_{-1}) - (dvL_{+1} + dvL_{-1})/4]
+    (reference: fourthOrderSlopes / FOURTHSLOPEDIFFSF)."""
+    dvl_m = _vanleer_slope(smm, sm, s0, limit)
+    dvl_p = _vanleer_slope(s0, sp, spp, limit)
+    d4 = (2.0 / 3.0) * ((sp - sm) - 0.25 * (dvl_p + dvl_m))
+    if not limit:
+        return d4
+    dl = s0 - sm
+    dr = sp - s0
+    lim = 2.0 * jnp.minimum(jnp.abs(dl), jnp.abs(dr))
+    mono = (dl * dr) > 0.0
+    return jnp.where(mono, jnp.sign(d4) * jnp.minimum(jnp.abs(d4), lim), 0.0)
+
+
+def _cc_deriv(face_arr, ax: int, dx: float):
+    """Cell-centered derivative from a padded-face array: diff then edge-pad
+    back to the full padded cell extent (the edge layers are ghost junk and
+    are cropped before use — ADVECT_GROW leaves margin)."""
+    d = diff_along(face_arr, ax) / dx
+    pad = [(0, 0)] * d.ndim
+    pad[ax] = (1, 1)
+    return jnp.pad(d, pad, mode="edge")
+
+
+# --------------------------------------------------------------------------
+# Riemann upwinding
+# --------------------------------------------------------------------------
+def _riemann(lo, hi, vface, small: float = 1e-12):
+    """Passive-advection Riemann: upwind by face velocity (reference:
+    RiemannSolver kernel, AdvectUtilF.ChF)."""
+    avg = 0.5 * (lo + hi)
+    return jnp.where(vface > small, lo, jnp.where(vface < -small, hi, avg))
+
+
+# --------------------------------------------------------------------------
+# the full CTU predictor
+# --------------------------------------------------------------------------
+def trace_face_states(
+    s,                      # CC scalar to advect
+    vel_mapped_cc,          # (ndim,)+shape contravariant CC velocity (tracing)
+    adv_vel,                # tuple of FC J u^d advecting velocities
+    src,                    # CC source term (or None): added as dt/2 * src
+    dt: float,
+    geo: LevelGeometry,
+    bcs: FieldBCs,
+    params: AdvectionParams,
+    vel_bcs: Optional[Sequence[FieldBCs]] = None,
+):
+    """Predict time-centered upwind face states of `s` in every direction.
+
+    Returns a tuple of face-state arrays (fc_shape(d)) per logical dir d.
+    """
+    grid = geo.grid
+    ndim = grid.ndim
+    G = ADVECT_GROW
+    shape = grid.shape
+
+    sp = fill_ghosts_cc(s, grid, bcs, G)
+    # the dt/2 * src half-step source is added to the traced face states in
+    # stage 3 (equivalent to pre-adding it to the predictor, O(dt^2))
+
+    # padded tracing velocities, one per direction
+    if vel_bcs is None:
+        vel_bcs = [bcs] * ndim
+    u_pad = [fill_ghosts_cc(vel_mapped_cc[d], grid, vel_bcs[d], G)
+             for d in range(ndim)]
+
+    # ------------------------------------------------ stage 1: 1D states
+    lo1, hi1, rie1 = [], [], []
+    for d in range(ndim):
+        ax = grid.axis(d)
+        # keep the full padded tangential extent: the transverse stages
+        # need ghost coverage
+        lo_full, hi_full = _normal_predict_fullpad(
+            sp, u_pad[d], ax, G, grid.dx[d], dt, params)
+        lo1.append(lo_full)
+        hi1.append(hi_full)
+
+    # Riemann with cell-averaged face velocity for intermediate upwinding:
+    # use the advecting velocity where available on valid faces; for the
+    # padded transverse extent, upwind with the averaged tracing velocity.
+    for d in range(ndim):
+        ax = grid.axis(d)
+        vf = avg_along(u_pad[d], ax)   # faces on padded grid
+        rie1.append(_riemann(lo1[d], hi1[d], vf))
+
+    # ---------------------------------------- stage 2: 3D cross-corrections
+    if ndim == 3:
+        rie2 = {}
+        for d in range(ndim):
+            for k in range(ndim):
+                if k == d:
+                    continue
+                axk = grid.axis(k)
+                # d ŝ_k / d xi_k at padded cells
+                dsk = _cc_deriv(rie1[k], axk, grid.dx[k])
+                corr = -(dt / 3.0) * u_pad[k] * dsk
+                lo_c = lo1[d] + _face_align(corr, grid.axis(d), side=0)
+                hi_c = hi1[d] + _face_align(corr, grid.axis(d), side=1)
+                vf = avg_along(u_pad[d], grid.axis(d))
+                rie2[(d, k)] = _riemann(lo_c, hi_c, vf)
+    # ------------------------------------------- stage 3: final face states
+    out = []
+    for d in range(ndim):
+        ax = grid.axis(d)
+        lo_f, hi_f = lo1[d], hi1[d]
+        for j in range(ndim):
+            if j == d:
+                continue
+            axj = grid.axis(j)
+            if ndim == 3:
+                k = 3 - d - j  # the remaining direction
+                shat = rie2[(j, k)]
+            else:
+                shat = rie1[j]
+            dsj = _cc_deriv(shat, axj, grid.dx[j])
+            corr = -(dt / 2.0) * u_pad[j] * dsj
+            lo_f = lo_f + _face_align(corr, ax, side=0)
+            hi_f = hi_f + _face_align(corr, ax, side=1)
+        if src is not None:
+            src_pad = fill_ghosts_cc(src, grid, bcs, G)
+            lo_f = lo_f + 0.5 * dt * _face_align(src_pad, ax, side=0)
+            hi_f = hi_f + 0.5 * dt * _face_align(src_pad, ax, side=1)
+        # crop to valid faces/cells and final Riemann with the advecting vel
+        lo_v = _crop_faces(lo_f, grid, d, G)
+        hi_v = _crop_faces(hi_f, grid, d, G)
+        out.append(_riemann(lo_v, hi_v, adv_vel[d]))
+    return tuple(out)
+
+
+def _normal_predict_fullpad(sp, u_pad, ax: int, G: int, dx: float, dt: float,
+                            params: AdvectionParams):
+    """Like _normal_predict but on the full padded array: produces face
+    states on all interior-computable faces of the padded array (losing
+    `need` cells each side along ax, keeping tangential padding)."""
+    need = 2 if params.normal_pred_order == 2 else (
+        2 if params.use_fourth_order_slopes else 1)
+    n_pad = sp.shape[ax]
+    ncell = n_pad - 2 * need
+
+    def cell(k):
+        return _win(sp, ax, k, need, ncell)
+
+    u = _win(u_pad, ax, 0, need, ncell)
+    s0 = cell(0)
+    nu = u * dt / dx
+
+    if params.normal_pred_order == 0:
+        splus = s0
+        sminus = s0
+    elif params.normal_pred_order == 1:
+        if params.use_fourth_order_slopes:
+            d = _fourth_order_slope(cell(-2), cell(-1), s0, cell(1), cell(2),
+                                    params.use_limiting)
+        else:
+            d = _vanleer_slope(cell(-1), s0, cell(1), params.use_limiting)
+        splus = s0 + 0.5 * (1.0 - jnp.maximum(nu, 0.0)) * d
+        sminus = s0 - 0.5 * (1.0 + jnp.minimum(nu, 0.0)) * d
+    else:
+        def face(k):
+            return (7.0 / 12.0) * (cell(k) + cell(k + 1)) \
+                - (1.0 / 12.0) * (cell(k - 1) + cell(k + 2))
+
+        sR = face(0)
+        sL = face(-1)
+        if params.use_limiting:
+            flat = (sR - s0) * (s0 - sL) <= 0.0
+            dsum = sR - sL
+            s6_t = 6.0 * (s0 - 0.5 * (sL + sR))
+            cond_l = dsum * s6_t > dsum * dsum
+            cond_r = -dsum * dsum > dsum * s6_t
+            sLn = jnp.where(flat, s0, jnp.where(cond_l, 3.0 * s0 - 2.0 * sR, sL))
+            sRn = jnp.where(flat, s0, jnp.where(cond_r, 3.0 * s0 - 2.0 * sL, sR))
+            sL, sR = sLn, sRn
+        dsum = sR - sL
+        s6 = 6.0 * (s0 - 0.5 * (sL + sR))
+        sig_p = jnp.maximum(nu, 0.0)
+        sig_m = jnp.maximum(-nu, 0.0)
+        splus = sR - 0.5 * sig_p * (dsum - (1.0 - (2.0 / 3.0) * sig_p) * s6)
+        sminus = sL + 0.5 * sig_m * (dsum + (1.0 - (2.0 / 3.0) * sig_m) * s6)
+
+    # pad back to original cell extent along ax so downstream indexing is
+    # uniform: re-pad with edge values (they sit in ghost space and are
+    # cropped before use)
+    pad = [(0, 0)] * sp.ndim
+    pad[ax] = (need, need)
+    splus = jnp.pad(splus, pad, mode="edge")
+    sminus = jnp.pad(sminus, pad, mode="edge")
+    # face f (between cell f-1, f), padded-face index along ax in [1, n_pad]
+    lo_state = slc(splus, ax, 0, -1)     # from left cell:  cells 0..n_pad-2
+    hi_state = slc(sminus, ax, 1, None)  # from right cell: cells 1..n_pad-1
+    return lo_state, hi_state            # length n_pad-1 faces
+
+
+def _face_align(cc_corr, ax: int, side: int):
+    """Align a CC correction with the face arrays produced by
+    _normal_predict_fullpad along axis ax: the lo (left) state at face f
+    comes from cell f-1 => use cells 0..n-2; the hi state from cell f =>
+    cells 1..n-1."""
+    if side == 0:
+        return slc(cc_corr, ax, 0, -1)
+    return slc(cc_corr, ax, 1, None)
+
+
+def _crop_faces(face_pad, grid: Grid, d: int, G: int):
+    """Crop padded face-state array to the valid faces of dir d and valid
+    cells of the other axes."""
+    out = face_pad
+    for j in range(grid.ndim):
+        ax = grid.axis(j)
+        if j == d:
+            # padded faces along ax: index f corresponds to face between
+            # padded cells f-1|f; valid faces are G .. G+n; array currently
+            # holds faces 1..n_pad-1 => slice [G-1 : G+n]
+            out = slc(out, ax, G - 1, G + grid.nx[d])
+        else:
+            out = slc(out, ax, G, -G)
+    return out
+
+
+# --------------------------------------------------------------------------
+# flux divergence updates
+# --------------------------------------------------------------------------
+def flux_divergence(face_states: Sequence, adv_vel: Sequence,
+                    geo: LevelGeometry):
+    """Conservative update term  (1/J) d_d (J u^d s)  (nonlinear
+    differencing form 0, reference getNewVelocity:886+)."""
+    grid = geo.grid
+    out = None
+    for d in range(grid.ndim):
+        term = diff_along(face_states[d] * adv_vel[d], grid.axis(d)) / grid.dx[d]
+        out = term if out is None else out + term
+    return out * geo.Jinv
+
+
+def advective_form(face_states: Sequence, adv_vel: Sequence,
+                   geo: LevelGeometry):
+    """u . grad s  =  div(u s) - s div(u)  evaluated as
+    (1/J)[d_d(J u^d s) - s d_d(J u^d)] (advective differencing form 1)."""
+    grid = geo.grid
+    div_us = None
+    div_u = None
+    for d in range(grid.ndim):
+        ax = grid.axis(d)
+        t1 = diff_along(face_states[d] * adv_vel[d], ax) / grid.dx[d]
+        t2 = diff_along(adv_vel[d], ax) / grid.dx[d]
+        div_us = t1 if div_us is None else div_us + t1
+        div_u = t2 if div_u is None else div_u + t2
+    s_cc = None
+    # cell value of s: average the upwind face states of dir 0 (cheap, 2nd
+    # order) — callers wanting exact advective form pass the CC s instead.
+    s_cc = avg_along(face_states[0], grid.axis(0))
+    return (div_us - s_cc * div_u) * geo.Jinv
