@@ -126,11 +126,15 @@ class MGParams:
 
 
 class LevelMultigrid:
-    """Single-level (no AMR) multigrid solver for one PoissonOp."""
+    """Single-level (no AMR) multigrid solver for one PoissonOp.
 
-    def __init__(self, geo: LevelGeometry, bcs: FieldBCs, alpha: float = 0.0,
-                 beta: float = 1.0, params: MGParams = MGParams(),
-                 dtype=jnp.float32):
+    Structural data (grid/geometry hierarchy, ops, masks) is built once;
+    alpha/beta are call-time operands so a dt-dependent Helmholtz
+    coefficient does not retrace or rebuild anything.
+    """
+
+    def __init__(self, geo: LevelGeometry, bcs: FieldBCs,
+                 params: MGParams = MGParams(), dtype=jnp.float32):
         self.params = params
         self.dtype = dtype
         grid = geo.grid
@@ -139,53 +143,62 @@ class LevelMultigrid:
         self.ratios = sched
         self.ops: List[PoissonOp] = []
         g, lg = grid, geo
-        self.ops.append(PoissonOp(lg, bcs, alpha, beta))
+        self.ops.append(PoissonOp(lg, bcs))
         for ratio in sched:
             g = g.coarsen(ratio)
             lg = build_level_geometry(g, geo.geo, dtype=dtype)
-            self.ops.append(PoissonOp(lg, bcs, alpha, beta))
+            self.ops.append(PoissonOp(lg, bcs))
         self.depth = len(self.ops)
+        self.bcs_singular = self.ops[0].bcs_singular()
 
     # ------------------------------------------------------------- V-cycle
-    def _vcycle(self, lev: int, phi, rhs):
+    def _vcycle(self, lev: int, phi, rhs, alpha, beta, singular: bool):
         op = self.ops[lev]
         p = self.params
         if lev == self.depth - 1:
-            return op.relax(phi, rhs, p.num_smooth_bottom, p.relax_mode)
+            return op.relax(phi, rhs, alpha, beta, p.num_smooth_bottom,
+                            p.relax_mode)
 
-        phi = op.relax(phi, rhs, p.num_smooth_down, p.relax_mode)
-        res = op.residual(phi, rhs)
+        phi = op.relax(phi, rhs, alpha, beta, p.num_smooth_down, p.relax_mode)
+        res = op.residual(phi, rhs, alpha, beta)
         ratio = self.ratios[lev]
         crhs = restrict_fullweight(res, op.grid, ratio)
         cphi = jnp.zeros_like(crhs)
         for _ in range(max(1, p.num_mg)):   # num_mg=2 -> W-cycle
-            cphi = self._vcycle(lev + 1, cphi, crhs)
+            cphi = self._vcycle(lev + 1, cphi, crhs, alpha, beta, singular)
         corr = prolong_const(cphi, op.grid, ratio)
-        if self.ops[0].is_singular:
+        if singular:
             corr = corr - jnp.mean(corr)    # ZeroAvgConstInterpPS
         phi = phi + corr.astype(phi.dtype)
-        phi = op.relax(phi, rhs, p.num_smooth_up, p.relax_mode)
+        phi = op.relax(phi, rhs, alpha, beta, p.num_smooth_up, p.relax_mode)
         return phi
 
     # --------------------------------------------------------------- solve
-    def solve(self, rhs, phi0=None, homogeneous: bool = True):
+    def solve(self, rhs, phi0=None, alpha=0.0, beta=1.0,
+              homogeneous: bool = True, singular: Optional[bool] = None):
         """Iterate V-cycles until converged (imin/imax/eps/hang semantics,
         reference MappedAMRMultiGrid::solve).  Returns (phi, info) where
         info = (iters, final_relative_residual).
 
+        singular: static flag; default True iff the BCs admit a constant
+        null space AND alpha is the literal 0.0.  Pass explicitly when
+        alpha is traced.
         With homogeneous=False, inhomogeneous BC values are folded into the
         RHS by linearity (L_inhom(phi) = L_hom(phi) + L_inhom(0)).
         """
         op = self.ops[0]
         p = self.params
         rhs = rhs.astype(self.dtype)
+        if singular is None:
+            singular = self.bcs_singular and isinstance(alpha, float) and alpha == 0.0
         if not homogeneous:
-            rhs = rhs - op.apply(jnp.zeros_like(rhs), homogeneous=False)
-        if op.is_singular:
+            rhs = rhs - op.apply(jnp.zeros_like(rhs), alpha, beta,
+                                 homogeneous=False)
+        if singular:
             rhs = rhs - jnp.mean(rhs)
         phi = jnp.zeros_like(rhs) if phi0 is None else phi0.astype(self.dtype)
 
-        r0 = op.norm(op.residual(phi, rhs))
+        r0 = op.norm(op.residual(phi, rhs, alpha, beta))
         r0 = jnp.maximum(r0, p.norm_thresh)
 
         def cond(state):
@@ -196,10 +209,10 @@ class LevelMultigrid:
 
         def body(state):
             phi, rnorm, _, it = state
-            phi = self._vcycle(0, phi, rhs)
-            if op.is_singular:
+            phi = self._vcycle(0, phi, rhs, alpha, beta, singular)
+            if singular:
                 phi = phi - jnp.mean(phi)
-            rnew = op.norm(op.residual(phi, rhs))
+            rnew = op.norm(op.residual(phi, rhs, alpha, beta))
             return (phi, rnew, rnorm, it + 1)
 
         state = (phi, r0, 2.0 * r0, jnp.asarray(0))

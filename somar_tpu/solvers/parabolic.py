@@ -1,0 +1,118 @@
+"""Implicit viscous/diffusive integrators: Backward Euler, Crank-Nicolson, TGA.
+
+Re-design of the reference's AMRParabolic layer
+(`/root/reference/src/calculus/AMRParabolic/MappedBaseLevelHeatSolver.H:37`,
+MappedLevelBackwardEuler.H:33, MappedLevelCrankNicolson.H:34,
+MappedLevelTGA.H:35): each scheme advances  ds/dt = kappa * L s + S  one
+step by one or two Helmholtz solves  (I - c*dt*kappa*L) s_new = rhs, where
+L is the mapped Laplacian (PoissonOp with alpha=1, beta=-c*dt*kappa ...
+we keep alpha/beta explicit below).  Solver selected per
+`amr.viscous_solver_type` / `amr.diffusive_solver_type` (0=BE, 1=CN,
+2=TGA; ProblemContext.H:141-151).
+
+TGA (Twizell-Gumel-Arigu) is the 2nd-order L-stable scheme with
+r1 = (2a - 1)/(a + discr), a = 2 - sqrt(2) - eps (reference constants at
+AMRNavierStokes.H:53).
+
+Each solve is a LevelMultigrid Helmholtz solve; the Helmholtz operator is
+diagonally dominant so a handful of V-cycles converge fast.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional
+
+import jax.numpy as jnp
+
+from somar_tpu.core.bc import FieldBCs
+from somar_tpu.geometry.level_geometry import LevelGeometry
+from somar_tpu.solvers.multigrid import LevelMultigrid, MGParams
+from somar_tpu.solvers.poisson_op import PoissonOp
+
+
+class BaseHeatSolver:
+    """Shared machinery: Helmholtz MG solves (I - c*dt*kappa*L) s = rhs.
+
+    A single MG hierarchy serves every coefficient: alpha/beta are
+    call-time operands of LevelMultigrid.solve, so a traced dt flows
+    straight through the jitted step without retracing (the reference
+    instead caches per-dt operator hierarchies,
+    MappedBaseLevelHeatSolver)."""
+
+    def __init__(self, geo: LevelGeometry, bcs: FieldBCs, kappa: float,
+                 mg_params: MGParams = MGParams(), dtype=jnp.float32):
+        self.geo = geo
+        self.bcs = bcs
+        self.kappa = float(kappa)
+        self.mg = LevelMultigrid(geo, bcs, params=mg_params, dtype=dtype)
+        self._op = self.mg.ops[0]
+
+    def _helmholtz_solve(self, rhs, coef, dt, phi0):
+        """Solve (I - coef*dt*kappa*L) out = rhs."""
+        beta = -coef * dt * self.kappa
+        return self.mg.solve(rhs, phi0=phi0, alpha=1.0, beta=beta,
+                             homogeneous=False, singular=False)
+
+    def _apply_lap(self, s, homogeneous=False):
+        return self._op.apply(s, 0.0, 1.0, homogeneous=homogeneous)
+
+
+class BackwardEuler(BaseHeatSolver):
+    """(I - dt kappa L) s^{n+1} = s^n + dt S   (reference:
+    MappedLevelBackwardEuler)."""
+
+    def update(self, s, src, dt):
+        rhs = s + (dt * src if src is not None else 0.0)
+        return self._helmholtz_solve(rhs, 1.0, dt, s)
+
+
+class CrankNicolson(BaseHeatSolver):
+    """(I - dt/2 kappa L) s^{n+1} = (I + dt/2 kappa L) s^n + dt S
+    (reference: MappedLevelCrankNicolson)."""
+
+    def update(self, s, src, dt):
+        half = 0.5 * dt * self.kappa
+        rhs = s + half * self._apply_lap(s) + (dt * src if src is not None else 0.0)
+        return self._helmholtz_solve(rhs, 0.5, dt, s)
+
+
+class TGA(BaseHeatSolver):
+    """Twizell-Gumel-Arigu 2nd-order L0-stable two-stage scheme
+    (reference: MappedLevelTGA.H:35; constants AMRNavierStokes.H:53).
+
+    With a = 2 - sqrt(2) - eps and discr = sqrt(a^2 - 4a + 2):
+
+        u^{n+1} = (I - mu1 k dt L)^{-1} (I - mu2 k dt L)^{-1}
+                  [ (I + mu3 k dt L) u^n  +  dt (I + mu4 k dt L) S ]
+
+        mu1 = (a - discr)/2,  mu2 = (a + discr)/2,
+        mu3 = 1 - a,          mu4 = 1/2 - a.
+    """
+
+    def __init__(self, *args, **kw):
+        super().__init__(*args, **kw)
+        eps = 1e-8
+        a = 2.0 - math.sqrt(2.0) - eps
+        discr = math.sqrt(a * a - 4.0 * a + 2.0)
+        self.mu1 = (a - discr) / 2.0
+        self.mu2 = (a + discr) / 2.0
+        self.mu3 = 1.0 - a
+        self.mu4 = 0.5 - a
+
+    def update(self, s, src, dt):
+        kdt = self.kappa * dt
+        rhs = s + self.mu3 * kdt * self._apply_lap(s)
+        if src is not None:
+            rhs = rhs + dt * (src + self.mu4 * kdt * self._apply_lap(src))
+        mid, _ = self._helmholtz_solve(rhs, self.mu2, dt, s)
+        return self._helmholtz_solve(mid, self.mu1, dt, mid)
+
+
+def make_heat_solver(scheme: int, geo, bcs, kappa, mg_params=MGParams(),
+                     dtype=jnp.float32) -> BaseHeatSolver:
+    """scheme: 0=BackwardEuler, 1=CrankNicolson, 2=TGA (reference enum
+    HeatSolverScheme, ProblemContext.H:141)."""
+    cls = {0: BackwardEuler, 1: CrankNicolson, 2: TGA}[scheme]
+    return cls(geo, bcs, kappa, mg_params, dtype)

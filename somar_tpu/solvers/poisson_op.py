@@ -4,91 +4,94 @@ Re-design of the reference's MappedAMRPoissonOp
 (`/root/reference/src/calculus/AMRElliptic/MappedAMRPoissonOp.H:49`, kernels
 MAPPEDGETFLUX[ORTHO], FILLMAPPEDLAPDIAG*, GSRBITER*, JACOBIITER,
 LineGSRBIter* in MappedAMRPoissonOpF.ChF / GSRBF.ChF): one operator object
-per (geometry, BCs, alpha, beta); apply/residual are fused XLA stencils;
-relaxation is vectorized red-black Gauss-Seidel over checkerboard masks,
-plain damped Jacobi, or vertical line relaxation via batched tridiagonal
-solves (the anisotropy killer, reference LineGSRB).
+per (geometry, BCs); apply/residual are fused XLA stencils; relaxation is
+vectorized red-black Gauss-Seidel over checkerboard masks, damped Jacobi,
+or vertical line relaxation via batched tridiagonal solves (the anisotropy
+killer, reference LineGSRB).
 
-The operator diagonal is assembled once with the exact BC modifications
-(Dirichlet ghost mirrors double the boundary-face coupling; Neumann zeroes
-it; periodic leaves it), mirroring FILLMAPPEDLAPDIAG + DIAGPRECOND.
+TPU-design note: alpha and beta are **call-time operands**, not
+construction-time constants — the viscous/diffusive Helmholtz coefficient
+contains dt, which is a traced value inside the jitted time step.  All
+structural data (Laplacian diagonal, BC factors, red-black masks) is
+precomputed once; `alpha + beta * diag_lap` folds into the smoother.
+The reference instead rebuilds operators per dt
+(MappedBaseLevelHeatSolver); the TPU path cannot afford a recompile.
+
+The operator diagonal carries exact BC modifications (Dirichlet ghost
+mirrors double the boundary-face coupling; Neumann zeroes it; periodic
+keeps it), mirroring FILLMAPPEDLAPDIAG + DIAGPRECOND.
 """
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
-from somar_tpu.core.bc import BCType, FieldBCs, fill_ghosts_cc
-from somar_tpu.core.grid import Grid
+from somar_tpu.core.bc import BCType, FieldBCs
 from somar_tpu.geometry.level_geometry import LevelGeometry
 from somar_tpu.ops.stencil import mac_divergence, mac_gradient, slc
-from somar_tpu.solvers.tridiag import thomas_solve
 
 
 class PoissonOp:
     """alpha*I + beta*div(Jgup grad) on one level, with BCs baked in."""
 
-    def __init__(self, geo: LevelGeometry, bcs: FieldBCs, alpha: float = 0.0,
-                 beta: float = 1.0):
+    def __init__(self, geo: LevelGeometry, bcs: FieldBCs):
         self.geo = geo
         self.bcs = bcs
         self.hom_bcs = bcs.homogeneous()
-        self.alpha = float(alpha)
-        self.beta = float(beta)
         self.grid = geo.grid
-        self._diag = self._build_diag()
+        self._diag_lap = self._build_diag_lap()
         self._rb_masks = self._build_rb_masks()
+        self._line_coefs = None  # built lazily for line relaxation
 
     # ------------------------------------------------------------ operator
-    def apply(self, phi, homogeneous: bool = True):
+    def apply(self, phi, alpha=0.0, beta=1.0, homogeneous: bool = True):
         bcs = self.hom_bcs if homogeneous else self.bcs
         lap = mac_divergence(mac_gradient(phi, self.geo, bcs), self.geo)
-        return self.alpha * phi + self.beta * lap
+        return alpha * phi + beta * lap
 
-    def residual(self, phi, rhs, homogeneous: bool = True):
-        return rhs - self.apply(phi, homogeneous)
+    def residual(self, phi, rhs, alpha=0.0, beta=1.0, homogeneous: bool = True):
+        return rhs - self.apply(phi, alpha, beta, homogeneous)
+
+    def diag(self, alpha=0.0, beta=1.0):
+        return alpha + beta * self._diag_lap
 
     # ------------------------------------------------------------ diagonal
-    def _build_diag(self):
-        """Exact operator diagonal including BC ghost-formula effects."""
+    def _bc_factor(self, bc):
+        """Boundary-face coupling multiplier from the ghost formula."""
+        if bc.type == BCType.DIRICHLET:
+            return 2.0
+        if bc.type == BCType.NEUMANN:
+            return 0.0
+        if bc.type == BCType.PERIODIC:
+            return 1.0
+        return 0.0  # extrap ~ one-sided; treat as Neumann for the diag
+
+    def _build_diag_lap(self):
+        """Diagonal of (1/J) d_d (Jgup d_d .) with BC effects, no alpha/beta
+        (reference: FILLMAPPEDLAPDIAG kernels)."""
         grid, geo = self.grid, self.geo
-        ndim = grid.ndim
         shape = grid.shape
         diag = jnp.zeros(shape)
-        for d in range(ndim):
+        for d in range(grid.ndim):
             ax = grid.axis(d)
             Jg = geo.Jgup_diag[d] * jnp.ones(grid.fc_shape(d))
-            lo = slc(Jg, ax, 0, -1)     # face below each cell
-            hi = slc(Jg, ax, 1, None)   # face above each cell
-            # boundary-face coupling factors per BC type
-            def factor(bc):
-                if bc.type == BCType.DIRICHLET:
-                    return 2.0
-                if bc.type == BCType.NEUMANN:
-                    return 0.0
-                if bc.type == BCType.PERIODIC:
-                    return 1.0
-                return 0.0  # extrap ~ one-sided; treat as Neumann for diag
+            lo = slc(Jg, ax, 0, -1)
+            hi = slc(Jg, ax, 1, None)
             n = shape[ax]
-            lo_f = jnp.ones(shape).at[self._edge(ax, 0)].set(factor(self.bcs.lo[d]))
-            hi_f = jnp.ones(shape).at[self._edge(ax, n - 1)].set(factor(self.bcs.hi[d]))
+            lo_f = jnp.ones(shape).at[self._edge(ax, 0)].set(
+                self._bc_factor(self.bcs.lo[d]))
+            hi_f = jnp.ones(shape).at[self._edge(ax, n - 1)].set(
+                self._bc_factor(self.bcs.hi[d]))
             diag = diag - (lo * lo_f + hi * hi_f) / (grid.dx[d] ** 2)
-        diag = self.alpha + self.beta * geo.Jinv * diag
-        return diag
+        return geo.Jinv * diag
 
     def _edge(self, ax: int, idx: int):
         sl = [slice(None)] * self.grid.ndim
         sl[ax] = idx
         return tuple(sl)
-
-    @property
-    def diag(self):
-        return self._diag
 
     # ---------------------------------------------------------- relaxation
     def _build_rb_masks(self):
@@ -99,75 +102,71 @@ class PoissonOp:
         red = (parity % 2) == 0
         return red, jnp.logical_not(red)
 
-    def relax_jacobi(self, phi, rhs, iters: int, weight: float = 0.6):
-        inv_diag = weight / self._diag
+    def relax_jacobi(self, phi, rhs, alpha, beta, iters: int,
+                     weight: float = 0.6):
+        inv_diag = weight / self.diag(alpha, beta)
 
         def body(_, p):
-            return p + inv_diag * self.residual(p, rhs)
+            return p + inv_diag * self.residual(p, rhs, alpha, beta)
 
         return jax.lax.fori_loop(0, iters, body, phi)
 
-    def relax_gsrb(self, phi, rhs, iters: int, weight: float = 1.0):
+    def relax_gsrb(self, phi, rhs, alpha, beta, iters: int,
+                   weight: float = 1.0):
         """Red-black Gauss-Seidel (reference: LevelGSRB, GSRBITER*)."""
         red, black = self._rb_masks
-        inv_diag = weight / self._diag
+        inv_diag = weight / self.diag(alpha, beta)
 
         def half(p, mask):
-            r = self.residual(p, rhs)
+            r = self.residual(p, rhs, alpha, beta)
             return jnp.where(mask, p + inv_diag * r, p)
 
         def body(_, p):
-            p = half(p, red)
-            p = half(p, black)
-            return p
+            return half(half(p, red), black)
 
         return jax.lax.fori_loop(0, iters, body, phi)
 
-    def relax_line_vertical(self, phi, rhs, iters: int):
-        """Vertical line relaxation: exact tridiagonal solve along z of
-        (alpha + beta*Lz) per column with the horizontal terms lagged
-        (reference: LineGSRB / LineGSRBIter kernels, the anisotropic
-        smoother).  Zebra (red-black by vertical line parity in x+y) would
-        sharpen this further; plain lagged lines already smooth strong
-        vertical coupling."""
-        grid, geo = self.grid, self.geo
-        dvert = grid.vertical_dir
-        ax = grid.axis(dvert)           # == 0
-        assert ax == 0
-        dz = grid.dx[dvert]
-        nz = grid.shape[0]
+    def _vertical_line_parts(self):
+        """Static vertical tridiagonal structure: (A_lo, A_hi) face coefs
+        scaled by Jinv/dz^2, edge rows zeroed."""
+        if self._line_coefs is None:
+            grid, geo = self.grid, self.geo
+            dvert = grid.vertical_dir
+            assert grid.axis(dvert) == 0
+            dz = grid.dx[dvert]
+            nz = grid.shape[0]
+            Jg = geo.Jgup_diag[dvert] * jnp.ones(grid.fc_shape(dvert))
+            scale = geo.Jinv / (dz * dz)
+            a = (slc(Jg, 0, 0, -1) * scale).at[0].set(0.0)
+            c = (slc(Jg, 0, 1, None) * scale).at[nz - 1].set(0.0)
+            self._line_coefs = (a, c)
+        return self._line_coefs
 
-        Jg = geo.Jgup_diag[dvert] * jnp.ones(grid.fc_shape(dvert))
-        A_lo = slc(Jg, 0, 0, -1)        # face below cell k
-        A_hi = slc(Jg, 0, 1, None)      # face above cell k
+    def relax_line_vertical(self, phi, rhs, alpha, beta, iters: int):
+        """Vertical line relaxation: exact tridiagonal solve along z per
+        column with horizontal terms lagged (reference: LineGSRB).  The
+        line-block diagonal is the FULL operator diagonal — dropping the
+        horizontal self-coupling makes line-constant modes diverge."""
+        from somar_tpu.solvers.tridiag import thomas_solve
 
-        scale = self.beta * geo.Jinv / (dz * dz)
-        a = A_lo * scale                 # coupling to k-1
-        c = A_hi * scale                 # coupling to k+1
-        # the line-block diagonal is the FULL operator diagonal (vertical
-        # couplings + horizontal diagonal + alpha + BC factors): line
-        # relaxation must keep the horizontal self-coupling or modes that
-        # are constant along the line diverge.
-        b = self._diag * jnp.ones(grid.shape)
-        a = a.at[0].set(0.0)
-        c = c.at[nz - 1].set(0.0)
+        a_s, c_s = self._vertical_line_parts()
+        a = beta * a_s
+        c = beta * c_s
+        b = self.diag(alpha, beta) * jnp.ones(self.grid.shape)
 
         def body(_, p):
-            # residual with current iterate; the vertical terms of the
-            # residual are re-solved exactly, horizontal terms lagged
-            r = self.residual(p, rhs)
-            dphi = thomas_solve(a, b, c, r)
-            return p + dphi
+            r = self.residual(p, rhs, alpha, beta)
+            return p + thomas_solve(a, b, c, r)
 
         return jax.lax.fori_loop(0, iters, body, phi)
 
-    def relax(self, phi, rhs, iters: int, mode: str = "gsrb"):
+    def relax(self, phi, rhs, alpha, beta, iters: int, mode: str = "gsrb"):
         if mode == "jacobi":
-            return self.relax_jacobi(phi, rhs, iters)
+            return self.relax_jacobi(phi, rhs, alpha, beta, iters)
         if mode == "gsrb":
-            return self.relax_gsrb(phi, rhs, iters)
+            return self.relax_gsrb(phi, rhs, alpha, beta, iters)
         if mode == "line":
-            return self.relax_line_vertical(phi, rhs, iters)
+            return self.relax_line_vertical(phi, rhs, alpha, beta, iters)
         if mode == "none":
             return phi
         raise ValueError(f"unknown relax mode {mode}")
@@ -178,11 +177,9 @@ class PoissonOp:
             return jnp.max(jnp.abs(r))
         return jnp.sqrt(jnp.mean(r.astype(jnp.float32) ** 2))
 
-    @property
-    def is_singular(self) -> bool:
-        """All-Neumann/periodic + alpha==0 => constant null space."""
-        if self.alpha != 0.0:
-            return False
+    def bcs_singular(self) -> bool:
+        """True when the BCs admit the constant null space (all Neumann /
+        periodic / extrap); the operator is then singular iff alpha == 0."""
         for d in range(self.grid.ndim):
             for bc in (self.bcs.lo[d], self.bcs.hi[d]):
                 if bc.type == BCType.DIRICHLET:

@@ -149,7 +149,8 @@ def test_bicgstab_poisson():
     exact = np.sin(k * np.asarray(x)) * np.cos(k * np.asarray(z))
     rhs = -2 * k**2 * exact
     x_sol, (iters, relres) = jax.jit(
-        lambda r: bicgstab(op.apply, r, remove_mean=True))(jnp.asarray(rhs))
+        lambda r: bicgstab(lambda v: op.apply(v), r, remove_mean=True))(
+        jnp.asarray(rhs))
     assert relres < 1e-4, (int(iters), float(relres))
     sol = np.array(x_sol)
     sol -= sol.mean()
