@@ -1,0 +1,472 @@
+"""Single-level incompressible Boussinesq Navier-Stokes: the PPM step.
+
+Re-design of the reference's AMRNavierStokes advance path
+(`/root/reference/src/NavierStokes/AMRNavierStokesAdvancePPM.cpp`):
+
+  PPMTimeStep (:50-211)
+    computeAdvectingVelocities (:218-300): CellToEdge + multByJ + trace +
+      MAC projection
+    getNewScalar (:379): trace + flux divergence + implicit diffusion
+    getNewLambda (:306): freestream-preservation tracer advection
+    getNewVelocity (:791-1352): predict, conservative div[u (x) u_adv],
+      gravity/tidal/sponge forcing, implicit viscous update
+    doCCProjection (:1513): approximate CC projection
+
+All of it is one jitted function of (state, dt) — dt is traced, so the
+step never recompiles as the CFL-controlled dt evolves.  Velocity state is
+stored in the **Cartesian basis** at cell centers (the reference stores
+the mapped basis and converts per stage, AMRNavierStokesAdvancePPM.cpp:
+1395,1506; storing Cartesian lets every forcing term add directly and the
+transforms constant-fold on Cartesian meshes).
+
+The freestream tracer lambda (advected, should remain 1) provides the
+volume-discrepancy diagnostic; its full AMR eLambda correction machinery
+(AMRNavierStokesSync.cpp:850) activates with the multi-level hierarchy.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from somar_tpu.core.bc import BC, FieldBCs, apply_fc_bc
+from somar_tpu.core.grid import Grid
+from somar_tpu.geometry.level_geometry import LevelGeometry
+from somar_tpu.ops.stencil import avg_along, cc_to_fc, mac_divergence, slc
+from somar_tpu.physics.godunov import (
+    ADVECT_GROW, AdvectionParams, flux_divergence, trace_face_states)
+from somar_tpu.problems.base import Problem, tidal_source
+from somar_tpu.projection.projector import LevelProjector
+from somar_tpu.solvers.multigrid import MGParams
+from somar_tpu.solvers.parabolic import make_heat_solver
+from somar_tpu.solvers.poisson_op import PoissonOp
+
+
+# --------------------------------------------------------------------------
+# parameters (reference: the amr.* / advection.* namespaces, ProblemContext)
+# --------------------------------------------------------------------------
+@dataclasses.dataclass(frozen=True)
+class NSParams:
+    nu: float = 0.0                       # amr.viscosity
+    kappa: Tuple[float, ...] = (0.0,)     # amr.scal_diffusion_coeffs
+    viscous_solver_type: int = 1          # 0=BE 1=CN 2=TGA
+    diffusive_solver_type: int = 1
+    gravity_method: int = 1               # 0=none 1=explicit 2=implicit (IG)
+    gravity_theta: float = 0.6            # IG implicitness (amr.gravity_theta)
+    cfl: float = 0.8
+    max_dt: float = 1.0e8
+    max_dt_grow: float = 1.5
+    init_dt_multiplier: float = 0.1
+    fixed_dt: float = -1.0
+    limit_dt_via_viscosity: bool = True
+    limit_dt_via_diffusion: bool = True
+    limit_dt_via_pressure_gradient: bool = False
+    limit_dt_via_internal_wave_speed: bool = False
+    nonlinear_differencing_form: int = 0  # -1 none, 0 conservative, 1 advective
+    advection_vel: AdvectionParams = AdvectionParams(use_limiting=False)
+    advection_scal: AdvectionParams = AdvectionParams(use_limiting=True)
+    mg: MGParams = MGParams()
+    is_incompressible: bool = True        # projection.isIncompressible
+    dtype: object = jnp.float32
+
+
+# --------------------------------------------------------------------------
+# state pytree
+# --------------------------------------------------------------------------
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["vel", "scalars", "lam", "mac_phi", "cc_phi",
+                      "pressure", "time"],
+         meta_fields=[])
+@dataclasses.dataclass
+class NSState:
+    vel: jnp.ndarray                 # (ndim,)+shape, Cartesian CC
+    scalars: jnp.ndarray             # (nscal,)+shape (comp 0 = buoyancy dev)
+    lam: jnp.ndarray                 # freestream tracer
+    mac_phi: jnp.ndarray             # last MAC projection potential
+    cc_phi: jnp.ndarray              # last CC projection increment potential
+    pressure: jnp.ndarray            # lagged CC pressure p (incremental form)
+    time: jnp.ndarray                # scalar
+
+
+class NSLevel:
+    """One level's Navier-Stokes integrator (reference: AMRNavierStokes)."""
+
+    def __init__(self, geo: LevelGeometry, problem: Problem,
+                 params: NSParams = NSParams()):
+        self.geo = geo
+        self.grid = geo.grid
+        self.problem = problem
+        self.params = params
+        grid = self.grid
+        ndim = grid.ndim
+
+        self.is_viscous = params.nu > 0.0
+        # BC sets (reference: PhysBCUtil's ~25 holders collapse to these)
+        self.vel_bcs_trace = problem.vel_bcs(grid, viscous=False)
+        self.vel_bcs_visc = problem.vel_bcs(grid, viscous=self.is_viscous)
+        self.scal_bcs = problem.scalar_bcs(grid)
+        self.lam_bcs = FieldBCs.from_periodic(grid, BC.extrap(1))
+
+        # projection machinery (shared MG hierarchy)
+        self.projector = LevelProjector(geo, mg_params=params.mg,
+                                        dtype=params.dtype)
+
+        # implicit viscous / diffusive solvers
+        if self.is_viscous:
+            self.visc_solvers = [
+                make_heat_solver(params.viscous_solver_type, geo,
+                                 self.vel_bcs_visc[m], params.nu,
+                                 params.mg, params.dtype)
+                for m in range(ndim)]
+        self.diff_solvers = []
+        for comp in range(problem.num_scalars):
+            kap = params.kappa[comp] if comp < len(params.kappa) else 0.0
+            self.diff_solvers.append(
+                make_heat_solver(params.diffusive_solver_type, geo,
+                                 self.scal_bcs, kap, params.mg, params.dtype)
+                if kap > 0.0 else None)
+
+        # Laplacian op for explicit viscous source (per-component BCs)
+        self._visc_ops = [PoissonOp(geo, self.vel_bcs_visc[m])
+                          for m in range(ndim)]
+
+        # precomputed problem fields
+        self._sponge_ramp = None
+        if problem.sponge is not None:
+            from somar_tpu.problems.base import sponge_ramp
+            self._sponge_ramp = jnp.asarray(
+                sponge_ramp(grid, problem.sponge), params.dtype)
+            self._sponge_targets = problem.sponge_targets(geo)
+        self._nsq_cc = (problem.nsq_cc(geo).astype(params.dtype)
+                        if problem.use_background_scalar else None)
+
+    # ------------------------------------------------------------- set-up
+    def initial_state(self) -> NSState:
+        dtype = self.params.dtype
+        shape = self.grid.shape
+        vel = self.problem.vel_ic(self.geo).astype(dtype)
+        scal = jnp.stack([
+            self.problem.scalar_ic(self.geo, c)
+            for c in range(self.problem.num_scalars)]).astype(dtype)
+        return NSState(
+            vel=vel, scalars=scal,
+            lam=jnp.ones(shape, dtype),
+            mac_phi=jnp.zeros(shape, dtype),
+            cc_phi=jnp.zeros(shape, dtype),
+            pressure=jnp.zeros(shape, dtype),
+            time=jnp.zeros((), dtype),
+        )
+
+    def post_initialize(self, state: NSState, num_proj: int = 2) -> NSState:
+        """Initial projection iterations (reference:
+        AMRNavierStokesInit::postInitialize, :376-388): project the IC
+        velocity so the first step starts divergence-free."""
+        if not self.params.is_incompressible:
+            return state
+        vel = state.vel
+        for _ in range(num_proj):
+            vel, phi, _ = self.projector.project_cc(vel, self.vel_bcs_trace)
+        return dataclasses.replace(state, vel=vel)
+
+    def initialize_pressure(self, state: NSState, dt, iters: int = 2) -> NSState:
+        """Converge the lagged pressure with dummy advances that keep only
+        the pressure (reference: initializeGlobalPressure,
+        AMRNavierStokesInit.cpp:1093)."""
+        if not self.params.is_incompressible:
+            return state
+        for _ in range(iters):
+            trial = self.advance(state, dt)
+            state = dataclasses.replace(state, pressure=trial.pressure,
+                                        mac_phi=trial.mac_phi,
+                                        cc_phi=trial.cc_phi)
+        return state
+
+    # ----------------------------------------------------------- forcing
+    def _gravity_source(self, scalars):
+        """-b' zhat (reference: fillGravSource,
+        AMRNavierStokesFill.cpp:627-659)."""
+        ndim = self.grid.ndim
+        src = [jnp.zeros(self.grid.shape, self.params.dtype)
+               for _ in range(ndim)]
+        if self.params.gravity_method != 0:
+            src[ndim - 1] = -scalars[0]
+        return src
+
+    def _sponge_source(self, vel, scalars, dt):
+        """Rayleigh damping toward targets (reference:
+        fillSpongeLayerSrcTerm, PhysBCUtil.cpp:603)."""
+        if self._sponge_ramp is None:
+            return None, None
+        coeff = self._sponge_ramp / (self.problem.sponge.time_coeff * dt)
+        vtgt, stgt = self._sponge_targets
+        vel_src = coeff * (vtgt - vel)
+        scal_src = coeff * (stgt - scalars[0])
+        return vel_src, scal_src
+
+    def _viscous_source(self, vel):
+        """Explicit nu*L(u) estimate for the predictor (reference:
+        computeViscousSrc)."""
+        if not self.is_viscous:
+            return None
+        return jnp.stack([
+            self.params.nu * self._visc_ops[m].apply(
+                vel[m], 0.0, 1.0, homogeneous=False)
+            for m in range(self.grid.ndim)])
+
+    # ----------------------------------------------- advecting velocities
+    def _einv_fc(self, d):
+        """dxi/dx averaged to d-faces (identity on uniform maps)."""
+        geo = self.geo
+        if geo.einv_cc is None:
+            return None
+        ax = self.grid.axis(d)
+        pad = [(0, 0)] * (geo.einv_cc.ndim)
+        pad[2 + ax] = (1, 1)
+        padded = jnp.pad(geo.einv_cc, pad, mode="edge")
+        return avg_along(padded, 2 + ax)
+
+    def _J_fc(self, d):
+        geo = self.geo
+        if geo.Jgup_full is None and geo.is_uniform:
+            return 1.0
+        # J at faces: average CC J
+        ax = self.grid.axis(d)
+        Jcc = geo.J * jnp.ones(self.grid.shape)
+        pad = [(0, 0)] * Jcc.ndim
+        pad[ax] = (1, 1)
+        return avg_along(jnp.pad(Jcc, pad, mode="edge"), ax)
+
+    def compute_advecting_velocities(self, state: NSState, src_vel, dt):
+        """Predict face-centered J u^d at t+dt/2 and MAC-project
+        (reference: computeAdvectingVelocities,
+        AMRNavierStokesAdvancePPM.cpp:218-300)."""
+        grid, geo = self.grid, self.geo
+        ndim = grid.ndim
+        vel = state.vel
+        u_mapped = geo.to_mapped(vel)
+
+        # provisional advecting velocity for upwinding: averaged J u^d
+        prov = tuple(
+            cc_to_fc(geo.mult_by_J(u_mapped[d]), d, grid,
+                     self.vel_bcs_trace[d])
+            for d in range(ndim))
+
+        # predict each Cartesian component to faces
+        predicted = []
+        for m in range(ndim):
+            src_m = src_vel[m] if src_vel is not None else None
+            faces = trace_face_states(
+                vel[m], u_mapped, prov, src_m, dt, geo,
+                self.vel_bcs_trace[m], self.params.advection_vel,
+                vel_bcs=self.vel_bcs_trace)
+            predicted.append(faces)
+
+        # normal contravariant flux on d-faces: J * einv[d,m] * u_m
+        adv = []
+        for d in range(ndim):
+            einv = self._einv_fc(d)
+            Jf = self._J_fc(d)
+            if einv is None:
+                flux = predicted[d][d]
+            else:
+                flux = sum(einv[d, m] * predicted[m][d] for m in range(ndim))
+            flux = Jf * flux if not geo.is_uniform else flux
+            flux = apply_fc_bc(flux, d, grid, self.vel_bcs_trace[d])
+            adv.append(flux)
+
+        if self.params.is_incompressible:
+            adv, mac_phi, _ = self.projector.project_mac(
+                tuple(adv), phi0=state.mac_phi)
+            adv = tuple(apply_fc_bc(adv[d], d, grid, self.vel_bcs_trace[d])
+                        for d in range(ndim))
+        else:
+            mac_phi = state.mac_phi
+        return tuple(adv), mac_phi
+
+    # ------------------------------------------------------------ scalars
+    def _advect_update(self, s, u_mapped, adv_vel, src, dt, bcs, params):
+        faces = trace_face_states(s, u_mapped, adv_vel, src, dt, self.geo,
+                                  bcs, params, vel_bcs=self.vel_bcs_trace)
+        if self.params.nonlinear_differencing_form == 1:
+            # advective form: div(u s) - s div(u)
+            div_us = flux_divergence(faces, adv_vel, self.geo)
+            div_u = mac_divergence(adv_vel, self.geo)
+            return div_us - s * div_u
+        return flux_divergence(faces, adv_vel, self.geo)
+
+    def get_new_scalars(self, state: NSState, u_mapped, adv_vel, dt):
+        """Advect + diffuse each scalar (reference: getNewScalar,
+        AMRNavierStokesAdvancePPM.cpp:379-789)."""
+        out = []
+        _, sponge_s = self._sponge_source(state.vel, state.scalars, dt)
+        for c in range(self.problem.num_scalars):
+            s = state.scalars[c]
+            src = None
+            if c == 0:
+                parts = []
+                if self._nsq_cc is not None:
+                    # background advection: db'/dt += w * N^2
+                    parts.append(state.vel[self.grid.ndim - 1] * self._nsq_cc)
+                if sponge_s is not None and c == 0:
+                    parts.append(sponge_s)
+                if parts:
+                    src = sum(parts)
+            adv = self._advect_update(s, u_mapped, adv_vel, src, dt,
+                                      self.scal_bcs,
+                                      self.params.advection_scal)
+            total_src = -adv + (src if src is not None else 0.0)
+            if self.diff_solvers[c] is not None:
+                s_new, _ = self.diff_solvers[c].update(s, total_src, dt)
+            else:
+                s_new = s + dt * total_src
+            out.append(s_new)
+        return jnp.stack(out)
+
+    def get_new_lambda(self, state: NSState, u_mapped, adv_vel, dt):
+        """Advect the freestream tracer conservatively (reference:
+        getNewLambda, AMRNavierStokesAdvancePPM.cpp:306-377)."""
+        adv = self._advect_update(state.lam, u_mapped, adv_vel, None, dt,
+                                  self.lam_bcs, self.params.advection_scal)
+        return state.lam - dt * adv
+
+    # ----------------------------------------------------------- velocity
+    def get_new_velocity(self, state: NSState, u_mapped, adv_vel, src_vel,
+                         grav, tidal, sponge_v, grad_p, dt):
+        """Conservative momentum advection + forcing + implicit viscosity
+        (reference: getNewVelocity, AMRNavierStokesAdvancePPM.cpp:791-1352).
+        """
+        grid = self.grid
+        ndim = grid.ndim
+        new_vel = []
+        for m in range(ndim):
+            src_m = src_vel[m] if src_vel is not None else None
+            adv = self._advect_update(state.vel[m], u_mapped, adv_vel, src_m,
+                                      dt, self.vel_bcs_trace[m],
+                                      self.params.advection_vel)
+            force = grav[m]
+            if grad_p is not None:
+                force = force - grad_p[m]
+            if tidal is not None:
+                force = force + tidal[m]
+            if sponge_v is not None:
+                force = force + sponge_v[m]
+            total_src = -adv + force
+            if self.is_viscous:
+                u_new, _ = self.visc_solvers[m].update(state.vel[m],
+                                                       total_src, dt)
+            else:
+                u_new = state.vel[m] + dt * total_src
+            new_vel.append(u_new)
+        return jnp.stack(new_vel)
+
+    # ------------------------------------------------------------ advance
+    def advance(self, state: NSState, dt) -> NSState:
+        """One PPM predictor-corrector step (reference: PPMTimeStep)."""
+        p = self.params
+        grid = self.grid
+
+        # source terms for the predictor
+        grav = self._gravity_source(state.scalars)
+        tidal = None
+        if self.problem.tidal is not None:
+            tidal = tidal_source(self.problem.tidal, grid.ndim,
+                                 state.time, dt)
+            tidal = [t * jnp.ones(grid.shape, p.dtype) for t in tidal]
+        sponge_v, _ = self._sponge_source(state.vel, state.scalars, dt)
+        visc_src = self._viscous_source(state.vel)
+        # lagged pressure gradient (incremental pressure-correction: without
+        # it the projection splitting is O(dt); reference lagged-pressure
+        # branch PPMTimeStep:155-210)
+        grad_p = (self.projector.cc_grad_cart(state.pressure)
+                  if p.is_incompressible else None)
+
+        src_vel = jnp.stack([
+            (visc_src[m] if visc_src is not None else jnp.zeros(grid.shape, p.dtype))
+            + grav[m]
+            - (grad_p[m] if grad_p is not None else 0.0)
+            + (tidal[m] if tidal is not None else 0.0)
+            + (sponge_v[m] if sponge_v is not None else 0.0)
+            for m in range(grid.ndim)])
+
+        u_mapped = self.geo.to_mapped(state.vel)
+        adv_vel, mac_phi = self.compute_advecting_velocities(
+            state, src_vel, dt)
+
+        scalars = self.get_new_scalars(state, u_mapped, adv_vel, dt)
+        lam = self.get_new_lambda(state, u_mapped, adv_vel, dt)
+        vel = self.get_new_velocity(state, u_mapped, adv_vel, src_vel,
+                                    grav, tidal, sponge_v, grad_p, dt)
+
+        cc_phi = state.cc_phi
+        pressure = state.pressure
+        if p.is_incompressible:
+            vel, cc_phi, _ = self.projector.project_cc(
+                vel, self.vel_bcs_trace, phi0=state.cc_phi)
+            pressure = state.pressure + cc_phi / dt
+
+        return NSState(vel=vel, scalars=scalars, lam=lam, mac_phi=mac_phi,
+                       cc_phi=cc_phi, pressure=pressure,
+                       time=state.time + dt)
+
+    # ---------------------------------------------------------------- dt
+    def compute_dt(self, state: NSState):
+        """CFL + viscous + diffusive + pressure-gradient dt limits
+        (reference: computeDt, AMRNavierStokesUtil.cpp:553-760)."""
+        p = self.params
+        grid = self.grid
+        if p.fixed_dt > 0.0:
+            return jnp.asarray(p.fixed_dt, p.dtype)
+        u_mapped = self.geo.to_mapped(state.vel)
+        inv_dt = 1e-12
+        for d in range(grid.ndim):
+            inv_dt = jnp.maximum(
+                inv_dt, jnp.max(jnp.abs(u_mapped[d])) / grid.dx[d])
+        dt = p.cfl / inv_dt
+
+        min_dx2 = min(dx * dx for dx in grid.dx)
+        if p.limit_dt_via_viscosity and p.nu > 0.0:
+            dt = jnp.minimum(dt, p.cfl * min_dx2 / (2 * grid.ndim * p.nu))
+        if p.limit_dt_via_diffusion:
+            for kap in p.kappa:
+                if kap > 0.0:
+                    dt = jnp.minimum(
+                        dt, p.cfl * min_dx2 / (2 * grid.ndim * kap))
+        if p.limit_dt_via_pressure_gradient:
+            # |grad cc_phi| ~ dt*|grad p|; robust bound dt <= dx/sqrt(|dphi|)
+            for d in range(grid.ndim):
+                ax = grid.axis(d)
+                dphi = jnp.max(jnp.abs(jnp.diff(state.cc_phi, axis=ax)))
+                dt = jnp.minimum(
+                    dt, grid.dx[d] / jnp.sqrt(jnp.maximum(dphi, 1e-30)))
+        if (p.limit_dt_via_internal_wave_speed and self._nsq_cc is not None):
+            nmax = jnp.sqrt(jnp.maximum(jnp.max(self._nsq_cc), 1e-30))
+            dt = jnp.minimum(dt, p.cfl / nmax)
+        return jnp.minimum(dt, p.max_dt).astype(p.dtype)
+
+    # --------------------------------------------------------- diagnostics
+    def total_energy(self, state: NSState):
+        """Volume integral of (|u|^2 + b*z-ish potential) energy density
+        (reference: AMRNavierStokesDerive::totalEnergy, :512 and
+        COMPUTEENERGY kernel: 0.5|u|^2 - b*z summed with J dV)."""
+        geo = self.geo
+        ke = 0.5 * jnp.sum(state.vel * state.vel, axis=0)
+        z = jnp.asarray(np.broadcast_to(
+            geo.phys_coords_cc()[geo.ndim - 1], geo.grid.shape),
+            self.params.dtype)
+        pe = state.scalars[0] * z
+        dv = float(np.prod(geo.grid.dx))
+        return jnp.sum((ke + pe) * geo.J) * dv
+
+    def max_divergence(self, state: NSState):
+        geo = self.geo
+        u_mapped = geo.to_mapped(state.vel)
+        fluxes = tuple(
+            cc_to_fc(geo.mult_by_J(u_mapped[d]), d, self.grid,
+                     self.vel_bcs_trace[d])
+            for d in range(self.grid.ndim))
+        return jnp.max(jnp.abs(mac_divergence(fluxes, geo)))

@@ -1,0 +1,122 @@
+"""Incompressibility projections: MAC (exact) and CC (approximate).
+
+Re-design of the reference's projection layer
+(`/root/reference/src/projection/BaseProjector.H:35` template method:
+computeDiv -> solve -> computeGrad -> applyCorrection;
+LevelMACProjector.H:39, LevelCCProjector.H:38, AMRPressureSolver.H:43).
+
+Scaling conventions (flux form):
+  * A MAC velocity is the J-scaled contravariant flux F_d = J u^d on faces.
+  * mac_divergence(F) = (1/J) sum_d diff(F_d)/dx_d.
+  * The pressure Poisson problem: L[phi] = mac_divergence(F*) with
+    L = (1/J) d_d (J g^{dj} d_j phi)  — the same PoissonOp as everywhere;
+    correction F -= mac_gradient(phi) then gives mac_divergence(F) == 0
+    to solver tolerance (exact level projection).
+  * The CC projection is the standard approximate projection: velocity is
+    averaged to faces, projected, and the face-averaged correction is
+    subtracted at CC.
+
+The pressure solver mux (reference AMRPressureSolver: leptic vs MG vs
+BiCGStab per static flags) is the `method` knob; the leptic method is
+wired in once the leptic solver lands.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+
+from somar_tpu.core.bc import BC, BCType, FieldBCs
+from somar_tpu.geometry.level_geometry import LevelGeometry
+from somar_tpu.ops.stencil import (
+    cc_to_fc, fc_to_cc, mac_divergence, mac_gradient)
+from somar_tpu.solvers.multigrid import LevelMultigrid, MGParams
+from somar_tpu.solvers.bicgstab import bicgstab, BiCGStabParams
+
+
+def pressure_bcs(grid, vel_bcs_normal: Optional[Sequence[FieldBCs]] = None) -> FieldBCs:
+    """Pressure-Poisson BCs: periodic where the domain is, homogeneous
+    Neumann elsewhere (normal velocity is prescribed at physical
+    boundaries; reference: PhysBCUtil::MacPressureFuncBC)."""
+    return FieldBCs.from_periodic(grid, BC.neumann(0.0))
+
+
+class LevelProjector:
+    """Owns one MG hierarchy for the pressure Poisson solves on a level.
+
+    Reference: LevelMACProjector + LevelCCProjector share the
+    AMRPressureSolver; here both projections share one LevelMultigrid.
+    """
+
+    def __init__(self, geo: LevelGeometry, mg_params: MGParams = MGParams(),
+                 phi_bcs: Optional[FieldBCs] = None, method: str = "mg",
+                 dtype=jnp.float32):
+        self.geo = geo
+        self.grid = geo.grid
+        self.phi_bcs = phi_bcs or pressure_bcs(geo.grid)
+        self.method = method
+        self.mg = LevelMultigrid(geo, self.phi_bcs, params=mg_params,
+                                 dtype=dtype)
+        self.op = self.mg.ops[0]
+        self.singular = self.op.bcs_singular()
+
+    # ----------------------------------------------------------- solves
+    def _solve(self, rhs, phi0=None):
+        if self.method == "bicgstab":
+            return bicgstab(lambda v: self.op.apply(v), rhs, x0=phi0,
+                            remove_mean=self.singular)
+        return self.mg.solve(rhs, phi0=phi0, singular=self.singular)
+
+    # ------------------------------------------------------------- helpers
+    def cc_grad_cart(self, phi):
+        """Cartesian-basis CC gradient of a CC potential via face-average
+        of the MAC gradient (the same discrete gradient the projection
+        subtracts, so lagged-pressure terms telescope exactly)."""
+        geo, grid = self.geo, self.grid
+        grad_fc = mac_gradient(phi, geo, self.phi_bcs)
+        grad_cc = jnp.stack([
+            fc_to_cc(grad_fc[d], d, grid) * geo.Jinv
+            for d in range(grid.ndim)])
+        return geo.to_cartesian(grad_cc)
+
+    # ------------------------------------------------------ MAC projection
+    def project_mac(self, fluxes: Sequence, phi0=None):
+        """Exact level projection of MAC fluxes F_d = J u^d.
+
+        Returns (corrected fluxes, phi, info).  Reference:
+        LevelMACProjector::levelProject (call site
+        AMRNavierStokesAdvancePPM.cpp:270-276).
+        """
+        div = mac_divergence(fluxes, self.geo)
+        phi, info = self._solve(div, phi0)
+        grad = mac_gradient(phi, self.geo, self.phi_bcs)
+        out = tuple(f - g for f, g in zip(fluxes, grad))
+        return out, phi, info
+
+    # ------------------------------------------------------- CC projection
+    def project_cc(self, vel_cart, vel_bcs: Sequence[FieldBCs], phi0=None,
+                   scale: float = 1.0):
+        """Approximate projection of a CC Cartesian-basis velocity.
+
+        vel -= scale * to_cartesian(g^{dj} d_j phi |_cc); the Poisson rhs
+        is the divergence of the face-averaged J u^d.  Reference:
+        LevelCCProjector / AMRNavierStokes::doCCProjection
+        (AMRNavierStokesAdvancePPM.cpp:1513-1590).
+        Returns (vel_corrected, phi, info).
+        """
+        geo, grid = self.geo, self.grid
+        u_mapped = geo.to_mapped(vel_cart)
+        fluxes = []
+        for d in range(grid.ndim):
+            f = cc_to_fc(geo.mult_by_J(u_mapped[d]), d, grid, vel_bcs[d])
+            fluxes.append(f)
+        div = mac_divergence(fluxes, geo)
+        phi, info = self._solve(div, phi0)
+        grad_fc = mac_gradient(phi, geo, self.phi_bcs)
+        grad_cc = jnp.stack([
+            fc_to_cc(grad_fc[d], d, grid) * geo.Jinv
+            for d in range(grid.ndim)])     # contravariant g^{dj} d_j phi
+        corr = geo.to_cartesian(grad_cc)
+        return vel_cart - scale * corr, phi, info

@@ -1,0 +1,64 @@
+"""End-to-end NS validation on the Taylor-Green vortex (exact solution).
+
+Reference analog: exec/inputs.TaylorGreen.machine + the exact-solution
+kernels in TaylorGreenBCUtilF.ChF.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from somar_tpu.core.grid import Grid
+from somar_tpu.geometry.geo_source import CartesianMap
+from somar_tpu.geometry.level_geometry import build_level_geometry
+from somar_tpu.physics.navier_stokes import NSLevel, NSParams
+from somar_tpu.solvers.multigrid import MGParams
+from somar_tpu.problems.taylor_green import TaylorGreen
+
+
+def _run_tg(n, nsteps, dt, nu=0.0, u0=0.0):
+    g = Grid(nx=(n, n), dx=(1.0 / n,) * 2, periodic=(True, True))
+    lg = build_level_geometry(g, CartesianMap())
+    prob = TaylorGreen(nu=nu, u0=u0)
+    params = NSParams(nu=nu, kappa=(0.0,), gravity_method=0,
+                      fixed_dt=dt, mg=MGParams(eps=1e-6, imax=25))
+    level = NSLevel(lg, prob, params)
+    state = level.post_initialize(level.initial_state())
+
+    step = jax.jit(lambda s: level.advance(s, jnp.asarray(dt)))
+    for _ in range(nsteps):
+        state = step(state)
+    exact = prob.vel_soln(lg, float(state.time))
+    err = float(jnp.max(jnp.abs(state.vel - exact)))
+    div = float(level.max_divergence(state))
+    return err, div, state, level
+
+
+def test_tg_inviscid_steady():
+    """U0=0, nu=0: TG is a steady solution — the advection term is exactly
+    balanced by pressure.  After N steps the error is discretization-level."""
+    err, div, state, level = _run_tg(32, 10, dt=2.0e-3)
+    assert err < 2e-2, err
+    assert np.isfinite(err)
+
+
+def test_tg_viscous_decay_convergence():
+    nu = 1e-2
+    T = 0.04
+    e_c, _, _, _ = _run_tg(32, 8, dt=T / 8, nu=nu)
+    e_f, _, _, _ = _run_tg(64, 16, dt=T / 16, nu=nu)
+    order = np.log2(e_c / e_f)
+    assert order > 1.3, (e_c, e_f, order)
+    assert e_f < 5e-3, e_f
+
+
+def test_tg_divergence_small():
+    _, div, state, level = _run_tg(32, 5, dt=2e-3, nu=1e-3)
+    # CC approximate projection: divergence bounded, not machine-zero
+    assert div < 0.1, div
+    assert np.all(np.isfinite(np.asarray(state.vel)))
+
+
+def test_tg_translating():
+    err, _, _, _ = _run_tg(48, 10, dt=1.5e-3, u0=1.0)
+    assert err < 3e-2, err
