@@ -1,0 +1,319 @@
+"""ProblemContext: typed run configuration + factories.
+
+Re-design of the reference's ProblemContext singleton
+(`/root/reference/src/utils/ProblemContext.{H,cpp}`): reads the whole
+input file once via ParmParse (same key names as the shipped
+`exec/inputs.*`, namespaces amr./geometry./plot./ibc./advection./
+projection./AMRMG./bottom.) into typed dataclasses, and builds the
+geometry map (newGeoSourceInterface, ProblemContext.H:165) and the problem
+(newPhysBCUtil, :242).
+
+Enums mirror ProblemContext.H: CoordMap (:167): 0=Cartesian, 1=Twisted,
+2=BeamGenerator, 4=Cylindrical, 5=Ledge, 8=DEM; ProblemType (:244):
+0=AdvectionTest, 1=LockExchange, 2=BeamGeneration, 3=InternalWave,
+4=TaylorGreen, 5=VortexStreet, 6=HorizConv, 7=SolitaryWave, 8=DJL.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+from somar_tpu.config.parmparse import ParmParse
+from somar_tpu.core.grid import Grid
+from somar_tpu.physics.godunov import AdvectionParams
+from somar_tpu.physics.navier_stokes import NSParams
+from somar_tpu.solvers.multigrid import MGParams
+
+
+class CoordMap:
+    CARTESIAN = 0
+    TWISTED = 1
+    BEAMGENERATOR = 2
+    CYLINDRICAL = 4
+    LEDGE = 5
+    DEMMAP = 8
+
+
+class ProblemType:
+    ADVECTION_TEST = 0
+    LOCK_EXCHANGE = 1
+    BEAM_GENERATION = 2
+    INTERNAL_WAVE = 3
+    TAYLOR_GREEN = 4
+    VORTEX_STREET = 5
+    HORIZ_CONV = 6
+    SOLITARY_WAVE = 7
+    DJL = 8
+
+
+@dataclasses.dataclass
+class PlotConfig:
+    """plot.* namespace (ProblemContext::readPlot, .H:209-232)."""
+    plot_prefix: str = "plot_"
+    checkpoint_prefix: str = "chkpt_"
+    plot_interval: int = -1
+    plot_period: float = -1.0
+    checkpoint_interval: int = -1
+    write_scalars: bool = True
+    write_scalars_minus_background: bool = False
+    write_pressure: bool = True
+    write_divergence: bool = False
+    write_lambda: bool = False
+    write_vorticity: bool = False
+    write_displacement: bool = True
+    write_geometry: bool = False
+    write_proc_ids: bool = False
+
+
+@dataclasses.dataclass
+class AMRConfig:
+    """amr.* grid/time hierarchy knobs (ProblemContext::readAMR)."""
+    ndim: int = 2
+    nx: Tuple[int, ...] = (64, 64)
+    nx_offset: Tuple[int, ...] = (0, 0)
+    length: Tuple[float, ...] = (1.0, 1.0)
+    is_periodic: Tuple[bool, ...] = (False, False)
+    max_level: int = 0
+    ref_ratios: Tuple[Tuple[int, ...], ...] = ()
+    regrid_intervals: Tuple[int, ...] = ()
+    tags_grow: int = 0
+    vel_tag_tol: float = 0.0
+    buoyancy_tag_tol: float = 0.0
+    magvort_tag_quota: float = 0.0
+    vert_extrude_tags: bool = False
+    final_time: float = 1.0
+    max_steps: int = 100
+    restart_file: str = ""
+    verbosity: int = 1
+
+
+@dataclasses.dataclass
+class ProblemContext:
+    amr: AMRConfig
+    ns: NSParams
+    plot: PlotConfig
+    coord_map: int = CoordMap.CARTESIAN
+    problem: int = ProblemType.LOCK_EXCHANGE
+    pert: Tuple[float, ...] = (0.0, 0.0)
+    # ledge map
+    ledge_transition_order: int = 3
+    ledge_hl: float = 0.2
+    ledge_hr: float = 1.0
+    ledge_xl: float = -1.0
+    ledge_xr: float = 1.0
+    # beam generator map
+    beam_gen_alpha: float = 0.0
+    # DEM map
+    dem_file: str = ""
+    # ibc extras
+    use_background_scalar: bool = False
+    bg_profile: int = 0
+    tidal_u0: Tuple[float, ...] = (0.0, 0.0)
+    tidal_omega: float = 0.0
+    sponge_widths_lo: Tuple[float, ...] = (0.0, 0.0, 0.0)
+    sponge_widths_hi: Tuple[float, ...] = (0.0, 0.0, 0.0)
+    sponge_time_coeff: float = 15.0
+
+    # ------------------------------------------------------------ factory
+    @classmethod
+    def from_file(cls, path: str, overrides: Sequence[str] = ()):
+        return cls.from_parmparse(ParmParse.from_file(path, overrides))
+
+    @classmethod
+    def from_parmparse(cls, pp: ParmParse) -> "ProblemContext":
+        # dimensionality: length of amr.nx
+        if not pp.contains("amr.nx"):
+            raise KeyError("required input 'amr.nx' not found")
+        nx_list = [int(v) for v in pp._table["amr.nx"]]
+        ndim = len(nx_list)
+        nx = tuple(nx_list)
+
+        length = pp.require_real_vect("amr.length", ndim)
+        nx_offset = tuple(pp.get_int_vect("amr.nx_offset", ndim,
+                                          (0,) * ndim) or (0,) * ndim)
+        is_per = tuple(bool(v) for v in (
+            pp.get_int_vect("amr.isPeriodic", ndim, (0,) * ndim)
+            or (0,) * ndim))
+
+        max_level = pp.get_int("amr.maxlevel", 0)
+        # per-level anisotropic ratios: refratio_lev<l> overrides refratio
+        base_ratio = tuple(pp.get_int_vect("amr.refratio", ndim,
+                                           (2,) * ndim) or (2,) * ndim)
+        ratios = []
+        for lev in range(max_level):
+            r = pp.get_int_vect(f"amr.refratio_lev{lev}", ndim, None)
+            ratios.append(tuple(r) if r else base_ratio)
+
+        regrid = pp.get_int_vect("amr.regrid_intervals", max(max_level, 1),
+                                 None)
+        regrid = tuple(regrid) if regrid else (10,) * max(max_level, 1)
+
+        amr = AMRConfig(
+            ndim=ndim, nx=nx, nx_offset=nx_offset, length=tuple(length),
+            is_periodic=is_per, max_level=max_level,
+            ref_ratios=tuple(ratios), regrid_intervals=regrid,
+            tags_grow=pp.get_int("amr.tags_grow", 0),
+            vel_tag_tol=pp.get_real("amr.vel_tag_tol", 0.0),
+            buoyancy_tag_tol=pp.get_real("amr.buoyancy_tag_tol", 0.0),
+            magvort_tag_quota=pp.get_real("amr.magvort_tag_quota", 0.0),
+            vert_extrude_tags=bool(pp.get_int("amr.vert_extrude_tags", 0)),
+            final_time=pp.get_real("amr.final", 1.0),
+            max_steps=pp.get_int("amr.maxsteps", 100),
+            restart_file=pp.get_str("amr.restart_file", "") or "",
+            verbosity=pp.get_int("amr.verbosity", 1),
+        )
+
+        kappa_raw = pp.get_real("amr.scal_diffusion_coeffs", 0.0)
+        kappa = tuple(kappa_raw) if isinstance(kappa_raw, list) else (
+            float(kappa_raw),)
+
+        adv_vel = AdvectionParams(
+            normal_pred_order=pp.get_int("advection.normalPredOrderVel", 2),
+            use_fourth_order_slopes=bool(
+                pp.get_int("advection.useFourthOrderSlopesVel", 1)),
+            use_limiting=bool(pp.get_int("advection.useLimitingVel", 0)),
+            use_high_order_limiter=bool(
+                pp.get_int("advection.useHighOrderLimiterVel", 0)),
+        )
+        adv_scal = AdvectionParams(
+            normal_pred_order=pp.get_int("advection.normalPredOrderScal", 2),
+            use_fourth_order_slopes=bool(
+                pp.get_int("advection.useFourthOrderSlopesScal", 1)),
+            use_limiting=bool(pp.get_int("advection.useLimitingScal", 1)),
+            use_high_order_limiter=bool(
+                pp.get_int("advection.useHighOrderLimiterScal", 0)),
+        )
+
+        relax_modes = {-1: "none", 0: "jacobi", 1: "gsrb", 2: "gsrb",
+                       3: "line"}
+        mg = MGParams(
+            eps=pp.get_real("AMRMG.eps", 1e-6),
+            imin=pp.get_int("AMRMG.imin", 5),
+            imax=pp.get_int("AMRMG.imax", 20),
+            hang=pp.get_real("AMRMG.hang", 1e-15),
+            norm_thresh=pp.get_real("AMRMG.normThresh", 1e-30),
+            num_smooth_down=pp.get_int("AMRMG.num_smooth_down", 2),
+            num_smooth_up=pp.get_int("AMRMG.num_smooth_up", 2),
+            num_smooth_bottom=max(
+                4 * pp.get_int("AMRMG.num_smooth_bottom", 2), 8),
+            num_mg=pp.get_int("AMRMG.numMG", 1),
+            max_depth=pp.get_int("AMRMG.maxDepth", -1),
+            relax_mode=relax_modes[pp.get_int("AMRMG.relax_mode", 1)],
+            verbosity=pp.get_int("AMRMG.verbosity", 0),
+        )
+
+        ns = NSParams(
+            nu=pp.get_real("amr.viscosity", 0.0),
+            kappa=kappa,
+            viscous_solver_type=pp.get_int("amr.viscous_solver_type", 1),
+            diffusive_solver_type=pp.get_int("amr.diffusive_solver_type", 1),
+            gravity_method=pp.get_int("amr.gravityMethod", 1),
+            cfl=pp.get_real("amr.cfl", 0.8),
+            max_dt=pp.get_real("amr.max_dt", 1e8),
+            max_dt_grow=pp.get_real("amr.max_dt_grow", 1.5),
+            init_dt_multiplier=pp.get_real("amr.init_dt_multiplier", 0.1),
+            fixed_dt=pp.get_real("amr.fixed_dt", -1.0),
+            limit_dt_via_viscosity=bool(
+                pp.get_int("amr.limitDtViaViscosity", 1)),
+            limit_dt_via_diffusion=bool(
+                pp.get_int("amr.limitDtViaDiffusion", 1)),
+            limit_dt_via_pressure_gradient=bool(
+                pp.get_int("amr.limitDtViaPressureGradient", 0)),
+            limit_dt_via_internal_wave_speed=bool(
+                pp.get_int("amr.limitDtViaInternalWaveSpeed", 0)),
+            nonlinear_differencing_form=pp.get_int(
+                "advection.nonlinearDifferencingForm", 0),
+            advection_vel=adv_vel,
+            advection_scal=adv_scal,
+            mg=mg,
+            is_incompressible=bool(
+                pp.get_int("projection.isIncompressible", 1)),
+        )
+
+        plot = PlotConfig(
+            plot_prefix=pp.get_str("plot.plot_prefix", "plot_") or "plot_",
+            checkpoint_prefix=pp.get_str("plot.checkpoint_prefix",
+                                         "chkpt_") or "chkpt_",
+            plot_interval=pp.get_int("plot.plot_interval", -1),
+            plot_period=pp.get_real("plot.plot_period", -1.0),
+            checkpoint_interval=pp.get_int("plot.checkpoint_interval", -1),
+            write_scalars=bool(pp.get_int("plot.writeScalars", 1)),
+            write_scalars_minus_background=bool(
+                pp.get_int("plot.writeScalarsMinusBackground", 0)),
+            write_pressure=bool(pp.get_int("plot.writePressure", 1)),
+            write_divergence=bool(pp.get_int("plot.writeDivergence", 0)),
+            write_lambda=bool(pp.get_int("plot.writeLambda", 0)),
+            write_vorticity=bool(pp.get_int("plot.writeVorticity", 0)),
+            write_displacement=bool(pp.get_int("plot.writeDisplacement", 1)),
+            write_geometry=bool(pp.get_int("plot.writeGeometry", 0)),
+        )
+
+        tidal_u0 = tuple(pp.get_real_vect("ibc.tidalU0", 1, (0.0,))
+                         or (0.0,))
+        tidal_u0 = (tuple(tidal_u0) + (0.0, 0.0, 0.0))[:3]
+        return cls(
+            amr=amr, ns=ns, plot=plot,
+            coord_map=pp.get_int("geometry.coordMap", 0),
+            problem=pp.get_int("ibc.problem", 1),
+            pert=tuple(pp.get_real_vect("geometry.perturbations", ndim,
+                                        (0.0,) * ndim) or (0.0,) * ndim),
+            ledge_transition_order=pp.get_int(
+                "geometry.ledgeMapTransitionOrder", 3),
+            ledge_hl=pp.get_real("geometry.ledgeMapHl", 0.2),
+            ledge_hr=pp.get_real("geometry.ledgeMapHr", 1.0),
+            ledge_xl=pp.get_real("geometry.ledgeMapXl", -1.0),
+            ledge_xr=pp.get_real("geometry.ledgeMapXr", 1.0),
+            beam_gen_alpha=pp.get_real("geometry.beamGenMapAlpha", 0.0),
+            dem_file=pp.get_str("geometry.demFile", "") or "",
+            use_background_scalar=bool(
+                pp.get_int("ibc.useBackgroundScalar", 0)),
+            bg_profile=pp.get_int("ibc.bgScalarProfile", 1),
+            tidal_u0=tidal_u0,
+            tidal_omega=pp.get_real("ibc.tidalOmega", 0.0),
+            sponge_time_coeff=pp.get_real("ibc.spongeTimeCoeff", 15.0),
+        )
+
+    # -------------------------------------------------------------- grids
+    def base_grid(self) -> Grid:
+        a = self.amr
+        dx = tuple(L / n for L, n in zip(a.length, a.nx))
+        x0 = tuple(off * d for off, d in zip(a.nx_offset, dx))
+        return Grid(nx=a.nx, dx=dx, x0=x0, periodic=a.is_periodic)
+
+    def new_geo_source(self):
+        """Factory for the coordinate map (reference:
+        ProblemContext::newGeoSourceInterface, .H:165)."""
+        from somar_tpu.geometry.geo_source import (
+            CartesianMap, CylindricalMap, TwistedMap)
+        from somar_tpu.geometry.bathymetric import (
+            BeamGeneratorMap, DEMMap, LedgeMap)
+
+        a = self.amr
+        vert = (a.nx_offset[-1] * a.length[-1] / a.nx[-1],
+                a.nx_offset[-1] * a.length[-1] / a.nx[-1] + a.length[-1])
+        if self.coord_map == CoordMap.CARTESIAN:
+            return CartesianMap()
+        if self.coord_map == CoordMap.TWISTED:
+            return TwistedMap(self.pert, a.length)
+        if self.coord_map == CoordMap.CYLINDRICAL:
+            return CylindricalMap()
+        if self.coord_map == CoordMap.LEDGE:
+            return LedgeMap(vert, hl=self.ledge_hl, hr=self.ledge_hr,
+                            xl=self.ledge_xl, xr=self.ledge_xr,
+                            transition_order=self.ledge_transition_order)
+        if self.coord_map == CoordMap.BEAMGENERATOR:
+            return BeamGeneratorMap(vert, full_depth=a.length[-1],
+                                    angle=self.beam_gen_alpha,
+                                    lx=a.length[0])
+        if self.coord_map == CoordMap.DEMMAP:
+            return DEMMap.from_hdf5(vert, self.dem_file, a.ndim)
+        raise ValueError(f"unknown coordMap {self.coord_map}")
+
+    def new_problem(self):
+        """Factory for the problem definition (reference:
+        ProblemContext::newPhysBCUtil, .H:242)."""
+        from somar_tpu.problems import make_problem
+        return make_problem(self)

@@ -1,0 +1,53 @@
+"""Problem registry (reference: ProblemContext::newPhysBCUtil,
+ProblemContext.H:242-257)."""
+
+from somar_tpu.problems.base import (
+    BackgroundProfile, LinearProfile, NoBackground, Problem,
+    QuadraticProfile, SpongeSpec, TanhProfile, TidalSpec)
+from somar_tpu.problems.taylor_green import TaylorGreen
+from somar_tpu.problems.lock_exchange import LockExchange
+from somar_tpu.problems.library import (
+    AdvectionTest, BeamGeneration, DJL, HorizConv, InternalWave,
+    SolitaryWave, VortexStreet)
+
+__all__ = [
+    "Problem", "BackgroundProfile", "NoBackground", "LinearProfile",
+    "QuadraticProfile", "TanhProfile", "SpongeSpec", "TidalSpec",
+    "TaylorGreen", "LockExchange", "AdvectionTest", "BeamGeneration",
+    "InternalWave", "VortexStreet", "HorizConv", "SolitaryWave", "DJL",
+]
+
+
+def make_problem(ctx):
+    """Build the Problem selected by ibc.problem (reference enum
+    ProblemType, ProblemContext.H:244-257)."""
+    from somar_tpu.config.context import ProblemType
+
+    profiles = {0: NoBackground(), 1: LinearProfile(), 2: QuadraticProfile(),
+                3: TanhProfile()}
+    bg = profiles.get(ctx.bg_profile, LinearProfile()) \
+        if ctx.use_background_scalar else NoBackground()
+
+    t = ctx.problem
+    if t == ProblemType.ADVECTION_TEST:
+        return AdvectionTest()
+    if t == ProblemType.LOCK_EXCHANGE:
+        return LockExchange()
+    if t == ProblemType.BEAM_GENERATION:
+        return BeamGeneration(background=bg, tidal_u0=ctx.tidal_u0[0],
+                              tidal_omega=ctx.tidal_omega,
+                              ndim=ctx.amr.ndim,
+                              sponge_time_coeff=ctx.sponge_time_coeff)
+    if t == ProblemType.INTERNAL_WAVE:
+        return InternalWave(background=bg)
+    if t == ProblemType.TAYLOR_GREEN:
+        return TaylorGreen(lengths=ctx.amr.length, nu=ctx.ns.nu)
+    if t == ProblemType.VORTEX_STREET:
+        return VortexStreet()
+    if t == ProblemType.HORIZ_CONV:
+        return HorizConv()
+    if t == ProblemType.SOLITARY_WAVE:
+        return SolitaryWave(background=bg)
+    if t == ProblemType.DJL:
+        return DJL(background=bg)
+    raise ValueError(f"unknown ibc.problem {t}")
