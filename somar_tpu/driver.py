@@ -1,0 +1,140 @@
+"""The run driver: time loop, dt assignment, plot/checkpoint cadence.
+
+Re-design of `exec/somar.cpp` (main/nsrun, :109-311) + the single-level
+responsibilities of LepticAMR::run (`src/MappedChombo/LepticAMR.cpp:715-848`):
+
+  * dt assignment with init_dt_multiplier / max_dt_grow caps
+    (LepticAMR::assignDt, :854-947);
+  * plot_interval / plot_period / checkpoint_interval cadences (:776-795);
+  * a `halt` file polled every step (AMRNavierStokesAdvance.cpp:46-52) and
+    a SIGINT handler that finishes the current step cleanly
+    (LepticAMR.cpp:731-846);
+  * the concluding report: total cell updates, cell-updates/sec, wall
+    clock per step (LepticAMR::conclude, :660-713) — the reference's own
+    benchmark instrumentation points (BASELINE.md).
+
+The multi-level (subcycled AMR) driver extends this in somar_tpu/amr.
+"""
+
+from __future__ import annotations
+
+import os
+import signal
+import time
+from typing import Optional
+
+import numpy as np
+
+
+class RunDriver:
+    def __init__(self, ctx, out_dir: str = "."):
+        import jax
+        import jax.numpy as jnp
+        from somar_tpu.geometry.level_geometry import build_level_geometry
+        from somar_tpu.physics.navier_stokes import NSLevel
+
+        self.ctx = ctx
+        self.out_dir = out_dir
+        self.grid = ctx.base_grid()
+        self.geo = build_level_geometry(self.grid, ctx.new_geo_source(),
+                                        dtype=ctx.ns.dtype)
+        self.problem = ctx.new_problem()
+        self.level = NSLevel(self.geo, self.problem, ctx.ns)
+        self._step_fn = jax.jit(lambda s, dt: self.level.advance(s, dt))
+        self._dt_fn = jax.jit(self.level.compute_dt)
+        self._interrupted = False
+
+    # ---------------------------------------------------------------- run
+    def run(self, max_steps: Optional[int] = None,
+            final_time: Optional[float] = None, verbose: bool = True):
+        import jax.numpy as jnp
+        from somar_tpu.io.checkpoint import (
+            read_checkpoint, write_checkpoint, write_plotfile)
+
+        ctx = self.ctx
+        max_steps = ctx.amr.max_steps if max_steps is None else max_steps
+        final_time = ctx.amr.final_time if final_time is None else final_time
+
+        step0 = 0
+        if ctx.amr.restart_file:
+            state, step0, dt_prev = read_checkpoint(
+                os.path.join(self.out_dir, ctx.amr.restart_file), self.level)
+            dt = jnp.asarray(dt_prev, ctx.ns.dtype)
+        else:
+            state = self.level.post_initialize(self.level.initial_state())
+            dt0 = float(self._dt_fn(state)) * ctx.ns.init_dt_multiplier
+            dt0 = min(dt0, ctx.ns.max_dt)
+            if ctx.ns.fixed_dt > 0:
+                dt0 = ctx.ns.fixed_dt
+            dt = jnp.asarray(dt0, ctx.ns.dtype)
+            state = self.level.initialize_pressure(state, dt)
+
+        prev_handler = signal.signal(
+            signal.SIGINT, lambda *_: setattr(self, "_interrupted", True))
+
+        cell_updates = 0
+        t_start = time.perf_counter()
+        last_plot_time = float(state.time)
+        step = step0
+        try:
+            while step < step0 + max_steps and float(state.time) < final_time:
+                # graceful stop: `halt` file or SIGINT
+                if self._interrupted or os.path.exists(
+                        os.path.join(self.out_dir, "halt")):
+                    if verbose:
+                        print("halt requested — stopping cleanly")
+                    break
+
+                t0 = time.perf_counter()
+                state = self._step_fn(state, dt)
+                state.vel.block_until_ready()
+                wc = time.perf_counter() - t0
+                step += 1
+                cell_updates += self.grid.ncells
+
+                # next dt: CFL-limited, growth-capped
+                dt_new = self._dt_fn(state)
+                dt = jnp.minimum(dt_new, ctx.ns.max_dt_grow * dt)
+                dt = jnp.minimum(dt, jnp.asarray(ctx.ns.max_dt))
+                if ctx.ns.fixed_dt > 0:
+                    dt = jnp.asarray(ctx.ns.fixed_dt, ctx.ns.dtype)
+
+                if verbose and ctx.amr.verbosity > 0:
+                    print(f"step {step:6d}  t = {float(state.time):.6g}  "
+                          f"dt = {float(dt):.4g}  wall = {wc * 1e3:.1f} ms")
+
+                # plot cadence
+                p = ctx.plot
+                do_plot = (p.plot_interval > 0
+                           and step % p.plot_interval == 0)
+                if p.plot_period > 0 and \
+                        float(state.time) - last_plot_time >= p.plot_period:
+                    do_plot = True
+                if do_plot:
+                    last_plot_time = float(state.time)
+                    write_plotfile(
+                        os.path.join(self.out_dir,
+                                     f"{p.plot_prefix}{step:06d}.hdf5"),
+                        state, self.level, step, p)
+                if p.checkpoint_interval > 0 and \
+                        step % p.checkpoint_interval == 0:
+                    write_checkpoint(
+                        os.path.join(self.out_dir,
+                                     f"{p.checkpoint_prefix}{step:06d}.hdf5"),
+                        state, self.level, step, float(dt))
+        finally:
+            signal.signal(signal.SIGINT, prev_handler)
+
+        elapsed = time.perf_counter() - t_start
+        if verbose:
+            # the reference's concluding report (LepticAMR::conclude)
+            print(f"total cell updates: {cell_updates}")
+            if elapsed > 0:
+                print(f"cell updates/sec: {cell_updates / elapsed:.4g}")
+            print(f"total elapsed: {elapsed:.2f} s")
+        # final checkpoint (LepticAMR::conclude, :671-679)
+        from somar_tpu.io.checkpoint import write_checkpoint as _wc
+        _wc(os.path.join(self.out_dir,
+                         f"{ctx.plot.checkpoint_prefix}final.hdf5"),
+            state, self.level, step, float(dt))
+        return state, step

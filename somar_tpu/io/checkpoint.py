@@ -1,0 +1,132 @@
+"""HDF5 checkpoint / restart + plotfiles.
+
+Re-design of the reference's IO layer
+(`/root/reference/src/NavierStokes/AMRNavierStokesIO.cpp`):
+  * checkpoints (:44-165): header metadata (step, dt, time, cfl,
+    prob_domain, periodicity, ref ratios) + per-level state (new/old vel,
+    lambda, scalars, ccPressure, eLambda) with exact-resume semantics;
+  * restart (:167+, LepticAMR::setupForRestart LepticAMR.cpp:512);
+  * plotfiles (writePlotHeader/writePlotLevel, getPlotData :1203) with the
+    optional derived fields gated by plot.write* flags.
+
+Layout: one HDF5 file, group `level_<i>` per level; field names match the
+reference's component naming so post-processing tooling carries over.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional
+
+import numpy as np
+
+
+def write_checkpoint(path: str, state, level, step: int, dt: float,
+                     extra: Optional[dict] = None):
+    """Save full state for exact resume (single level; the AMR hierarchy
+    writer stacks level_<i> groups)."""
+    import h5py
+
+    grid = level.grid
+    with h5py.File(path, "w") as f:
+        f.attrs["iteration"] = step
+        f.attrs["time"] = float(state.time)
+        f.attrs["dt"] = float(dt)
+        f.attrs["num_levels"] = 1
+        f.attrs["ndim"] = grid.ndim
+        f.attrs["config_json"] = json.dumps(extra or {})
+        g = f.create_group("level_0")
+        g.attrs["nx"] = np.asarray(grid.nx)
+        g.attrs["dx"] = np.asarray(grid.dx)
+        g.attrs["x0"] = np.asarray(grid.x0)
+        g.attrs["periodic"] = np.asarray(grid.periodic, dtype=np.int8)
+        for m in range(grid.ndim):
+            g.create_dataset(f"new_velocity_{m}", data=np.asarray(state.vel[m]))
+        for c in range(state.scalars.shape[0]):
+            g.create_dataset(f"new_scalar_{c}", data=np.asarray(state.scalars[c]))
+        g.create_dataset("new_lambda", data=np.asarray(state.lam))
+        g.create_dataset("ccPressure", data=np.asarray(state.cc_phi))
+        g.create_dataset("pressure", data=np.asarray(state.pressure))
+        g.create_dataset("macPressure", data=np.asarray(state.mac_phi))
+
+
+def read_checkpoint(path: str, level):
+    """Restore an NSState from a checkpoint written by write_checkpoint.
+    Returns (state, step, dt)."""
+    import h5py
+    import jax.numpy as jnp
+    from somar_tpu.physics.navier_stokes import NSState
+
+    grid = level.grid
+    dtype = level.params.dtype
+    with h5py.File(path, "r") as f:
+        step = int(f.attrs["iteration"])
+        time = float(f.attrs["time"])
+        dt = float(f.attrs["dt"])
+        g = f["level_0"]
+        assert tuple(g.attrs["nx"]) == grid.nx, (
+            f"checkpoint grid {tuple(g.attrs['nx'])} != run grid {grid.nx}")
+        vel = jnp.stack([jnp.asarray(g[f"new_velocity_{m}"][...], dtype)
+                         for m in range(grid.ndim)])
+        nscal = level.problem.num_scalars
+        scal = jnp.stack([jnp.asarray(g[f"new_scalar_{c}"][...], dtype)
+                          for c in range(nscal)])
+        state = NSState(
+            vel=vel, scalars=scal,
+            lam=jnp.asarray(g["new_lambda"][...], dtype),
+            mac_phi=jnp.asarray(g["macPressure"][...], dtype),
+            cc_phi=jnp.asarray(g["ccPressure"][...], dtype),
+            pressure=jnp.asarray(g["pressure"][...], dtype),
+            time=jnp.asarray(time, dtype),
+        )
+    return state, step, dt
+
+
+def write_plotfile(path: str, state, level, step: int, plot_cfg=None):
+    """Visualization dump with the reference's optional derived fields
+    (getPlotData, AMRNavierStokesIO.cpp:1203-1500)."""
+    import h5py
+    import jax.numpy as jnp
+    from somar_tpu.ops.stencil import vorticity
+
+    grid = level.grid
+    geo = level.geo
+    fields = {}
+    for m in range(grid.ndim):
+        fields[f"velocity_{'xyz'[m] if m < grid.ndim - 1 or grid.ndim == 3 else 'z'}"] = \
+            np.asarray(state.vel[m])
+    fields["buoyancy"] = np.asarray(state.scalars[0])
+    if plot_cfg is None or plot_cfg.write_pressure:
+        fields["pressure"] = np.asarray(state.pressure)
+    if plot_cfg is not None and plot_cfg.write_lambda:
+        fields["lambda"] = np.asarray(state.lam)
+    if plot_cfg is not None and plot_cfg.write_divergence:
+        fields["divergence"] = np.asarray(level.max_divergence(state) *
+                                          jnp.ones(grid.shape))
+    if plot_cfg is not None and plot_cfg.write_vorticity:
+        w = vorticity(state.vel, geo,
+                      [level.vel_bcs_trace[m] for m in range(grid.ndim)])
+        if grid.ndim == 2:
+            fields["vorticity"] = np.asarray(w)
+        else:
+            for m in range(3):
+                fields[f"vorticity_{'xyz'[m]}"] = np.asarray(w[m])
+    if plot_cfg is not None and plot_cfg.write_displacement \
+            and not geo.is_uniform:
+        disp = geo.displacement_cc()
+        for m in range(grid.ndim):
+            fields[f"displacement_{m}"] = disp[m]
+    if plot_cfg is not None and plot_cfg.write_geometry and not geo.is_uniform:
+        fields["J"] = np.asarray(geo.J * np.ones(grid.shape))
+
+    with h5py.File(path, "w") as f:
+        f.attrs["iteration"] = step
+        f.attrs["time"] = float(state.time)
+        f.attrs["ndim"] = grid.ndim
+        g = f.create_group("level_0")
+        g.attrs["nx"] = np.asarray(grid.nx)
+        g.attrs["dx"] = np.asarray(grid.dx)
+        g.attrs["x0"] = np.asarray(grid.x0)
+        for name, data in fields.items():
+            g.create_dataset(name, data=data)
