@@ -69,12 +69,20 @@ def fc_to_cc(flux, d: int, grid: Grid):
 # MAC gradient: F_d = sum_j J g^{dj} d_j(phi)  at faces normal to d
 # (reference: Gradient.H:38, kernels MAPPEDMACGRAD / MAPPEDMACGRADORTHO)
 # --------------------------------------------------------------------------
-def mac_gradient(phi, geo: LevelGeometry, bcs: FieldBCs) -> Tuple:
+def mac_gradient(phi, geo: LevelGeometry, bcs: FieldBCs,
+                 jgup_delta=None) -> Tuple:
+    """jgup_delta: optional per-direction additive modification of the
+    face metric, ((diag_d,)*ndim, (full_d,)*ndim | None) — used by the
+    implicit-gravity AlteredMetric (reference: AlteredMetric.H:34-56,
+    fill_Jgup = J(g^ij - (w^2/(1+w^2)) dxi^i/dz dxi^j/dz))."""
     grid = geo.grid
     ndim = grid.ndim
     dx = grid.dx
     # one ghost everywhere covers both normal and tangential derivatives
     p = fill_ghosts_cc(phi, grid, bcs, 1)
+
+    d_diag = jgup_delta[0] if jgup_delta is not None else None
+    d_full = jgup_delta[1] if jgup_delta is not None else None
 
     fluxes = []
     for d in range(ndim):
@@ -85,13 +93,21 @@ def mac_gradient(phi, geo: LevelGeometry, bcs: FieldBCs) -> Tuple:
             if j != d:
                 pn = slc(pn, grid.axis(j), 1, -1)
         dphi_n = diff_along(pn, ax) / dx[d]
-        flux = geo.Jgup_diag[d] * dphi_n
+        Jg_d = geo.Jgup_diag[d]
+        if d_diag is not None and d_diag[d] is not None:
+            Jg_d = Jg_d + d_diag[d]
+        flux = Jg_d * dphi_n
 
-        if not geo.is_diagonal and geo.Jgup_full is not None:
+        if d_full is not None or (not geo.is_diagonal and geo.Jgup_full is not None):
             # tangential derivatives averaged to the d-faces:
             # CC central derivative in j, then 2-point average along d.
             for j in range(ndim):
                 if j == d:
+                    continue
+                coef = geo.Jgup_full[d][j] if geo.Jgup_full is not None else 0.0
+                if d_full is not None and d_full[d] is not None:
+                    coef = coef + d_full[d][j]
+                if isinstance(coef, float) and coef == 0.0:
                     continue
                 axj = grid.axis(j)
                 # central derivative in j on the d-ghosted array
@@ -101,7 +117,7 @@ def mac_gradient(phi, geo: LevelGeometry, bcs: FieldBCs) -> Tuple:
                         pj = slc(pj, grid.axis(k), 1, -1)
                 dphi_j = (slc(pj, axj, 2, None) - slc(pj, axj, 0, -2)) / (2.0 * dx[j])
                 # pj still has ghosts along d; average to faces of d
-                flux = flux + geo.Jgup_full[d][j] * avg_along(dphi_j, ax)
+                flux = flux + coef * avg_along(dphi_j, ax)
         fluxes.append(flux)
     return tuple(fluxes)
 

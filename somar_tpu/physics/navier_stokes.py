@@ -145,6 +145,13 @@ class NSLevel:
         self._nsq_cc = (problem.nsq_cc(geo).astype(params.dtype)
                         if problem.use_background_scalar else None)
 
+        # implicit-gravity (BV) machinery: altered-metric fields per MG level
+        self._altered_metric = None
+        if params.gravity_method == 2 and problem.use_background_scalar:
+            from somar_tpu.projection.altered_metric import AlteredMetric
+            self._altered_metric = AlteredMetric(
+                self.projector.mg, problem.background, params.dtype)
+
     # ------------------------------------------------------------- set-up
     def initial_state(self) -> NSState:
         dtype = self.params.dtype
@@ -193,8 +200,8 @@ class NSLevel:
         ndim = self.grid.ndim
         src = [jnp.zeros(self.grid.shape, self.params.dtype)
                for _ in range(ndim)]
-        if self.params.gravity_method != 0:
-            src[ndim - 1] = -scalars[0]
+        if self.params.gravity_method == 1:   # explicit only; IG handles
+            src[ndim - 1] = -scalars[0]       # gravity in the projection
         return src
 
     def _sponge_source(self, vel, scalars, dt):
@@ -309,8 +316,9 @@ class NSLevel:
             src = None
             if c == 0:
                 parts = []
-                if self._nsq_cc is not None:
-                    # background advection: db'/dt += w * N^2
+                if self._nsq_cc is not None and self._altered_metric is None:
+                    # background advection: db'/dt += w * N^2 (explicit
+                    # mode; the IG scheme applies it semi-implicitly)
                     parts.append(state.vel[self.grid.ndim - 1] * self._nsq_cc)
                 if sponge_s is not None and c == 0:
                     parts.append(sponge_s)
@@ -404,7 +412,11 @@ class NSLevel:
 
         cc_phi = state.cc_phi
         pressure = state.pressure
-        if p.is_incompressible:
+        if self._altered_metric is not None:
+            vel, scalars, cc_phi = self._do_ig_projection(
+                state, vel, scalars, dt)
+            pressure = state.pressure + cc_phi / dt
+        elif p.is_incompressible:
             vel, cc_phi, _ = self.projector.project_cc(
                 vel, self.vel_bcs_trace, phi0=state.cc_phi)
             pressure = state.pressure + cc_phi / dt
@@ -412,6 +424,46 @@ class NSLevel:
         return NSState(vel=vel, scalars=scalars, lam=lam, mac_phi=mac_phi,
                        cc_phi=cc_phi, pressure=pressure,
                        time=state.time + dt)
+
+    # ------------------------------------------------- implicit gravity
+    def _do_ig_projection(self, state: NSState, vel_star, scalars_star, dt):
+        """Semi-implicit buoyancy + altered-metric projection (reference:
+        doCCIGProjection, AMRNavierStokesAdvancePPMIG.cpp:143-395).
+
+        In the Cartesian velocity basis the contravariant update
+        u^i -= dt*Dinv*(dxi^i/dz)*btilde collapses to a purely vertical
+        kick u_z -= dt*Dinv*btilde (the basis transform telescopes:
+        sum_i (dx_m/dxi^i)(dxi^i/dz) = delta_{mz}); W = u_z directly.
+        """
+        p = self.params
+        grid = self.grid
+        theta = p.gravity_theta
+        vert = grid.ndim - 1
+        nsq = self._altered_metric.nsq_cc(self.geo, p.dtype)
+        dt_theta = dt * theta
+        dinv = 1.0 / (1.0 + dt_theta * dt_theta * nsq)
+
+        b_old = state.scalars[0]
+        b_new = scalars_star[0]
+        w_theta = theta * vel_star[vert] + (1.0 - theta) * state.vel[vert]
+        b_theta = theta * b_new + (1.0 - theta) * b_old
+        btilde = b_theta + dt_theta * nsq * w_theta
+
+        vel_star = vel_star.at[vert].add(-dt * dinv * btilde)
+
+        cc_phi = state.cc_phi
+        if p.is_incompressible:
+            deltas = self._altered_metric.jgup_delta_list(dt_theta)
+            vel_star, cc_phi, _ = self.projector.project_cc(
+                vel_star, self.vel_bcs_trace, phi0=state.cc_phi,
+                jgup_deltas=deltas)
+
+        # semi-implicit buoyancy update with the projected velocity
+        w_theta_new = (theta * vel_star[vert]
+                       + (1.0 - theta) * state.vel[vert])
+        b_new = b_new + dt * nsq * w_theta_new
+        scalars_star = scalars_star.at[0].set(b_new)
+        return vel_star, scalars_star, cc_phi
 
     # ---------------------------------------------------------------- dt
     def compute_dt(self, state: NSState):

@@ -63,11 +63,14 @@ class LevelProjector:
         self.singular = self.op.bcs_singular()
 
     # ----------------------------------------------------------- solves
-    def _solve(self, rhs, phi0=None):
+    def _solve(self, rhs, phi0=None, jgup_deltas=None):
         if self.method == "bicgstab":
-            return bicgstab(lambda v: self.op.apply(v), rhs, x0=phi0,
-                            remove_mean=self.singular)
-        return self.mg.solve(rhs, phi0=phi0, singular=self.singular)
+            jd0 = jgup_deltas[0] if jgup_deltas is not None else None
+            return bicgstab(
+                lambda v: self.op.apply(v, jgup_delta=jd0), rhs, x0=phi0,
+                remove_mean=self.singular)
+        return self.mg.solve(rhs, phi0=phi0, singular=self.singular,
+                             jgup_deltas=jgup_deltas)
 
     # ------------------------------------------------------------- helpers
     def cc_grad_cart(self, phi):
@@ -97,7 +100,7 @@ class LevelProjector:
 
     # ------------------------------------------------------- CC projection
     def project_cc(self, vel_cart, vel_bcs: Sequence[FieldBCs], phi0=None,
-                   scale: float = 1.0):
+                   scale: float = 1.0, jgup_deltas=None):
         """Approximate projection of a CC Cartesian-basis velocity.
 
         vel -= scale * to_cartesian(g^{dj} d_j phi |_cc); the Poisson rhs
@@ -107,14 +110,15 @@ class LevelProjector:
         Returns (vel_corrected, phi, info).
         """
         geo, grid = self.geo, self.grid
+        jd0 = jgup_deltas[0] if jgup_deltas is not None else None
         u_mapped = geo.to_mapped(vel_cart)
         fluxes = []
         for d in range(grid.ndim):
             f = cc_to_fc(geo.mult_by_J(u_mapped[d]), d, grid, vel_bcs[d])
             fluxes.append(f)
         div = mac_divergence(fluxes, geo)
-        phi, info = self._solve(div, phi0)
-        grad_fc = mac_gradient(phi, geo, self.phi_bcs)
+        phi, info = self._solve(div, phi0, jgup_deltas)
+        grad_fc = mac_gradient(phi, geo, self.phi_bcs, jgup_delta=jd0)
         grad_cc = jnp.stack([
             fc_to_cc(grad_fc[d], d, grid) * geo.Jinv
             for d in range(grid.ndim)])     # contravariant g^{dj} d_j phi

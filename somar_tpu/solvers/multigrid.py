@@ -152,30 +152,36 @@ class LevelMultigrid:
         self.bcs_singular = self.ops[0].bcs_singular()
 
     # ------------------------------------------------------------- V-cycle
-    def _vcycle(self, lev: int, phi, rhs, alpha, beta, singular: bool):
+    def _vcycle(self, lev: int, phi, rhs, alpha, beta, singular: bool,
+                deltas=None):
         op = self.ops[lev]
         p = self.params
+        jd = deltas[lev] if deltas is not None else None
         if lev == self.depth - 1:
             return op.relax(phi, rhs, alpha, beta, p.num_smooth_bottom,
-                            p.relax_mode)
+                            p.relax_mode, jgup_delta=jd)
 
-        phi = op.relax(phi, rhs, alpha, beta, p.num_smooth_down, p.relax_mode)
-        res = op.residual(phi, rhs, alpha, beta)
+        phi = op.relax(phi, rhs, alpha, beta, p.num_smooth_down, p.relax_mode,
+                       jgup_delta=jd)
+        res = op.residual(phi, rhs, alpha, beta, jgup_delta=jd)
         ratio = self.ratios[lev]
         crhs = restrict_fullweight(res, op.grid, ratio)
         cphi = jnp.zeros_like(crhs)
         for _ in range(max(1, p.num_mg)):   # num_mg=2 -> W-cycle
-            cphi = self._vcycle(lev + 1, cphi, crhs, alpha, beta, singular)
+            cphi = self._vcycle(lev + 1, cphi, crhs, alpha, beta, singular,
+                                deltas)
         corr = prolong_const(cphi, op.grid, ratio)
         if singular:
             corr = corr - jnp.mean(corr)    # ZeroAvgConstInterpPS
         phi = phi + corr.astype(phi.dtype)
-        phi = op.relax(phi, rhs, alpha, beta, p.num_smooth_up, p.relax_mode)
+        phi = op.relax(phi, rhs, alpha, beta, p.num_smooth_up, p.relax_mode,
+                       jgup_delta=jd)
         return phi
 
     # --------------------------------------------------------------- solve
     def solve(self, rhs, phi0=None, alpha=0.0, beta=1.0,
-              homogeneous: bool = True, singular: Optional[bool] = None):
+              homogeneous: bool = True, singular: Optional[bool] = None,
+              jgup_deltas=None):
         """Iterate V-cycles until converged (imin/imax/eps/hang semantics,
         reference MappedAMRMultiGrid::solve).  Returns (phi, info) where
         info = (iters, final_relative_residual).
@@ -191,14 +197,15 @@ class LevelMultigrid:
         rhs = rhs.astype(self.dtype)
         if singular is None:
             singular = self.bcs_singular and isinstance(alpha, float) and alpha == 0.0
+        jd0 = jgup_deltas[0] if jgup_deltas is not None else None
         if not homogeneous:
             rhs = rhs - op.apply(jnp.zeros_like(rhs), alpha, beta,
-                                 homogeneous=False)
+                                 homogeneous=False, jgup_delta=jd0)
         if singular:
             rhs = rhs - jnp.mean(rhs)
         phi = jnp.zeros_like(rhs) if phi0 is None else phi0.astype(self.dtype)
 
-        r0 = op.norm(op.residual(phi, rhs, alpha, beta))
+        r0 = op.norm(op.residual(phi, rhs, alpha, beta, jgup_delta=jd0))
         r0 = jnp.maximum(r0, p.norm_thresh)
 
         def cond(state):
@@ -209,10 +216,11 @@ class LevelMultigrid:
 
         def body(state):
             phi, rnorm, _, it = state
-            phi = self._vcycle(0, phi, rhs, alpha, beta, singular)
+            phi = self._vcycle(0, phi, rhs, alpha, beta, singular,
+                               jgup_deltas)
             if singular:
                 phi = phi - jnp.mean(phi)
-            rnew = op.norm(op.residual(phi, rhs, alpha, beta))
+            rnew = op.norm(op.residual(phi, rhs, alpha, beta, jgup_delta=jd0))
             return (phi, rnew, rnorm, it + 1)
 
         state = (phi, r0, 2.0 * r0, jnp.asarray(0))

@@ -42,21 +42,29 @@ class PoissonOp:
         self.bcs = bcs
         self.hom_bcs = bcs.homogeneous()
         self.grid = geo.grid
+        self._bc_face_factors = self._build_bc_face_factors()
         self._diag_lap = self._build_diag_lap()
         self._rb_masks = self._build_rb_masks()
         self._line_coefs = None  # built lazily for line relaxation
 
     # ------------------------------------------------------------ operator
-    def apply(self, phi, alpha=0.0, beta=1.0, homogeneous: bool = True):
+    def apply(self, phi, alpha=0.0, beta=1.0, homogeneous: bool = True,
+              jgup_delta=None):
         bcs = self.hom_bcs if homogeneous else self.bcs
-        lap = mac_divergence(mac_gradient(phi, self.geo, bcs), self.geo)
+        lap = mac_divergence(
+            mac_gradient(phi, self.geo, bcs, jgup_delta=jgup_delta),
+            self.geo)
         return alpha * phi + beta * lap
 
-    def residual(self, phi, rhs, alpha=0.0, beta=1.0, homogeneous: bool = True):
-        return rhs - self.apply(phi, alpha, beta, homogeneous)
+    def residual(self, phi, rhs, alpha=0.0, beta=1.0, homogeneous: bool = True,
+                 jgup_delta=None):
+        return rhs - self.apply(phi, alpha, beta, homogeneous, jgup_delta)
 
-    def diag(self, alpha=0.0, beta=1.0):
-        return alpha + beta * self._diag_lap
+    def diag(self, alpha=0.0, beta=1.0, jgup_delta=None):
+        d = self._diag_lap
+        if jgup_delta is not None and jgup_delta[0] is not None:
+            d = d + self._diag_lap_of(jgup_delta[0])
+        return alpha + beta * d
 
     # ------------------------------------------------------------ diagonal
     def _bc_factor(self, bc):
@@ -69,24 +77,41 @@ class PoissonOp:
             return 1.0
         return 0.0  # extrap ~ one-sided; treat as Neumann for the diag
 
-    def _build_diag_lap(self):
-        """Diagonal of (1/J) d_d (Jgup d_d .) with BC effects, no alpha/beta
-        (reference: FILLMAPPEDLAPDIAG kernels)."""
-        grid, geo = self.grid, self.geo
+    def _build_bc_face_factors(self):
+        """Per-direction (lo_factor, hi_factor) CC fields encoding the BC
+        ghost-formula effect on the boundary-face coupling."""
+        grid = self.grid
         shape = grid.shape
-        diag = jnp.zeros(shape)
+        out = []
         for d in range(grid.ndim):
             ax = grid.axis(d)
-            Jg = geo.Jgup_diag[d] * jnp.ones(grid.fc_shape(d))
-            lo = slc(Jg, ax, 0, -1)
-            hi = slc(Jg, ax, 1, None)
             n = shape[ax]
             lo_f = jnp.ones(shape).at[self._edge(ax, 0)].set(
                 self._bc_factor(self.bcs.lo[d]))
             hi_f = jnp.ones(shape).at[self._edge(ax, n - 1)].set(
                 self._bc_factor(self.bcs.hi[d]))
+            out.append((lo_f, hi_f))
+        return out
+
+    def _diag_lap_of(self, jgup_diag_per_d):
+        """Laplacian diagonal for a given set of per-direction face
+        coefficients (reference: FILLMAPPEDLAPDIAG kernels)."""
+        grid, geo = self.grid, self.geo
+        shape = grid.shape
+        diag = jnp.zeros(shape)
+        for d in range(grid.ndim):
+            if jgup_diag_per_d[d] is None:
+                continue
+            ax = grid.axis(d)
+            Jg = jgup_diag_per_d[d] * jnp.ones(grid.fc_shape(d))
+            lo = slc(Jg, ax, 0, -1)
+            hi = slc(Jg, ax, 1, None)
+            lo_f, hi_f = self._bc_face_factors[d]
             diag = diag - (lo * lo_f + hi * hi_f) / (grid.dx[d] ** 2)
         return geo.Jinv * diag
+
+    def _build_diag_lap(self):
+        return self._diag_lap_of(self.geo.Jgup_diag)
 
     def _edge(self, ax: int, idx: int):
         sl = [slice(None)] * self.grid.ndim
@@ -103,22 +128,23 @@ class PoissonOp:
         return red, jnp.logical_not(red)
 
     def relax_jacobi(self, phi, rhs, alpha, beta, iters: int,
-                     weight: float = 0.6):
-        inv_diag = weight / self.diag(alpha, beta)
+                     weight: float = 0.6, jgup_delta=None):
+        inv_diag = weight / self.diag(alpha, beta, jgup_delta)
 
         def body(_, p):
-            return p + inv_diag * self.residual(p, rhs, alpha, beta)
+            return p + inv_diag * self.residual(p, rhs, alpha, beta,
+                                                jgup_delta=jgup_delta)
 
         return jax.lax.fori_loop(0, iters, body, phi)
 
     def relax_gsrb(self, phi, rhs, alpha, beta, iters: int,
-                   weight: float = 1.0):
+                   weight: float = 1.0, jgup_delta=None):
         """Red-black Gauss-Seidel (reference: LevelGSRB, GSRBITER*)."""
         red, black = self._rb_masks
-        inv_diag = weight / self.diag(alpha, beta)
+        inv_diag = weight / self.diag(alpha, beta, jgup_delta)
 
         def half(p, mask):
-            r = self.residual(p, rhs, alpha, beta)
+            r = self.residual(p, rhs, alpha, beta, jgup_delta=jgup_delta)
             return jnp.where(mask, p + inv_diag * r, p)
 
         def body(_, p):
@@ -142,31 +168,47 @@ class PoissonOp:
             self._line_coefs = (a, c)
         return self._line_coefs
 
-    def relax_line_vertical(self, phi, rhs, alpha, beta, iters: int):
+    def relax_line_vertical(self, phi, rhs, alpha, beta, iters: int,
+                            jgup_delta=None):
         """Vertical line relaxation: exact tridiagonal solve along z per
         column with horizontal terms lagged (reference: LineGSRB).  The
         line-block diagonal is the FULL operator diagonal — dropping the
         horizontal self-coupling makes line-constant modes diverge."""
         from somar_tpu.solvers.tridiag import thomas_solve
 
+        grid = self.grid
         a_s, c_s = self._vertical_line_parts()
         a = beta * a_s
         c = beta * c_s
-        b = self.diag(alpha, beta) * jnp.ones(self.grid.shape)
+        if jgup_delta is not None and jgup_delta[0] is not None:
+            dvert = grid.vertical_dir
+            dd = jgup_delta[0][dvert]
+            if dd is not None:
+                dz = grid.dx[dvert]
+                Jg = dd * jnp.ones(grid.fc_shape(dvert))
+                scale = self.geo.Jinv / (dz * dz)
+                nz = grid.shape[0]
+                a = a + beta * (slc(Jg, 0, 0, -1) * scale).at[0].set(0.0)
+                c = c + beta * (slc(Jg, 0, 1, None) * scale).at[nz - 1].set(0.0)
+        b = self.diag(alpha, beta, jgup_delta) * jnp.ones(grid.shape)
 
         def body(_, p):
-            r = self.residual(p, rhs, alpha, beta)
+            r = self.residual(p, rhs, alpha, beta, jgup_delta=jgup_delta)
             return p + thomas_solve(a, b, c, r)
 
         return jax.lax.fori_loop(0, iters, body, phi)
 
-    def relax(self, phi, rhs, alpha, beta, iters: int, mode: str = "gsrb"):
+    def relax(self, phi, rhs, alpha, beta, iters: int, mode: str = "gsrb",
+              jgup_delta=None):
         if mode == "jacobi":
-            return self.relax_jacobi(phi, rhs, alpha, beta, iters)
+            return self.relax_jacobi(phi, rhs, alpha, beta, iters,
+                                     jgup_delta=jgup_delta)
         if mode == "gsrb":
-            return self.relax_gsrb(phi, rhs, alpha, beta, iters)
+            return self.relax_gsrb(phi, rhs, alpha, beta, iters,
+                                   jgup_delta=jgup_delta)
         if mode == "line":
-            return self.relax_line_vertical(phi, rhs, alpha, beta, iters)
+            return self.relax_line_vertical(phi, rhs, alpha, beta, iters,
+                                            jgup_delta=jgup_delta)
         if mode == "none":
             return phi
         raise ValueError(f"unknown relax mode {mode}")
