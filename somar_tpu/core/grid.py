@@ -56,7 +56,9 @@ class Grid:
             object.__setattr__(self, "periodic", tuple(bool(p) for p in self.periodic))
         assert len(self.dx) == len(nx) and len(self.x0) == len(nx)
         assert len(self.periodic) == len(nx)
-        assert len(nx) in (2, 3), "somar_tpu supports 2D (x,z) and 3D (x,y,z)"
+        # 2D (x,z) and 3D (x,y,z) domains; 1D grids arise as the flattened
+        # horizontal grids of the leptic solver (Subspace.H analog)
+        assert len(nx) in (1, 2, 3)
 
     # ---------------------------------------------------------------- basic
     @property

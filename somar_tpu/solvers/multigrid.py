@@ -144,9 +144,16 @@ class LevelMultigrid:
         self.ops: List[PoissonOp] = []
         g, lg = grid, geo
         self.ops.append(PoissonOp(lg, bcs))
+        from somar_tpu.geometry.raw_geometry import (
+            RawGeoSource, coarsen_raw_geometry)
+        raw = isinstance(geo.geo, RawGeoSource)
         for ratio in sched:
             g = g.coarsen(ratio)
-            lg = build_level_geometry(g, geo.geo, dtype=dtype)
+            if raw:
+                # array-defined coefficients: coarsen them directly
+                lg = coarsen_raw_geometry(lg, ratio)
+            else:
+                lg = build_level_geometry(g, geo.geo, dtype=dtype)
             self.ops.append(PoissonOp(lg, bcs))
         self.depth = len(self.ops)
         self.bcs_singular = self.ops[0].bcs_singular()

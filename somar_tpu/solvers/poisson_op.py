@@ -191,10 +191,19 @@ class PoissonOp:
                 a = a + beta * (slc(Jg, 0, 0, -1) * scale).at[0].set(0.0)
                 c = c + beta * (slc(Jg, 0, 1, None) * scale).at[nz - 1].set(0.0)
         b = self.diag(alpha, beta, jgup_delta) * jnp.ones(grid.shape)
+        red, black = self._rb_masks
+        inv_diag = 1.0 / b
 
         def body(_, p):
+            # line solve kills vertical error; the GSRB sweep smooths the
+            # horizontal high frequencies the line solve cannot (pure line
+            # relaxation stalls MG once coarsening equalizes anisotropy)
             r = self.residual(p, rhs, alpha, beta, jgup_delta=jgup_delta)
-            return p + thomas_solve(a, b, c, r)
+            p = p + thomas_solve(a, b, c, r)
+            for mask in (red, black):
+                r = self.residual(p, rhs, alpha, beta, jgup_delta=jgup_delta)
+                p = jnp.where(mask, p + inv_diag * r, p)
+            return p
 
         return jax.lax.fori_loop(0, iters, body, phi)
 
