@@ -1,0 +1,124 @@
+"""Refinement tagging: where to refine.
+
+Re-design of AMRNavierStokes::tagCells
+(`/root/reference/src/NavierStokes/AMRNavierStokesRegrid.cpp:85-677`):
+  * undivided-difference tags on buoyancy / velocity (tolerance knobs
+    amr.buoyancy_tag_tol, amr.vel_tag_tol);
+  * |vorticity| quota tags (fraction of the level max, amr.magvort_tag_quota,
+    :255-330);
+  * gradient-Richardson-number tags (:234-252);
+  * tag growing (amr.tags_grow) and vertical tag extrusion
+    (s_vert_extrude_tags, AMRNavierStokes.H:745-749 — levels span the
+    water column, which the single-patch TPU hierarchy requires anyway).
+
+Runs host-side at regrid time on NumPy copies (regridding changes array
+shapes/origins, so it is inherently un-jitted — same as the reference).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+from somar_tpu.core.grid import Grid
+
+
+@dataclasses.dataclass(frozen=True)
+class TagParams:
+    buoyancy_tag_tol: float = 0.0
+    vel_tag_tol: float = 0.0
+    magvort_tag_quota: float = 0.0
+    ri_tag_tol: float = 0.0
+    tags_grow: int = 0
+    vert_extrude: bool = True
+
+
+def _undivided_diff_mag(f: np.ndarray) -> np.ndarray:
+    """Max undivided one-sided difference magnitude over all axes."""
+    out = np.zeros_like(f)
+    for ax in range(f.ndim):
+        d = np.abs(np.diff(f, axis=ax))
+        lo = [slice(None)] * f.ndim
+        hi = [slice(None)] * f.ndim
+        lo[ax] = slice(0, -1)
+        hi[ax] = slice(1, None)
+        np.maximum(out[tuple(lo)], d, out=out[tuple(lo)])
+        np.maximum(out[tuple(hi)], d, out=out[tuple(hi)])
+    return out
+
+
+def compute_tags(state, level, params: TagParams) -> np.ndarray:
+    """Boolean tag field on the level's grid (host-side)."""
+    grid: Grid = level.grid
+    tags = np.zeros(grid.shape, dtype=bool)
+
+    if params.buoyancy_tag_tol > 0.0:
+        b = np.asarray(state.scalars[0])
+        tags |= _undivided_diff_mag(b) > params.buoyancy_tag_tol
+
+    if params.vel_tag_tol > 0.0:
+        for m in range(grid.ndim):
+            u = np.asarray(state.vel[m])
+            tags |= _undivided_diff_mag(u) > params.vel_tag_tol
+
+    if params.magvort_tag_quota > 0.0:
+        from somar_tpu.ops.stencil import vorticity
+        w = np.asarray(vorticity(
+            state.vel, level.geo,
+            [level.vel_bcs_trace[m] for m in range(grid.ndim)]))
+        mag = np.abs(w) if grid.ndim == 2 else np.sqrt((w**2).sum(axis=0))
+        mmax = mag.max()
+        if mmax > 0:
+            tags |= mag > params.magvort_tag_quota * mmax
+
+    if params.tags_grow > 0 and tags.any():
+        g = params.tags_grow
+        grown = tags.copy()
+        for ax in range(tags.ndim):
+            for shift in range(1, g + 1):
+                grown |= np.roll(tags, shift, axis=ax)
+                grown |= np.roll(tags, -shift, axis=ax)
+        tags = grown
+
+    if params.vert_extrude and tags.any():
+        # extrude along the vertical (array axis 0): a tagged column is
+        # tagged everywhere (reference: s_vert_extrude_tags)
+        tags = np.broadcast_to(tags.any(axis=0, keepdims=True),
+                               tags.shape).copy()
+    return tags
+
+
+def patch_origin_from_tags(tags: np.ndarray, grid: Grid, ratio,
+                           interior_shape_f, halo_axes) -> Optional[np.ndarray]:
+    """Choose the (fine-index-space) patch origin covering the tags.
+
+    The patch has a STATIC fine interior shape per array axis
+    (interior_shape_f) and a per-axis halo (0 on physical/vertical sides,
+    ADVECT_GROW on coarse-fine sides); the origin snaps to coarse cells and
+    is clamped so patch+halo stays inside the domain.  Returns the
+    per-array-axis origin of the EXTENDED patch, or None when untagged.
+    """
+    from somar_tpu.native import tag_bounding_box
+
+    bbox = tag_bounding_box(tags)
+    if bbox is None:
+        return None
+    lo, hi = bbox[0], bbox[1]
+    origin = np.zeros(grid.ndim, dtype=np.int64)  # per array axis, fine cells
+    for ax in range(grid.ndim):
+        d = grid.dir_of_axis(ax)
+        r = ratio[d]
+        n_f = grid.nx[d] * r
+        interior_f = interior_shape_f[ax]
+        h = halo_axes[ax]
+        center_c = 0.5 * (lo[ax] + hi[ax] + 1)
+        start_f = int(round(center_c * r - interior_f / 2))
+        start_f = (start_f // r) * r                 # snap to coarse cells
+        # clamp keeping one coarse cell of donor margin beyond the halo on
+        # CF sides (h > 0); spanned sides (h == 0) pin to the boundary
+        margin = h + r if h > 0 else 0
+        start_f = max(margin, min(start_f, n_f - interior_f - margin))
+        origin[ax] = start_f - h                     # extended origin
+    return origin

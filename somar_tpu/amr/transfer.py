@@ -1,0 +1,94 @@
+"""Inter-level transfer operators: prolongation, restriction, patch moves.
+
+Re-design of the reference's MappedChombo transfer layer
+(`/root/reference/src/MappedChombo/`): MappedCoarseAverage (fine->coarse
+block averaging, MappedCoarseAverageF.ChF), MappedFineInterp
+(coarse->fine piecewise-linear, MappedFineInterpF.ChF),
+MappedPiecewiseLinearFillPatch (space+time interpolated CF ghost fill).
+All support anisotropic per-direction IntVect ratios.
+
+Dense-array versions: prolongation is slope-based (central differences,
+one-sided at edges) evaluated at the fine-cell offsets inside each coarse
+cell; restriction is block averaging; patch extraction/insertion are
+dynamic slices at traced origins (regrid moves the patch without
+recompiling).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from somar_tpu.core.grid import Grid
+from somar_tpu.solvers.multigrid import restrict_fullweight
+
+
+def _slopes(arr, ax: int):
+    """Van-Leer-limited central slopes per cell, one-sided at the edges
+    (reference: MappedFineInterp's limited-linear variant,
+    UnmappedInterpLimitFace — unlimited central slopes overshoot ~25% at
+    sharp interfaces, which the lock-exchange front immediately exposes)."""
+    n = arr.shape[ax]
+    sl = lambda a, b: jax.lax.slice_in_dim(arr, a, b, axis=ax)
+    dl = sl(1, n - 1) - sl(0, n - 2)
+    dr = sl(2, n) - sl(1, n - 1)
+    dc = 0.5 * (dl + dr)
+    lim = 2.0 * jnp.minimum(jnp.abs(dl), jnp.abs(dr))
+    mono = (dl * dr) > 0.0
+    interior = jnp.where(mono, jnp.sign(dc) * jnp.minimum(jnp.abs(dc), lim),
+                         0.0)
+    lo = sl(1, 2) - sl(0, 1)
+    hi = sl(n - 1, n) - sl(n - 2, n - 1)
+    return jnp.concatenate([lo, interior, hi], axis=ax)
+
+
+def prolong_linear(coarse, grid_c: Grid, ratio: Sequence[int]):
+    """Piecewise-multilinear interpolation onto the refined grid
+    (reference: MappedFineInterp unmappedinterplinear)."""
+    out = coarse
+    ndim = coarse.ndim
+    for ax in range(ndim):
+        d = grid_c.dir_of_axis(ax)
+        r = ratio[d]
+        if r == 1:
+            continue
+        s = _slopes(out, ax)
+        # fine sub-cell offsets within a coarse cell: ((k+0.5)/r - 0.5)
+        offsets = (jnp.arange(r) + 0.5) / r - 0.5
+        # expand: out[..., i, ...] -> out + offset_k * slope
+        oshape = [1] * (out.ndim + 1)
+        oshape[ax + 1] = r
+        off = offsets.reshape(oshape)
+        vals = jnp.expand_dims(out, ax + 1) + off * jnp.expand_dims(s, ax + 1)
+        merged = list(out.shape)
+        merged[ax] = merged[ax] * r
+        out = vals.reshape(merged)
+    return out
+
+
+def restrict_average(fine, grid_f: Grid, ratio: Sequence[int]):
+    """Fine->coarse block average (reference: MappedCoarseAverage
+    UNMAPPEDAVERAGE)."""
+    return restrict_fullweight(fine, grid_f, ratio)
+
+
+def extract_patch(field, origin_axes, shape_axes):
+    """dynamic_slice of a rectangular patch; origin per ARRAY axis (may be
+    traced), shape static."""
+    return jax.lax.dynamic_slice(field, tuple(origin_axes),
+                                 tuple(shape_axes))
+
+
+def insert_patch(field, patch, origin_axes):
+    """dynamic_update_slice of a rectangular patch at a (traced) origin."""
+    return jax.lax.dynamic_update_slice(field, patch.astype(field.dtype),
+                                        tuple(origin_axes))
+
+
+def time_interp(old, new, frac):
+    """Linear time interpolation between coarse states (reference:
+    MappedPiecewiseLinearFillPatch time interpolation)."""
+    return jax.tree_util.tree_map(
+        lambda a, b: (1.0 - frac) * a + frac * b, old, new)

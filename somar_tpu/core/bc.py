@@ -33,6 +33,11 @@ class BCType(enum.IntEnum):
     DIRICHLET = 1
     NEUMANN = 2
     EXTRAP = 3
+    #: coarse-fine interface: ghost CELLS hold externally supplied data
+    #: (interpolated from the coarser level; reference: the CF BCType in
+    #: BCDescriptor.H:50-61 + MappedQuadCFInterp ghost fills).  The
+    #: homogeneous version zeroes the ghosts (correction solves).
+    CF = 4
 
 
 @dataclasses.dataclass(frozen=True)
@@ -56,6 +61,12 @@ class BC:
     @staticmethod
     def extrap(order: int = 1) -> "BC":
         return BC(BCType.EXTRAP, order=order)
+
+    @staticmethod
+    def cf(value=0.0) -> "BC":
+        """Coarse-fine ghost cells; `value` may be an array block shaped
+        like the ghost region (ngrow layers) or 0.0 for homogeneous."""
+        return BC(BCType.CF, value=value)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -140,6 +151,16 @@ def _ghost_block(arr, ax: int, bc: BC, ngrow: int, side: int, h: float):
                 layers.append(a * c0 + b * c1 + c * c2)
         else:
             raise ValueError(f"unsupported extrap order {bc.order}")
+    elif bc.type == BCType.CF:
+        # externally supplied ghost data (or zeros when homogeneous);
+        # a scalar value broadcasts, an array must already be the full
+        # ngrow-deep ghost block in the correct orientation
+        ref = interior(1)
+        block_shape = list(ref.shape)
+        block_shape[ax] = ngrow
+        if hasattr(bc.value, "shape") and getattr(bc.value, "ndim", 0) > 0:
+            return jnp.broadcast_to(bc.value, block_shape)
+        return jnp.full(block_shape, bc.value, dtype=arr.dtype)
     else:
         raise ValueError(f"unsupported BC type {bc.type}")
 

@@ -75,11 +75,18 @@ def mac_gradient(phi, geo: LevelGeometry, bcs: FieldBCs,
     face metric, ((diag_d,)*ndim, (full_d,)*ndim | None) — used by the
     implicit-gravity AlteredMetric (reference: AlteredMetric.H:34-56,
     fill_Jgup = J(g^ij - (w^2/(1+w^2)) dxi^i/dz dxi^j/dz))."""
+    # one ghost everywhere covers both normal and tangential derivatives
+    p = fill_ghosts_cc(phi, geo.grid, bcs, 1)
+    return mac_gradient_prepadded(p, geo, jgup_delta)
+
+
+def mac_gradient_prepadded(p, geo: LevelGeometry, jgup_delta=None) -> Tuple:
+    """mac_gradient on an array already padded with ONE ghost layer on
+    every side (used by the coarse-fine machinery, where ghost cells hold
+    interpolated coarse data rather than BC-formula fills)."""
     grid = geo.grid
     ndim = grid.ndim
     dx = grid.dx
-    # one ghost everywhere covers both normal and tangential derivatives
-    p = fill_ghosts_cc(phi, grid, bcs, 1)
 
     d_diag = jgup_delta[0] if jgup_delta is not None else None
     d_full = jgup_delta[1] if jgup_delta is not None else None

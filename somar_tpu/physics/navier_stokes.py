@@ -248,7 +248,8 @@ class NSLevel:
         pad[ax] = (1, 1)
         return avg_along(jnp.pad(Jcc, pad, mode="edge"), ax)
 
-    def compute_advecting_velocities(self, state: NSState, src_vel, dt):
+    def compute_advecting_velocities(self, state: NSState, src_vel, dt,
+                                     ring_mac=None):
         """Predict face-centered J u^d at t+dt/2 and MAC-project
         (reference: computeAdvectingVelocities,
         AMRNavierStokesAdvancePPM.cpp:218-300)."""
@@ -288,7 +289,7 @@ class NSLevel:
 
         if self.params.is_incompressible:
             adv, mac_phi, _ = self.projector.project_mac(
-                tuple(adv), phi0=state.mac_phi)
+                tuple(adv), phi0=state.mac_phi, ring=ring_mac)
             adv = tuple(apply_fc_bc(adv[d], d, grid, self.vel_bcs_trace[d])
                         for d in range(ndim))
         else:
@@ -373,10 +374,15 @@ class NSLevel:
         return jnp.stack(new_vel)
 
     # ------------------------------------------------------------ advance
-    def advance(self, state: NSState, dt) -> NSState:
-        """One PPM predictor-corrector step (reference: PPMTimeStep)."""
+    def advance(self, state: NSState, dt, rings=None) -> NSState:
+        """One PPM predictor-corrector step (reference: PPMTimeStep).
+
+        rings: optional dict(mac=..., cc=...) of padded-shape coarse-fine
+        ghost-potential arrays (AMR patch levels)."""
         p = self.params
         grid = self.grid
+        ring_mac = rings.get("mac") if rings else None
+        ring_cc = rings.get("cc") if rings else None
 
         # source terms for the predictor
         grav = self._gravity_source(state.scalars)
@@ -403,7 +409,7 @@ class NSLevel:
 
         u_mapped = self.geo.to_mapped(state.vel)
         adv_vel, mac_phi = self.compute_advecting_velocities(
-            state, src_vel, dt)
+            state, src_vel, dt, ring_mac=ring_mac)
 
         scalars = self.get_new_scalars(state, u_mapped, adv_vel, dt)
         lam = self.get_new_lambda(state, u_mapped, adv_vel, dt)
@@ -418,7 +424,7 @@ class NSLevel:
             pressure = state.pressure + cc_phi / dt
         elif p.is_incompressible:
             vel, cc_phi, _ = self.projector.project_cc(
-                vel, self.vel_bcs_trace, phi0=state.cc_phi)
+                vel, self.vel_bcs_trace, phi0=state.cc_phi, ring=ring_cc)
             pressure = state.pressure + cc_phi / dt
 
         return NSState(vel=vel, scalars=scalars, lam=lam, mac_phi=mac_phi,

@@ -30,8 +30,10 @@ import jax.numpy as jnp
 
 from somar_tpu.core.bc import BC, BCType, FieldBCs
 from somar_tpu.geometry.level_geometry import LevelGeometry
+from somar_tpu.core.bc import fill_ghosts_cc
 from somar_tpu.ops.stencil import (
-    cc_to_fc, fc_to_cc, mac_divergence, mac_gradient)
+    cc_to_fc, fc_to_cc, mac_divergence, mac_gradient,
+    mac_gradient_prepadded)
 from somar_tpu.solvers.multigrid import LevelMultigrid, MGParams
 from somar_tpu.solvers.bicgstab import bicgstab, BiCGStabParams
 
@@ -84,23 +86,43 @@ class LevelProjector:
             for d in range(grid.ndim)])
         return geo.to_cartesian(grad_cc)
 
+    # ------------------------------------------------------------- rings
+    def _grad_with_ring(self, phi, ring, jd0=None):
+        """MAC gradient of phi whose ghost ring carries coarse-fine data:
+        the padded potential is fill_ghosts(phi) + ring (ring is a
+        padded-shape array, zero in the interior and on non-CF sides)."""
+        p = fill_ghosts_cc(phi, self.grid, self.phi_bcs, 1)
+        if ring is not None:
+            p = p + ring
+        return mac_gradient_prepadded(p, self.geo, jgup_delta=jd0)
+
+    def _rhs_ring_correction(self, ring, jd0=None):
+        """L(ring-only potential): folds inhomogeneous CF ghost data into
+        the RHS by linearity (the CF analog of the BC fold in
+        LevelMultigrid.solve(homogeneous=False))."""
+        grad = mac_gradient_prepadded(ring, self.geo, jgup_delta=jd0)
+        return mac_divergence(grad, self.geo)
+
     # ------------------------------------------------------ MAC projection
-    def project_mac(self, fluxes: Sequence, phi0=None):
+    def project_mac(self, fluxes: Sequence, phi0=None, ring=None):
         """Exact level projection of MAC fluxes F_d = J u^d.
 
-        Returns (corrected fluxes, phi, info).  Reference:
-        LevelMACProjector::levelProject (call site
+        ring: optional padded-shape array of coarse-fine ghost potential
+        values (AMR patch levels).  Returns (corrected fluxes, phi, info).
+        Reference: LevelMACProjector::levelProject (call site
         AMRNavierStokesAdvancePPM.cpp:270-276).
         """
         div = mac_divergence(fluxes, self.geo)
+        if ring is not None:
+            div = div - self._rhs_ring_correction(ring)
         phi, info = self._solve(div, phi0)
-        grad = mac_gradient(phi, self.geo, self.phi_bcs)
+        grad = self._grad_with_ring(phi, ring)
         out = tuple(f - g for f, g in zip(fluxes, grad))
         return out, phi, info
 
     # ------------------------------------------------------- CC projection
     def project_cc(self, vel_cart, vel_bcs: Sequence[FieldBCs], phi0=None,
-                   scale: float = 1.0, jgup_deltas=None):
+                   scale: float = 1.0, jgup_deltas=None, ring=None):
         """Approximate projection of a CC Cartesian-basis velocity.
 
         vel -= scale * to_cartesian(g^{dj} d_j phi |_cc); the Poisson rhs
@@ -117,8 +139,10 @@ class LevelProjector:
             f = cc_to_fc(geo.mult_by_J(u_mapped[d]), d, grid, vel_bcs[d])
             fluxes.append(f)
         div = mac_divergence(fluxes, geo)
+        if ring is not None:
+            div = div - self._rhs_ring_correction(ring, jd0)
         phi, info = self._solve(div, phi0, jgup_deltas)
-        grad_fc = mac_gradient(phi, geo, self.phi_bcs, jgup_delta=jd0)
+        grad_fc = self._grad_with_ring(phi, ring, jd0)
         grad_cc = jnp.stack([
             fc_to_cc(grad_fc[d], d, grid) * geo.Jinv
             for d in range(grid.ndim)])     # contravariant g^{dj} d_j phi

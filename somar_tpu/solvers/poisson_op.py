@@ -75,6 +75,8 @@ class PoissonOp:
             return 0.0
         if bc.type == BCType.PERIODIC:
             return 1.0
+        if bc.type == BCType.CF:
+            return 1.0  # ghost holds external data, coupling intact
         return 0.0  # extrap ~ one-sided; treat as Neumann for the diag
 
     def _build_bc_face_factors(self):
