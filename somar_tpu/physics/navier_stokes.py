@@ -124,11 +124,17 @@ class NSLevel:
                                  params.mg, params.dtype)
                 for m in range(ndim)]
         self.diff_solvers = []
+        # diffusive TGA/CN solves use no-flux (adiabatic Neumann) walls,
+        # not the tracing extrapolation fills (reference: the separate
+        # diffusiveSolveFuncBC, e.g. HorizConvBCUtil.cpp:112-147)
+        diff_bcs = getattr(problem, "diffusive_solve_bcs", None)
+        diff_bcs = diff_bcs(grid) if callable(diff_bcs) else \
+            FieldBCs.from_periodic(grid, BC.neumann(0.0))
         for comp in range(problem.num_scalars):
             kap = params.kappa[comp] if comp < len(params.kappa) else 0.0
             self.diff_solvers.append(
                 make_heat_solver(params.diffusive_solver_type, geo,
-                                 self.scal_bcs, kap, params.mg, params.dtype)
+                                 diff_bcs, kap, params.mg, params.dtype)
                 if kap > 0.0 else None)
 
         # Laplacian op for explicit viscous source (per-component BCs)

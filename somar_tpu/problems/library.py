@@ -141,6 +141,11 @@ class HorizConv(Problem):
     def scalar_ic(self, geo: LevelGeometry, comp: int = 0):
         return 0.5 * jnp.ones(geo.grid.shape)
 
+    def diffusive_solve_bcs(self, grid: Grid) -> FieldBCs:
+        """The hot/cold top forcing enters through the diffusion solve
+        (reference: HorizConvBCUtil::diffusiveSolveFuncBC)."""
+        return self.scalar_bcs(grid)
+
     def scalar_bcs(self, grid: Grid) -> FieldBCs:
         # top Dirichlet value varies with x: cold half -> hot half ramp
         xc = grid.cc_coord_1d(0)

@@ -53,19 +53,42 @@ class LevelProjector:
     """
 
     def __init__(self, geo: LevelGeometry, mg_params: MGParams = MGParams(),
-                 phi_bcs: Optional[FieldBCs] = None, method: str = "mg",
+                 phi_bcs: Optional[FieldBCs] = None, method: str = "auto",
                  dtype=jnp.float32):
         self.geo = geo
         self.grid = geo.grid
         self.phi_bcs = phi_bcs or pressure_bcs(geo.grid)
-        self.method = method
         self.mg = LevelMultigrid(geo, self.phi_bcs, params=mg_params,
                                  dtype=dtype)
         self.op = self.mg.ops[0]
         self.singular = self.op.bcs_singular()
+        # solver mux (reference: AMRPressureSolver leptic/MG/BiCGStab flags,
+        # AMRPressureSolver.cpp:39-40) + the TPU-only spectral fast path
+        self.fft = None
+        if method == "auto":
+            from somar_tpu.solvers.fft_poisson import FFTPoissonSolver
+            if FFTPoissonSolver.supports(geo, self.phi_bcs):
+                self.fft = FFTPoissonSolver(geo, self.phi_bcs, dtype)
+                method = "fft"
+            else:
+                method = "mg"
+        elif method == "fft":
+            from somar_tpu.solvers.fft_poisson import FFTPoissonSolver
+            self.fft = FFTPoissonSolver(geo, self.phi_bcs, dtype)
+        elif method == "leptic":
+            from somar_tpu.solvers.leptic import LevelLepticSolver
+            self.leptic = LevelLepticSolver(geo, self.phi_bcs, dtype=dtype)
+        self.method = method
 
     # ----------------------------------------------------------- solves
     def _solve(self, rhs, phi0=None, jgup_deltas=None):
+        if self.method == "fft" and jgup_deltas is None:
+            # exact spectral solve (uniform Cartesian metric, hom BCs)
+            return self.fft.solve(rhs), (jnp.asarray(1), jnp.asarray(0.0))
+        if self.method == "leptic" and jgup_deltas is None:
+            phi, (it, rr, status) = self.leptic.solve_with_fallback(
+                rhs, phi0)
+            return phi, (it, rr)
         if self.method == "bicgstab":
             jd0 = jgup_deltas[0] if jgup_deltas is not None else None
             return bicgstab(

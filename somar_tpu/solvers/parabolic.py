@@ -48,10 +48,16 @@ class BaseHeatSolver:
         self.kappa = float(kappa)
         self.mg = LevelMultigrid(geo, bcs, params=mg_params, dtype=dtype)
         self._op = self.mg.ops[0]
+        # spectral fast path when the BCs/metric are eigen-decomposable
+        from somar_tpu.solvers.fft_poisson import FFTPoissonSolver
+        self._fft = (FFTPoissonSolver(geo, bcs, dtype)
+                     if FFTPoissonSolver.supports(geo, bcs) else None)
 
     def _helmholtz_solve(self, rhs, coef, dt, phi0):
         """Solve (I - coef*dt*kappa*L) out = rhs."""
         beta = -coef * dt * self.kappa
+        if self._fft is not None:
+            return self._fft.solve(rhs, alpha=1.0, beta=beta), (1, 0.0)
         return self.mg.solve(rhs, phi0=phi0, alpha=1.0, beta=beta,
                              homogeneous=False, singular=False)
 
