@@ -226,6 +226,8 @@ class ProblemContext:
                 pp.get_int("amr.limitDtViaInternalWaveSpeed", 0)),
             nonlinear_differencing_form=pp.get_int(
                 "advection.nonlinearDifferencingForm", 0),
+            update_scheme={0: "ppm", 1: "ppm", 2: "rk3"}.get(
+                pp.get_int("amr.updateScheme", 0), "ppm"),
             advection_vel=adv_vel,
             advection_scal=adv_scal,
             mg=mg,

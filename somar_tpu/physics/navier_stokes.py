@@ -68,6 +68,7 @@ class NSParams:
     limit_dt_via_pressure_gradient: bool = False
     limit_dt_via_internal_wave_speed: bool = False
     nonlinear_differencing_form: int = 0  # -1 none, 0 conservative, 1 advective
+    update_scheme: str = "ppm"            # amr.updateScheme: "ppm" | "rk3"
     advection_vel: AdvectionParams = AdvectionParams(use_limiting=False)
     advection_scal: AdvectionParams = AdvectionParams(use_limiting=True)
     mg: MGParams = MGParams()
@@ -381,11 +382,16 @@ class NSLevel:
 
     # ------------------------------------------------------------ advance
     def advance(self, state: NSState, dt, rings=None) -> NSState:
-        """One PPM predictor-corrector step (reference: PPMTimeStep).
+        """One time step: PPM predictor-corrector (reference: PPMTimeStep)
+        or RK3 MOL (reference: RK3TimeStep) per update_scheme
+        (AMRNavierStokesAdvance.cpp:130-150 dispatch).
 
         rings: optional dict(mac=..., cc=...) of padded-shape coarse-fine
         ghost-potential arrays (AMR patch levels)."""
         p = self.params
+        if p.update_scheme == "rk3":
+            from somar_tpu.physics.rk3 import advance_rk3
+            return advance_rk3(self, state, dt)
         grid = self.grid
         ring_mac = rings.get("mac") if rings else None
         ring_cc = rings.get("cc") if rings else None

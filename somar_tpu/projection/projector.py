@@ -35,6 +35,7 @@ from somar_tpu.ops.stencil import (
     cc_to_fc, fc_to_cc, mac_divergence, mac_gradient,
     mac_gradient_prepadded)
 from somar_tpu.solvers.multigrid import LevelMultigrid, MGParams
+from somar_tpu.solvers.poisson_op import PoissonOp
 from somar_tpu.solvers.bicgstab import bicgstab, BiCGStabParams
 
 
@@ -58,9 +59,10 @@ class LevelProjector:
         self.geo = geo
         self.grid = geo.grid
         self.phi_bcs = phi_bcs or pressure_bcs(geo.grid)
-        self.mg = LevelMultigrid(geo, self.phi_bcs, params=mg_params,
-                                 dtype=dtype)
-        self.op = self.mg.ops[0]
+        self._mg_params = mg_params
+        self._dtype = dtype
+        self._mg = None       # built lazily (the spectral path skips it)
+        self.op = PoissonOp(geo, self.phi_bcs)
         self.singular = self.op.bcs_singular()
         # solver mux (reference: AMRPressureSolver leptic/MG/BiCGStab flags,
         # AMRPressureSolver.cpp:39-40) + the TPU-only spectral fast path
@@ -79,6 +81,14 @@ class LevelProjector:
             from somar_tpu.solvers.leptic import LevelLepticSolver
             self.leptic = LevelLepticSolver(geo, self.phi_bcs, dtype=dtype)
         self.method = method
+
+    @property
+    def mg(self) -> LevelMultigrid:
+        if self._mg is None:
+            self._mg = LevelMultigrid(self.geo, self.phi_bcs,
+                                      params=self._mg_params,
+                                      dtype=self._dtype)
+        return self._mg
 
     # ----------------------------------------------------------- solves
     def _solve(self, rhs, phi0=None, jgup_deltas=None):

@@ -46,12 +46,22 @@ class BaseHeatSolver:
         self.geo = geo
         self.bcs = bcs
         self.kappa = float(kappa)
-        self.mg = LevelMultigrid(geo, bcs, params=mg_params, dtype=dtype)
-        self._op = self.mg.ops[0]
+        self._mg_params = mg_params
+        self._dtype = dtype
+        self._mg = None      # built lazily (the spectral path skips it)
+        self._op = PoissonOp(geo, bcs)
         # spectral fast path when the BCs/metric are eigen-decomposable
         from somar_tpu.solvers.fft_poisson import FFTPoissonSolver
         self._fft = (FFTPoissonSolver(geo, bcs, dtype)
                      if FFTPoissonSolver.supports(geo, bcs) else None)
+
+    @property
+    def mg(self) -> LevelMultigrid:
+        if self._mg is None:
+            self._mg = LevelMultigrid(self.geo, self.bcs,
+                                      params=self._mg_params,
+                                      dtype=self._dtype)
+        return self._mg
 
     def _helmholtz_solve(self, rhs, coef, dt, phi0):
         """Solve (I - coef*dt*kappa*L) out = rhs."""

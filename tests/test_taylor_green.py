@@ -62,3 +62,31 @@ def test_tg_divergence_small():
 def test_tg_translating():
     err, _, _, _ = _run_tg(48, 10, dt=1.5e-3, u0=1.0)
     assert err < 3e-2, err
+
+
+def test_tg_rk3_scheme():
+    """RK3 MOL integrator (reference: AMRNavierStokesAdvanceRK3) on the
+    steady inviscid TG vortex."""
+    import jax
+    from somar_tpu.core.grid import Grid
+    from somar_tpu.geometry.geo_source import CartesianMap
+    from somar_tpu.geometry.level_geometry import build_level_geometry
+    from somar_tpu.physics.navier_stokes import NSLevel, NSParams
+    from somar_tpu.solvers.multigrid import MGParams
+    from somar_tpu.problems.taylor_green import TaylorGreen
+
+    n = 32
+    g = Grid(nx=(n, n), dx=(1.0 / n,) * 2, periodic=(True, True))
+    lg = build_level_geometry(g, CartesianMap())
+    prob = TaylorGreen(nu=0.0)
+    params = NSParams(nu=0.0, gravity_method=0, fixed_dt=2e-3,
+                      update_scheme="rk3", mg=MGParams(eps=1e-6))
+    level = NSLevel(lg, prob, params)
+    state = level.post_initialize(level.initial_state())
+    step = jax.jit(lambda s: level.advance(s, jnp.asarray(2e-3)))
+    for _ in range(10):
+        state = step(state)
+    exact = prob.vel_soln(lg, float(state.time))
+    err = float(jnp.max(jnp.abs(state.vel - exact)))
+    assert err < 3e-2, err
+    assert np.all(np.isfinite(np.asarray(state.vel)))
