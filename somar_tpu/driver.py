@@ -39,7 +39,26 @@ class RunDriver:
         self.geo = build_level_geometry(self.grid, ctx.new_geo_source(),
                                         dtype=ctx.ns.dtype)
         self.problem = ctx.new_problem()
-        self.level = NSLevel(self.geo, self.problem, ctx.ns)
+        self.hierarchy = None
+        if ctx.amr.max_level >= 1 and self.geo.is_uniform:
+            from somar_tpu.amr.hierarchy import AMRHierarchy
+            from somar_tpu.amr.tagging import TagParams
+            tagp = TagParams(
+                buoyancy_tag_tol=ctx.amr.buoyancy_tag_tol,
+                vel_tag_tol=ctx.amr.vel_tag_tol,
+                magvort_tag_quota=ctx.amr.magvort_tag_quota,
+                tags_grow=ctx.amr.tags_grow,
+                vert_extrude=True)
+            self.hierarchy = AMRHierarchy(
+                self.geo, self.problem, ctx.ns,
+                ratio=ctx.amr.ref_ratios[0], tag_params=tagp)
+            self.level = self.hierarchy.level0
+            self._amr_step_fn = jax.jit(self.hierarchy.advance)
+            self._amr_dt_fn = jax.jit(self.hierarchy.compute_dt)
+            self.regrid_interval = (ctx.amr.regrid_intervals[0]
+                                    if ctx.amr.regrid_intervals else 10)
+        else:
+            self.level = NSLevel(self.geo, self.problem, ctx.ns)
         self._step_fn = jax.jit(lambda s, dt: self.level.advance(s, dt))
         self._dt_fn = jax.jit(self.level.compute_dt)
         self._interrupted = False
@@ -72,6 +91,11 @@ class RunDriver:
         prev_handler = signal.signal(
             signal.SIGINT, lambda *_: setattr(self, "_interrupted", True))
 
+        # AMR: build the patch level
+        fine_state = origin = None
+        if self.hierarchy is not None:
+            fine_state, origin = self.hierarchy.initial_patch_state(state)
+
         cell_updates = 0
         t_start = time.perf_counter()
         last_plot_time = float(state.time)
@@ -86,14 +110,28 @@ class RunDriver:
                     break
 
                 t0 = time.perf_counter()
-                state = self._step_fn(state, dt)
+                if self.hierarchy is not None:
+                    state, fine_state = self._amr_step_fn(
+                        state, fine_state, origin, dt)
+                    cell_updates += (self.hierarchy.nt
+                                     * int(np.prod(self.hierarchy.ext_nx)))
+                else:
+                    state = self._step_fn(state, dt)
                 state.vel.block_until_ready()
                 wc = time.perf_counter() - t0
                 step += 1
                 cell_updates += self.grid.ncells
 
+                # regrid cadence (reference: LepticAMR::needToRegrid)
+                if self.hierarchy is not None and                         step % self.regrid_interval == 0:
+                    fine_state, origin = self.hierarchy.regrid(
+                        state, fine_state)
+
                 # next dt: CFL-limited, growth-capped
-                dt_new = self._dt_fn(state)
+                if self.hierarchy is not None:
+                    dt_new = self._amr_dt_fn(state, fine_state)
+                else:
+                    dt_new = self._dt_fn(state)
                 dt = jnp.minimum(dt_new, ctx.ns.max_dt_grow * dt)
                 dt = jnp.minimum(dt, jnp.asarray(ctx.ns.max_dt))
                 if ctx.ns.fixed_dt > 0:

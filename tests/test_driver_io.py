@@ -69,3 +69,38 @@ def test_halt_file_stops_run(tmp_path):
     (tmp_path / "halt").write_text("")
     state, steps = driver.run(max_steps=50, verbose=False)
     assert steps == 0
+
+
+AMR_CFG = """
+amr.nx = 48 16
+amr.length = 15.0 2.0
+amr.nx_offset = -24 0
+ibc.problem = 1
+amr.gravityMethod = 1
+amr.viscosity = 0.0001
+amr.scal_diffusion_coeffs = 0.0001
+amr.maxlevel = 1
+amr.refratio_lev0 = 4 1
+amr.regrid_intervals = 2 2
+amr.buoyancy_tag_tol = 0.2
+amr.tags_grow = 1
+amr.fixed_dt = 0.02
+amr.maxsteps = 4
+amr.final = 10.0
+AMRMG.eps = 1e-5
+AMRMG.imax = 12
+amr.verbosity = 0
+"""
+
+
+def test_driver_amr_run(tmp_path):
+    """End-to-end AMR run through the driver: subcycling + regridding."""
+    ctx = ProblemContext.from_parmparse(ParmParse.from_string(AMR_CFG))
+    assert ctx.amr.max_level == 1
+    driver = RunDriver(ctx, out_dir=str(tmp_path))
+    assert driver.hierarchy is not None
+    state, steps = driver.run(verbose=False)
+    assert steps == 4
+    b = np.asarray(state.scalars[0])
+    assert np.all(np.isfinite(b))
+    assert b.min() > -0.05 and b.max() < 1.05
