@@ -118,11 +118,14 @@ class AMRHierarchy:
 
     def __init__(self, geo0, problem: Problem, params: NSParams,
                  ratio: Tuple[int, ...], tag_params: TagParams = TagParams(),
-                 patch_frac: float = 0.5):
+                 patch_frac: float = 0.5, eta_lambda: float = 0.0):
         assert geo0.is_uniform, (
             "round-1 AMR supports uniform (Cartesian) maps; mapped AMR "
             "requires origin-dependent metric rebuilds at regrid")
         self.level0 = NSLevel(geo0, problem, params)
+        self.eta_lambda = float(eta_lambda)
+        if self.eta_lambda > 0.0:
+            self.level0.use_vd_correction = True
         self.grid0: Grid = geo0.grid
         self.problem = problem
         self.params = params
@@ -246,6 +249,7 @@ class AMRHierarchy:
             mac_phi=f(s0.mac_phi),
             cc_phi=f(s0.cc_phi) / self.nt,   # increment scales with dt
             pressure=f(s0.pressure),
+            e_lambda=f(s0.e_lambda),
             time=s0.time,
         )
 
@@ -262,6 +266,7 @@ class AMRHierarchy:
             mac_phi=mix(s1.mac_phi, donor.mac_phi),
             cc_phi=mix(s1.cc_phi, donor.cc_phi),
             pressure=mix(s1.pressure, donor.pressure),
+            e_lambda=mix(s1.e_lambda, donor.e_lambda),
             time=s1.time,
         )
 
@@ -314,6 +319,14 @@ class AMRHierarchy:
             vel, cc_phi, _ = level0.projector.project_cc(
                 s0_new.vel, level0.vel_bcs_trace, phi0=s0_new.cc_phi)
             s0_new = dataclasses.replace(s0_new, vel=vel)
+        # volume-discrepancy (freestream) correction: eLambda potential
+        # from the lambda drift (reference: computeVDCorrection,
+        # AMRNavierStokesSync.cpp:850: rhs = etaLambda*(lambda-1)/dt,
+        # grad eLambda added to the advecting velocity next step)
+        if self.eta_lambda > 0.0:
+            rhs = self.eta_lambda * (s0_new.lam - 1.0) / dt
+            e_lam, _ = level0.projector._solve(rhs - jnp.mean(rhs))
+            s0_new = dataclasses.replace(s0_new, e_lambda=e_lam)
         return s0_new, s1
 
     def average_down(self, s0: NSState, s1: NSState, origin_f) -> NSState:
@@ -344,6 +357,7 @@ class AMRHierarchy:
             mac_phi=s0.mac_phi,
             cc_phi=s0.cc_phi,
             pressure=s0.pressure,
+            e_lambda=s0.e_lambda,
             time=s0.time,
         )
 

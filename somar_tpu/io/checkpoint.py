@@ -46,6 +46,7 @@ def write_checkpoint(path: str, state, level, step: int, dt: float,
         for c in range(state.scalars.shape[0]):
             g.create_dataset(f"new_scalar_{c}", data=np.asarray(state.scalars[c]))
         g.create_dataset("new_lambda", data=np.asarray(state.lam))
+        g.create_dataset("eLambda", data=np.asarray(state.e_lambda))
         g.create_dataset("ccPressure", data=np.asarray(state.cc_phi))
         g.create_dataset("pressure", data=np.asarray(state.pressure))
         g.create_dataset("macPressure", data=np.asarray(state.mac_phi))
@@ -72,12 +73,15 @@ def read_checkpoint(path: str, level):
         nscal = level.problem.num_scalars
         scal = jnp.stack([jnp.asarray(g[f"new_scalar_{c}"][...], dtype)
                           for c in range(nscal)])
+        e_lam = (jnp.asarray(g["eLambda"][...], dtype) if "eLambda" in g
+                 else jnp.zeros(grid.shape, dtype))
         state = NSState(
             vel=vel, scalars=scal,
             lam=jnp.asarray(g["new_lambda"][...], dtype),
             mac_phi=jnp.asarray(g["macPressure"][...], dtype),
             cc_phi=jnp.asarray(g["ccPressure"][...], dtype),
             pressure=jnp.asarray(g["pressure"][...], dtype),
+            e_lambda=e_lam,
             time=jnp.asarray(time, dtype),
         )
     return state, step, dt

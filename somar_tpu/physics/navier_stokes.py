@@ -81,7 +81,7 @@ class NSParams:
 # --------------------------------------------------------------------------
 @partial(jax.tree_util.register_dataclass,
          data_fields=["vel", "scalars", "lam", "mac_phi", "cc_phi",
-                      "pressure", "time"],
+                      "pressure", "e_lambda", "time"],
          meta_fields=[])
 @dataclasses.dataclass
 class NSState:
@@ -91,6 +91,7 @@ class NSState:
     mac_phi: jnp.ndarray             # last MAC projection potential
     cc_phi: jnp.ndarray              # last CC projection increment potential
     pressure: jnp.ndarray            # lagged CC pressure p (incremental form)
+    e_lambda: jnp.ndarray            # VD/freestream potential (AMR sync)
     time: jnp.ndarray                # scalar
 
 
@@ -107,6 +108,9 @@ class NSLevel:
         ndim = grid.ndim
 
         self.is_viscous = params.nu > 0.0
+        #: set by the AMR hierarchy when the volume-discrepancy correction
+        #: is active (reference: s_etaLambda / grad_eLambda machinery)
+        self.use_vd_correction = False
         # BC sets (reference: PhysBCUtil's ~25 holders collapse to these)
         self.vel_bcs_trace = problem.vel_bcs(grid, viscous=False)
         self.vel_bcs_visc = problem.vel_bcs(grid, viscous=self.is_viscous)
@@ -173,6 +177,7 @@ class NSLevel:
             mac_phi=jnp.zeros(shape, dtype),
             cc_phi=jnp.zeros(shape, dtype),
             pressure=jnp.zeros(shape, dtype),
+            e_lambda=jnp.zeros(shape, dtype),
             time=jnp.zeros((), dtype),
         )
 
@@ -301,6 +306,13 @@ class NSLevel:
                         for d in range(ndim))
         else:
             mac_phi = state.mac_phi
+        if self.use_vd_correction:
+            # freestream (volume-discrepancy) correction: += grad eLambda
+            # (reference: AMRNavierStokesAdvancePPM.cpp:280-286)
+            from somar_tpu.ops.stencil import mac_gradient
+            grad_e = mac_gradient(state.e_lambda, self.geo,
+                                  self.projector.phi_bcs)
+            adv = tuple(adv[d] + grad_e[d] for d in range(ndim))
         return tuple(adv), mac_phi
 
     # ------------------------------------------------------------ scalars
@@ -441,7 +453,7 @@ class NSLevel:
 
         return NSState(vel=vel, scalars=scalars, lam=lam, mac_phi=mac_phi,
                        cc_phi=cc_phi, pressure=pressure,
-                       time=state.time + dt)
+                       e_lambda=state.e_lambda, time=state.time + dt)
 
     # ------------------------------------------------- implicit gravity
     def _do_ig_projection(self, state: NSState, vel_star, scalars_star, dt):
