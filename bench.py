@@ -65,8 +65,22 @@ def main():
         "vs_baseline": round(cups / ASSUMED_CPU_BASELINE, 2),
     }
     print(json.dumps(result))
+
+    # secondary BASELINE.md metric: pressure-Poisson solve ms/step
+    # (the spectral direct solve standing in for the reference's MG)
+    proj = jax.jit(lambda v, s: level.projector.project_cc(
+        v, level.vel_bcs_trace, phi0=s.cc_phi)[0])
+    out = proj(state.vel, state)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(nsteps):
+        out = proj(state.vel, state)
+    jax.block_until_ready(out)
+    poisson_ms = 1e3 * (time.perf_counter() - t0) / nsteps
     print(f"# grid={grid.nx} steps={nsteps} elapsed={elapsed:.3f}s "
-          f"ms/step={1e3 * elapsed / nsteps:.1f} compile={compile_s:.1f}s "
+          f"ms/step={1e3 * elapsed / nsteps:.1f} "
+          f"pressure-solve={poisson_ms:.2f} ms/step "
+          f"compile={compile_s:.1f}s "
           f"device={jax.devices()[0].platform}", file=sys.stderr)
 
 

@@ -117,9 +117,14 @@ def trace_face_states(
     bcs: FieldBCs,
     params: AdvectionParams,
     vel_bcs: Optional[Sequence[FieldBCs]] = None,
+    u_pad: Optional[Sequence] = None,
+    out_dirs: Optional[Sequence[int]] = None,
 ):
     """Predict time-centered upwind face states of `s` in every direction.
 
+    u_pad: optional precomputed ADVECT_GROW-padded tracing velocities (one
+    per direction) — the NS step traces 5+ fields per substep and shares
+    one fill (the pads are identical across fields).
     Returns a tuple of face-state arrays (fc_shape(d)) per logical dir d.
     """
     grid = geo.grid
@@ -132,10 +137,11 @@ def trace_face_states(
     # stage 3 (equivalent to pre-adding it to the predictor, O(dt^2))
 
     # padded tracing velocities, one per direction
-    if vel_bcs is None:
-        vel_bcs = [bcs] * ndim
-    u_pad = [fill_ghosts_cc(vel_mapped_cc[d], grid, vel_bcs[d], G)
-             for d in range(ndim)]
+    if u_pad is None:
+        if vel_bcs is None:
+            vel_bcs = [bcs] * ndim
+        u_pad = [fill_ghosts_cc(vel_mapped_cc[d], grid, vel_bcs[d], G)
+                 for d in range(ndim)]
 
     # ------------------------------------------------ stage 1: 1D states
     lo1, hi1, rie1 = [], [], []
@@ -158,9 +164,15 @@ def trace_face_states(
 
     # ---------------------------------------- stage 2: 3D cross-corrections
     if ndim == 3:
+        need_dirs = range(ndim) if out_dirs is None else out_dirs
+        pairs = set()
+        for dd in need_dirs:
+            for j in range(ndim):
+                if j != dd:
+                    pairs.add((j, 3 - dd - j))
         rie2 = {}
-        for d in range(ndim):
-            for k in range(ndim):
+        for d, k in sorted(pairs):
+            if True:
                 if k == d:
                     continue
                 axk = grid.axis(k)
@@ -172,8 +184,13 @@ def trace_face_states(
                 vf = avg_along(u_pad[d], grid.axis(d))
                 rie2[(d, k)] = _riemann(lo_c, hi_c, vf)
     # ------------------------------------------- stage 3: final face states
-    out = []
-    for d in range(ndim):
+    # out_dirs restricts which directions' face states are produced (the
+    # advecting-velocity prediction on uniform maps consumes only the
+    # normal component per direction); stages 1-2 still run in full for
+    # the transverse corrections.
+    dirs = range(ndim) if out_dirs is None else out_dirs
+    out = {}
+    for d in dirs:
         ax = grid.axis(d)
         lo_f, hi_f = lo1[d], hi1[d]
         for j in range(ndim):
@@ -196,8 +213,8 @@ def trace_face_states(
         # crop to valid faces/cells and final Riemann with the advecting vel
         lo_v = _crop_faces(lo_f, grid, d, G)
         hi_v = _crop_faces(hi_f, grid, d, G)
-        out.append(_riemann(lo_v, hi_v, adv_vel[d]))
-    return tuple(out)
+        out[d] = _riemann(lo_v, hi_v, adv_vel[d])
+    return tuple(out.get(d) for d in range(ndim))
 
 
 def _normal_predict_fullpad(sp, u_pad, ax: int, G: int, dx: float, dt: float,

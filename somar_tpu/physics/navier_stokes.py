@@ -276,14 +276,18 @@ class NSLevel:
                      self.vel_bcs_trace[d])
             for d in range(ndim))
 
-        # predict each Cartesian component to faces
+        # predict each Cartesian component to faces; on uniform/diagonal
+        # maps only the normal component is consumed per direction
+        need_all = geo.einv_cc is not None
         predicted = []
         for m in range(ndim):
             src_m = src_vel[m] if src_vel is not None else None
             faces = trace_face_states(
                 vel[m], u_mapped, prov, src_m, dt, geo,
                 self.vel_bcs_trace[m], self.params.advection_vel,
-                vel_bcs=self.vel_bcs_trace)
+                vel_bcs=self.vel_bcs_trace,
+                u_pad=getattr(self, "_u_pad", None),
+                out_dirs=None if need_all else (m,))
             predicted.append(faces)
 
         # normal contravariant flux on d-faces: J * einv[d,m] * u_m
@@ -318,7 +322,8 @@ class NSLevel:
     # ------------------------------------------------------------ scalars
     def _advect_update(self, s, u_mapped, adv_vel, src, dt, bcs, params):
         faces = trace_face_states(s, u_mapped, adv_vel, src, dt, self.geo,
-                                  bcs, params, vel_bcs=self.vel_bcs_trace)
+                                  bcs, params, vel_bcs=self.vel_bcs_trace,
+                                  u_pad=getattr(self, "_u_pad", None))
         if self.params.nonlinear_differencing_form == 1:
             # advective form: div(u s) - s div(u)
             div_us = flux_divergence(faces, adv_vel, self.geo)
@@ -432,6 +437,11 @@ class NSLevel:
             for m in range(grid.ndim)])
 
         u_mapped = self.geo.to_mapped(state.vel)
+        # one shared ghost fill of the tracing velocities for all traces
+        from somar_tpu.core.bc import fill_ghosts_cc
+        self._u_pad = [fill_ghosts_cc(u_mapped[d], grid,
+                                      self.vel_bcs_trace[d], ADVECT_GROW)
+                       for d in range(grid.ndim)]
         adv_vel, mac_phi = self.compute_advecting_velocities(
             state, src_vel, dt, ring_mac=ring_mac)
 
@@ -439,6 +449,7 @@ class NSLevel:
         lam = self.get_new_lambda(state, u_mapped, adv_vel, dt)
         vel = self.get_new_velocity(state, u_mapped, adv_vel, src_vel,
                                     grav, tidal, sponge_v, grad_p, dt)
+        self._u_pad = None
 
         cc_phi = state.cc_phi
         pressure = state.pressure

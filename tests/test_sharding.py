@@ -1,0 +1,97 @@
+"""Multi-chip sharding tests (subprocess: 8 virtual CPU devices).
+
+The TPU analog of the reference's serial-vs-mpirun equivalence check
+(SURVEY.md section 4.5): the sharded jitted step must produce the same
+answer as the single-device step, and the explicit ppermute halo exchange
+must agree with global slicing.
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+_ENV = dict(os.environ)
+_ENV.pop("PALLAS_AXON_POOL_IPS", None)
+_ENV["JAX_PLATFORMS"] = "cpu"
+_ENV["XLA_FLAGS"] = (_ENV.get("XLA_FLAGS", "")
+                     + " --xla_force_host_platform_device_count=8").strip()
+
+
+def _run(code: str):
+    r = subprocess.run([sys.executable, "-c", code], env=_ENV,
+                       capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, r.stdout + "\n" + r.stderr
+    return r.stdout
+
+
+def test_halo_exchange_matches_global():
+    out = _run("""
+import numpy as np, jax, jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+from somar_tpu.parallel.halo import halo_exchange
+
+mesh = Mesh(np.asarray(jax.devices()), ("x",))
+n = 64
+x = jnp.arange(8.0 * n).reshape(8, n)
+
+def local(blk):
+    return halo_exchange(blk, "x", 1, 2, periodic=True)
+
+f = shard_map(local, mesh=mesh, in_specs=P(None, "x"),
+              out_specs=P(None, "x"))
+padded = f(x)
+# each shard contributes (8, n/8 + 4); global result interleaves halos —
+# check one shard's content via direct comparison on shard 0's region
+blk = x[:, :8]
+left = x[:, -2:]
+right = x[:, 8:10]
+expect = jnp.concatenate([left, blk, right], axis=1)
+got = padded[:, :12]
+np.testing.assert_allclose(np.asarray(got), np.asarray(expect))
+print("halo ok")
+""")
+    assert "halo ok" in out
+
+
+_SLOW = os.environ.get("SOMAR_SLOW_TESTS", "0") != "1"
+_SKIP_SLOW = pytest.mark.skipif(
+    _SLOW, reason="8 virtual devices oversubscribe the 1-core CI host "
+    "(~7 min); the CI driver validates the multichip path via "
+    "__graft_entry__.dryrun_multichip. Set SOMAR_SLOW_TESTS=1 to run.")
+
+
+@_SKIP_SLOW
+def test_sharded_step_matches_single_device():
+    out = _run("""
+import numpy as np, jax, jax.numpy as jnp
+from somar_tpu.parallel.mesh import make_mesh, shard_ns_state
+import __graft_entry__ as ge
+
+level, grid = ge._build_level(nx=32, nz=8, ny=8, mg_eps=1e-4)
+state = level.initial_state()
+dt = jnp.asarray(0.005, jnp.float32)
+step = jax.jit(lambda s, d: level.advance(s, d))
+ref = step(state, dt)
+
+mesh = make_mesh(8, axes=("x",))
+sharded = shard_ns_state(state, grid, mesh)
+out = step(sharded, dt)
+err = float(jnp.max(jnp.abs(out.vel - ref.vel)))
+scale = float(jnp.max(jnp.abs(ref.vel))) + 1e-12
+print("rel err:", err / scale)
+assert err / scale < 1e-3, err / scale
+print("sharded ok")
+""")
+    assert "sharded ok" in out
+
+
+@_SKIP_SLOW
+def test_dryrun_multichip():
+    out = _run("""
+import __graft_entry__ as ge
+ge.dryrun_multichip(8)
+""")
+    assert "ok" in out
