@@ -22,10 +22,31 @@ from typing import Optional
 import numpy as np
 
 
+def _write_level_group(f, name: str, state, grid, origin=None):
+    g = f.create_group(name)
+    g.attrs["nx"] = np.asarray(grid.nx)
+    g.attrs["dx"] = np.asarray(grid.dx)
+    g.attrs["x0"] = np.asarray(grid.x0)
+    g.attrs["periodic"] = np.asarray(grid.periodic, dtype=np.int8)
+    if origin is not None:
+        g.attrs["patch_origin"] = np.asarray(origin)
+    for m in range(grid.ndim):
+        g.create_dataset(f"new_velocity_{m}", data=np.asarray(state.vel[m]))
+    for c in range(state.scalars.shape[0]):
+        g.create_dataset(f"new_scalar_{c}", data=np.asarray(state.scalars[c]))
+    g.create_dataset("new_lambda", data=np.asarray(state.lam))
+    g.create_dataset("eLambda", data=np.asarray(state.e_lambda))
+    g.create_dataset("ccPressure", data=np.asarray(state.cc_phi))
+    g.create_dataset("pressure", data=np.asarray(state.pressure))
+    g.create_dataset("macPressure", data=np.asarray(state.mac_phi))
+
+
 def write_checkpoint(path: str, state, level, step: int, dt: float,
-                     extra: Optional[dict] = None):
-    """Save full state for exact resume (single level; the AMR hierarchy
-    writer stacks level_<i> groups)."""
+                     extra: Optional[dict] = None,
+                     fine_state=None, fine_grid=None, origin=None):
+    """Save full state for exact resume.  With fine_state/fine_grid/origin
+    the AMR patch level is stacked as group level_1 (reference: per-level
+    checkpoint groups, AMRNavierStokesIO.cpp:92-165)."""
     import h5py
 
     grid = level.grid
@@ -33,28 +54,39 @@ def write_checkpoint(path: str, state, level, step: int, dt: float,
         f.attrs["iteration"] = step
         f.attrs["time"] = float(state.time)
         f.attrs["dt"] = float(dt)
-        f.attrs["num_levels"] = 1
+        f.attrs["num_levels"] = 2 if fine_state is not None else 1
         f.attrs["ndim"] = grid.ndim
         f.attrs["config_json"] = json.dumps(extra or {})
-        g = f.create_group("level_0")
-        g.attrs["nx"] = np.asarray(grid.nx)
-        g.attrs["dx"] = np.asarray(grid.dx)
-        g.attrs["x0"] = np.asarray(grid.x0)
-        g.attrs["periodic"] = np.asarray(grid.periodic, dtype=np.int8)
-        for m in range(grid.ndim):
-            g.create_dataset(f"new_velocity_{m}", data=np.asarray(state.vel[m]))
-        for c in range(state.scalars.shape[0]):
-            g.create_dataset(f"new_scalar_{c}", data=np.asarray(state.scalars[c]))
-        g.create_dataset("new_lambda", data=np.asarray(state.lam))
-        g.create_dataset("eLambda", data=np.asarray(state.e_lambda))
-        g.create_dataset("ccPressure", data=np.asarray(state.cc_phi))
-        g.create_dataset("pressure", data=np.asarray(state.pressure))
-        g.create_dataset("macPressure", data=np.asarray(state.mac_phi))
+        _write_level_group(f, "level_0", state, grid)
+        if fine_state is not None:
+            _write_level_group(f, "level_1", fine_state, fine_grid, origin)
 
 
-def read_checkpoint(path: str, level):
-    """Restore an NSState from a checkpoint written by write_checkpoint.
-    Returns (state, step, dt)."""
+def _read_level_group(g, grid, dtype, nscal, time):
+    import jax.numpy as jnp
+    from somar_tpu.physics.navier_stokes import NSState
+
+    vel = jnp.stack([jnp.asarray(g[f"new_velocity_{m}"][...], dtype)
+                     for m in range(grid.ndim)])
+    scal = jnp.stack([jnp.asarray(g[f"new_scalar_{c}"][...], dtype)
+                      for c in range(nscal)])
+    e_lam = (jnp.asarray(g["eLambda"][...], dtype) if "eLambda" in g
+             else jnp.zeros(grid.shape, dtype))
+    return NSState(
+        vel=vel, scalars=scal,
+        lam=jnp.asarray(g["new_lambda"][...], dtype),
+        mac_phi=jnp.asarray(g["macPressure"][...], dtype),
+        cc_phi=jnp.asarray(g["ccPressure"][...], dtype),
+        pressure=jnp.asarray(g["pressure"][...], dtype),
+        e_lambda=e_lam,
+        time=jnp.asarray(time, dtype),
+    )
+
+
+def read_checkpoint(path: str, level, fine_grid=None):
+    """Restore state from a checkpoint.  Returns (state, step, dt) or,
+    when the file holds an AMR hierarchy and fine_grid is given,
+    (state, step, dt, fine_state, origin)."""
     import h5py
     import jax.numpy as jnp
     from somar_tpu.physics.navier_stokes import NSState
@@ -68,22 +100,13 @@ def read_checkpoint(path: str, level):
         g = f["level_0"]
         assert tuple(g.attrs["nx"]) == grid.nx, (
             f"checkpoint grid {tuple(g.attrs['nx'])} != run grid {grid.nx}")
-        vel = jnp.stack([jnp.asarray(g[f"new_velocity_{m}"][...], dtype)
-                         for m in range(grid.ndim)])
         nscal = level.problem.num_scalars
-        scal = jnp.stack([jnp.asarray(g[f"new_scalar_{c}"][...], dtype)
-                          for c in range(nscal)])
-        e_lam = (jnp.asarray(g["eLambda"][...], dtype) if "eLambda" in g
-                 else jnp.zeros(grid.shape, dtype))
-        state = NSState(
-            vel=vel, scalars=scal,
-            lam=jnp.asarray(g["new_lambda"][...], dtype),
-            mac_phi=jnp.asarray(g["macPressure"][...], dtype),
-            cc_phi=jnp.asarray(g["ccPressure"][...], dtype),
-            pressure=jnp.asarray(g["pressure"][...], dtype),
-            e_lambda=e_lam,
-            time=jnp.asarray(time, dtype),
-        )
+        state = _read_level_group(g, grid, dtype, nscal, time)
+        if fine_grid is not None and "level_1" in f:
+            g1 = f["level_1"]
+            fine = _read_level_group(g1, fine_grid, dtype, nscal, time)
+            origin = np.asarray(g1.attrs["patch_origin"])
+            return state, step, dt, fine, origin
     return state, step, dt
 
 
