@@ -45,7 +45,9 @@ class PoissonOp:
         self._bc_face_factors = self._build_bc_face_factors()
         self._diag_lap = self._build_diag_lap()
         self._rb_masks = self._build_rb_masks()
-        self._line_coefs = None  # built lazily for line relaxation
+        # built eagerly: lazy construction inside a while_loop trace would
+        # cache tracers (UnexpectedTracerError on reuse)
+        self._line_coefs = self._build_vertical_line_parts()
 
     # ------------------------------------------------------------ operator
     def apply(self, phi, alpha=0.0, beta=1.0, homogeneous: bool = True,
@@ -154,20 +156,22 @@ class PoissonOp:
 
         return jax.lax.fori_loop(0, iters, body, phi)
 
-    def _vertical_line_parts(self):
+    def _build_vertical_line_parts(self):
         """Static vertical tridiagonal structure: (A_lo, A_hi) face coefs
         scaled by Jinv/dz^2, edge rows zeroed."""
-        if self._line_coefs is None:
-            grid, geo = self.grid, self.geo
-            dvert = grid.vertical_dir
-            assert grid.axis(dvert) == 0
-            dz = grid.dx[dvert]
-            nz = grid.shape[0]
-            Jg = geo.Jgup_diag[dvert] * jnp.ones(grid.fc_shape(dvert))
-            scale = geo.Jinv / (dz * dz)
-            a = (slc(Jg, 0, 0, -1) * scale).at[0].set(0.0)
-            c = (slc(Jg, 0, 1, None) * scale).at[nz - 1].set(0.0)
-            self._line_coefs = (a, c)
+        grid, geo = self.grid, self.geo
+        dvert = grid.vertical_dir
+        if grid.axis(dvert) != 0:
+            return None   # 1D flattened grids have no vertical line solve
+        dz = grid.dx[dvert]
+        nz = grid.shape[0]
+        Jg = geo.Jgup_diag[dvert] * jnp.ones(grid.fc_shape(dvert))
+        scale = geo.Jinv / (dz * dz)
+        a = (slc(Jg, 0, 0, -1) * scale).at[0].set(0.0)
+        c = (slc(Jg, 0, 1, None) * scale).at[nz - 1].set(0.0)
+        return (a, c)
+
+    def _vertical_line_parts(self):
         return self._line_coefs
 
     def relax_line_vertical(self, phi, rhs, alpha, beta, iters: int,
