@@ -38,6 +38,21 @@ from somar_tpu.ops.stencil import slc, avg_along, diff_along
 ADVECT_GROW = 4
 
 
+def _use_pallas_predictor() -> bool:
+    """Fused Pallas PPM predictor: default on TPU, env-overridable."""
+    import os
+    flag = os.environ.get("SOMAR_PALLAS", "")
+    if flag in ("0", "off"):
+        return False
+    if flag in ("1", "on"):
+        return True
+    import jax
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 @dataclasses.dataclass(frozen=True)
 class AdvectionParams:
     """Reference: `advection.*` input namespace (ProblemContext.H:291-316)."""
@@ -144,23 +159,36 @@ def trace_face_states(
                  for d in range(ndim)]
 
     # ------------------------------------------------ stage 1: 1D states
+    # (fused Pallas predictor on TPU: one VMEM pass per direction computes
+    # PPM faces + limiter + trace + stage-1 Riemann)
+    use_pallas = (params.normal_pred_order == 2
+                  and _use_pallas_predictor())
     lo1, hi1, rie1 = [], [], []
-    for d in range(ndim):
-        ax = grid.axis(d)
-        # keep the full padded tangential extent: the transverse stages
-        # need ghost coverage
-        lo_full, hi_full = _normal_predict_fullpad(
-            sp, u_pad[d], ax, G, grid.dx[d], dt, params)
-        lo1.append(lo_full)
-        hi1.append(hi_full)
+    if use_pallas:
+        from somar_tpu.ops.pallas_kernels import ppm_predict_pallas
+        for d in range(ndim):
+            ax = grid.axis(d)
+            lo_d, hi_d, rie_d = ppm_predict_pallas(
+                sp, u_pad[d], dt / grid.dx[d], ax, params.use_limiting)
+            lo1.append(lo_d)
+            hi1.append(hi_d)
+            rie1.append(rie_d)
+    else:
+        for d in range(ndim):
+            ax = grid.axis(d)
+            # keep the full padded tangential extent: the transverse stages
+            # need ghost coverage
+            lo_full, hi_full = _normal_predict_fullpad(
+                sp, u_pad[d], ax, G, grid.dx[d], dt, params)
+            lo1.append(lo_full)
+            hi1.append(hi_full)
 
-    # Riemann with cell-averaged face velocity for intermediate upwinding:
-    # use the advecting velocity where available on valid faces; for the
-    # padded transverse extent, upwind with the averaged tracing velocity.
-    for d in range(ndim):
-        ax = grid.axis(d)
-        vf = avg_along(u_pad[d], ax)   # faces on padded grid
-        rie1.append(_riemann(lo1[d], hi1[d], vf))
+        # Riemann with the cell-averaged face velocity for intermediate
+        # upwinding on the padded extent
+        for d in range(ndim):
+            ax = grid.axis(d)
+            vf = avg_along(u_pad[d], ax)   # faces on padded grid
+            rie1.append(_riemann(lo1[d], hi1[d], vf))
 
     # ---------------------------------------- stage 2: 3D cross-corrections
     if ndim == 3:
