@@ -33,10 +33,12 @@ def main():
     # benchmark size: scaled to chip memory; the north-star resolution is
     # 512x128x128 effective on a v5e-8 => 512x128x16-ish per chip; we run
     # a whole-problem single-chip slab.
-    nx = int(os.environ.get("BENCH_NX", 256))
-    ny = int(os.environ.get("BENCH_NY", 64))
-    nz = int(os.environ.get("BENCH_NZ", 64))
-    nsteps = int(os.environ.get("BENCH_STEPS", 10))
+    # default = the BASELINE.md north-star resolution (512x128x128
+    # effective, here as a single uniform grid on one chip)
+    nx = int(os.environ.get("BENCH_NX", 512))
+    ny = int(os.environ.get("BENCH_NY", 128))
+    nz = int(os.environ.get("BENCH_NZ", 128))
+    nsteps = int(os.environ.get("BENCH_STEPS", 5))
 
     level, grid = _build_level(nx=nx, nz=nz, ny=ny, mg_eps=1e-5)
     state = level.initial_state()

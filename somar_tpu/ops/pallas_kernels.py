@@ -113,33 +113,50 @@ def ppm_predict_pallas(sp, up, dt_over_dx, ax: int, use_limiting: bool,
     out_shape[ax] -= 1
     out_shape = tuple(out_shape)
 
-    # blocking: full extent along ax (the stencil axis); tile one other
-    # axis.  TPU constraint: the last two dims of a block must be full or
-    # divisible by (8, 128) — so prefer tiling the leading axis (free),
-    # else the sublane axis in multiples of 8; else run unblocked.
+    # blocking: full extent along ax (the stencil axis) and along the lane
+    # axis; tile every other axis down to a VMEM budget.  TPU constraint:
+    # block sublane dim divisible by 8 (or full); lane dim full here.
+    # Mosaic materializes ~15 block-sized temporaries inside the kernel
+    # (slices, face values, limiter branches), so the block must be well
+    # under VMEM/15.
+    VMEM_BUDGET = 640 * 1024        # bytes per block
     block = list(shape)
-    grid = ()
-    index_map = None
-    tile_ax = None
-    if ndim >= 3 and ax != 0:
-        tile_ax = 0
-        blk = max(1, shape[0] // 8)
-        if shape[0] % blk:
-            blk = shape[0]
-    elif ndim >= 2 and ax != ndim - 2 and shape[ndim - 2] % 8 == 0:
-        tile_ax = ndim - 2
-        blk = 8
-    if tile_ax is not None and shape[tile_ax] // blk > 1:
-        block[tile_ax] = blk
-        grid = (shape[tile_ax] // blk,)
+    tile_axes = [a for a in range(ndim) if a != ax and a != ndim - 1]
 
-        def imap(i):
+    def divisors_desc(n, multiple=1):
+        return [d for d in range(n, 0, -1)
+                if n % d == 0 and d % multiple == 0]
+
+    def bytes_of(blk):
+        b = 4
+        for v in blk:
+            b *= v
+        return b
+
+    for a in tile_axes:
+        if bytes_of(block) <= VMEM_BUDGET:
+            break
+        mult = 8 if a == ndim - 2 else 1
+        for d in divisors_desc(shape[a], mult):
+            block[a] = d
+            if bytes_of(block) <= VMEM_BUDGET:
+                break
+    if bytes_of(block) > VMEM_BUDGET:
+        # no feasible blocking (e.g. the stencil axis is the only tileable
+        # one); the caller falls back to the jnp predictor
+        return None
+
+    grid = tuple(shape[a] // block[a] for a in tile_axes
+                 if shape[a] // block[a] > 1)
+    grid_axes = [a for a in tile_axes if shape[a] // block[a] > 1]
+    index_map = None
+    if grid:
+        def imap(*gidx):
             idx = [0] * ndim
-            idx[tile_ax] = i
+            for g, a in zip(gidx, grid_axes):
+                idx[a] = g
             return tuple(idx)
         index_map = imap
-    else:
-        tile_ax = None
     block = tuple(block)
     out_block = list(block)
     out_block[ax] -= 1

@@ -164,31 +164,25 @@ def trace_face_states(
     use_pallas = (params.normal_pred_order == 2
                   and _use_pallas_predictor())
     lo1, hi1, rie1 = [], [], []
-    if use_pallas:
-        from somar_tpu.ops.pallas_kernels import ppm_predict_pallas
-        for d in range(ndim):
-            ax = grid.axis(d)
-            lo_d, hi_d, rie_d = ppm_predict_pallas(
+    for d in range(ndim):
+        ax = grid.axis(d)
+        got = None
+        if use_pallas:
+            from somar_tpu.ops.pallas_kernels import ppm_predict_pallas
+            got = ppm_predict_pallas(
                 sp, u_pad[d], dt / grid.dx[d], ax, params.use_limiting)
-            lo1.append(lo_d)
-            hi1.append(hi_d)
-            rie1.append(rie_d)
-    else:
-        for d in range(ndim):
-            ax = grid.axis(d)
-            # keep the full padded tangential extent: the transverse stages
-            # need ghost coverage
-            lo_full, hi_full = _normal_predict_fullpad(
+        if got is None:
+            # jnp predictor (full padded tangential extent kept: the
+            # transverse stages need ghost coverage)
+            lo_d, hi_d = _normal_predict_fullpad(
                 sp, u_pad[d], ax, G, grid.dx[d], dt, params)
-            lo1.append(lo_full)
-            hi1.append(hi_full)
-
-        # Riemann with the cell-averaged face velocity for intermediate
-        # upwinding on the padded extent
-        for d in range(ndim):
-            ax = grid.axis(d)
-            vf = avg_along(u_pad[d], ax)   # faces on padded grid
-            rie1.append(_riemann(lo1[d], hi1[d], vf))
+            vf = avg_along(u_pad[d], ax)
+            rie_d = _riemann(lo_d, hi_d, vf)
+        else:
+            lo_d, hi_d, rie_d = got
+        lo1.append(lo_d)
+        hi1.append(hi_d)
+        rie1.append(rie_d)
 
     # ---------------------------------------- stage 2: 3D cross-corrections
     if ndim == 3:
