@@ -1,0 +1,53 @@
+"""End-to-end: the reference's shipped input files run through somar.py's
+driver unchanged (a few steps each; the full-physics parity anchors live
+in the dedicated test modules)."""
+
+import numpy as np
+import pytest
+
+from somar_tpu.config.context import ProblemContext
+from somar_tpu.driver import RunDriver
+
+REF = "/root/reference/exec"
+
+
+def _run(path, overrides, tmp_path, steps):
+    ctx = ProblemContext.from_file(path, overrides)
+    driver = RunDriver(ctx, out_dir=str(tmp_path))
+    state, nsteps = driver.run(max_steps=steps, verbose=False)
+    assert nsteps == steps
+    assert np.all(np.isfinite(np.asarray(state.vel)))
+    assert np.all(np.isfinite(np.asarray(state.scalars)))
+    return state
+
+
+def test_advection_test_config(tmp_path):
+    # pure advection, projection off (projection.isIncompressible = 0)
+    state = _run(f"{REF}/inputs.AdvectionTest.machine",
+                 ["amr.maxsteps=3", "plot.plot_interval=-1",
+                  "plot.checkpoint_interval=-1", "amr.verbosity=0",
+                  "amr.nx=32 32"], tmp_path, 3)
+    b = np.asarray(state.scalars[0])
+    # slotted disk: the 1D reconstructions are limited but the unsplit
+    # transverse corrections admit the classic ~10% over/undershoot at the
+    # slot's corners (present in the reference's CTU too); bounded, stable
+    assert b.min() > -0.15 and b.max() < 1.15
+
+
+def test_taylor_green_config(tmp_path):
+    _run(f"{REF}/inputs.TaylorGreen.machine",
+         ["amr.maxsteps=3", "plot.plot_interval=-1",
+          "plot.checkpoint_interval=-1", "amr.verbosity=0",
+          "amr.nx=32 32", "AMRMG.eps=1e-6"], tmp_path, 3)
+
+
+def test_lock_exchange_2d_amr_config(tmp_path):
+    # the 2-level anisotropic AMR config (refratio 4 1), shrunk
+    state = _run(f"{REF}/inputs.LockExchange_Cartesian2D.machine",
+                 ["amr.maxsteps=3", "plot.plot_interval=-1",
+                  "plot.checkpoint_interval=-1", "amr.verbosity=0",
+                  "amr.nx=48 16", "amr.nx_offset=-24 0",
+                  "amr.regrid_intervals=2 2", "AMRMG.eps=1e-5",
+                  "amr.fixed_dt=0.02"], tmp_path, 3)
+    b = np.asarray(state.scalars[0])
+    assert b.min() > -0.05 and b.max() < 1.05
