@@ -226,12 +226,18 @@ class DEMMap(BathymetricMap):
     name = "DEM"
 
     def __init__(self, vert_domain, x: np.ndarray, depth_samples: np.ndarray,
-                 y: np.ndarray | None = None, **kw):
+                 y: np.ndarray | None = None, min_depth_frac: float = 0.01,
+                 **kw):
         super().__init__(vert_domain, **kw)
         from scipy.interpolate import CubicSpline, RegularGridInterpolator
 
+        # floor the depth: measured bathymetry can run to zero (shoreline),
+        # which would collapse terrain-following columns to zero thickness
+        # (J -> 0); clamp to a fraction of the vertical extent
+        self.min_depth = float(min_depth_frac) * self.H
         x = np.asarray(x, dtype=np.float64)
-        dep = np.asarray(depth_samples, dtype=np.float64)
+        dep = np.maximum(np.asarray(depth_samples, dtype=np.float64),
+                         self.min_depth)
         if y is None:
             self._interp = CubicSpline(x, dep, bc_type="natural", extrapolate=True)
             self._interp_dx = self._interp.derivative()
@@ -245,22 +251,28 @@ class DEMMap(BathymetricMap):
 
     @classmethod
     def from_hdf5(cls, vert_domain, path: str, ndim: int, **kw):
+        """Reads the reference's DEM file format (X[/Y]/Depth vectors;
+        see src/geometry/maps/DEMMaps/DEM_test_{2d,3d}.hdf5): 3D depth is
+        stored (ny, nx) and transposed to the (x, y) grid order here."""
         import h5py
 
         with h5py.File(path, "r") as f:
-            x = np.asarray(f["/X"])
-            dep = np.asarray(f["/Depth"])
-            y = np.asarray(f["/Y"]) if ndim == 3 and "/Y" in f else None
+            x = np.asarray(f["X"])
+            dep = np.asarray(f["Depth"])
+            y = np.asarray(f["Y"]) if ndim == 3 and "Y" in f else None
+        if y is not None and dep.shape == (y.size, x.size):
+            dep = dep.T
         return cls(vert_domain, x, dep, y=y, **kw)
 
     def depth(self, xh):
         if not self._is2d:
-            return self._interp(np.asarray(xh[0], dtype=np.float64))
+            d = self._interp(np.asarray(xh[0], dtype=np.float64))
+            return np.maximum(d, self.min_depth)
         x = np.asarray(xh[0], dtype=np.float64)
         y = np.asarray(xh[1], dtype=np.float64)
         bx, by = np.broadcast_arrays(x, y)
         pts = np.stack([bx.ravel(), by.ravel()], axis=-1)
-        return self._rgi(pts).reshape(bx.shape)
+        return np.maximum(self._rgi(pts).reshape(bx.shape), self.min_depth)
 
     def depth_grad(self, xh, d):
         if not self._is2d and d == 0:

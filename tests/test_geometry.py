@@ -110,3 +110,34 @@ def test_dem_map_1d_matches_samples():
     xq = np.linspace(-1.5, 1.5, 7)
     np.testing.assert_allclose(
         geo.depth_grad([xq], 0), -2 * xq * 0.3 * np.exp(-xq**2), atol=5e-3)
+
+
+def test_dem_map_reads_reference_data_files():
+    """The reference's shipped DEM test data loads unchanged
+    (src/geometry/maps/DEMMaps/DEM_test_{2d,3d}.hdf5)."""
+    import os
+    base = "/root/reference/src/geometry/maps/DEMMaps"
+    if not os.path.exists(f"{base}/DEM_test_2d.hdf5"):
+        import pytest
+        pytest.skip("reference DEM data not present")
+    import h5py
+    with h5py.File(f"{base}/DEM_test_2d.hdf5") as f:
+        x = np.asarray(f["X"])
+        dmax = float(np.asarray(f["Depth"]).max())
+    geo2 = DEMMap.from_hdf5((0.0, dmax), f"{base}/DEM_test_2d.hdf5", 2)
+    xs = np.linspace(x.min(), x.max(), 33)
+    d = geo2.depth([xs])
+    assert np.all(np.isfinite(d))
+    # a LevelGeometry builds on it with positive J
+    g = Grid(nx=(16, 8), dx=((x.max() - x.min()) / 16, dmax / 8),
+             x0=(float(x.min()), 0.0))
+    lg = build_level_geometry(g, geo2)
+    assert np.all(np.asarray(lg.J) > 0)
+
+    geo3 = DEMMap.from_hdf5((0.0, dmax), f"{base}/DEM_test_3d.hdf5", 3)
+    with h5py.File(f"{base}/DEM_test_3d.hdf5") as f:
+        y = np.asarray(f["Y"])
+    d3 = geo3.depth([np.linspace(x.min(), x.max(), 5)[:, None],
+                     np.linspace(y.min(), y.max(), 4)[None, :]])
+    assert d3.shape == (5, 4)
+    assert np.all(np.isfinite(d3))
