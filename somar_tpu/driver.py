@@ -159,7 +159,12 @@ class RunDriver:
                     write_checkpoint(
                         os.path.join(self.out_dir,
                                      f"{p.checkpoint_prefix}{step:06d}.hdf5"),
-                        state, self.level, step, float(dt))
+                        state, self.level, step, float(dt),
+                        fine_state=fine_state,
+                        fine_grid=(self.hierarchy.ext_grid
+                                   if self.hierarchy else None),
+                        origin=(None if origin is None
+                                else np.asarray(origin)))
         finally:
             signal.signal(signal.SIGINT, prev_handler)
 
@@ -174,5 +179,8 @@ class RunDriver:
         from somar_tpu.io.checkpoint import write_checkpoint as _wc
         _wc(os.path.join(self.out_dir,
                          f"{ctx.plot.checkpoint_prefix}final.hdf5"),
-            state, self.level, step, float(dt))
+            state, self.level, step, float(dt),
+            fine_state=fine_state,
+            fine_grid=self.hierarchy.ext_grid if self.hierarchy else None,
+            origin=None if origin is None else np.asarray(origin))
         return state, step

@@ -104,3 +104,15 @@ def test_driver_amr_run(tmp_path):
     b = np.asarray(state.scalars[0])
     assert np.all(np.isfinite(b))
     assert b.min() > -0.05 and b.max() < 1.05
+
+
+def test_amr_checkpoint_contains_fine_level(tmp_path):
+    import h5py
+    ctx = ProblemContext.from_parmparse(ParmParse.from_string(AMR_CFG))
+    driver = RunDriver(ctx, out_dir=str(tmp_path))
+    driver.run(max_steps=2, verbose=False)
+    with h5py.File(tmp_path / "chkpt_final.hdf5") as f:
+        assert int(f.attrs["num_levels"]) == 2
+        assert "level_1" in f
+        assert "patch_origin" in f["level_1"].attrs
+        assert f["level_1"]["new_scalar_0"].shape == driver.hierarchy.ext_grid.shape
