@@ -34,11 +34,16 @@ from somar_tpu.core.grid import Grid
 
 
 class PatchFluxRegister:
-    """Per-field flux register for one CF direction pair of the patch."""
+    """Per-field flux register for one CF direction pair of the patch.
 
-    def __init__(self, hierarchy):
-        self.h = hierarchy
-        self.grid0: Grid = hierarchy.grid0
+    Accepts either a 2-level AMRHierarchy (its backward-compatible
+    aliases) or one PatchCoupling of an N-level hierarchy: both expose
+    cf_dirs / interior_nx / ratio / ext_grid / halo and a parent grid."""
+
+    def __init__(self, hierarchy_or_coupling):
+        self.h = hierarchy_or_coupling
+        self.grid0: Grid = getattr(hierarchy_or_coupling, "parent_grid",
+                                   None) or hierarchy_or_coupling.grid0
 
     def zeros(self):
         """Initial register state: per CF dir, (lo_plane, hi_plane) coarse
@@ -143,7 +148,7 @@ class PatchFluxRegister:
             out[d] = (rlo - plane(lo_face), rhi - plane(hi_face))
         return out
 
-    def reflux(self, coarse_cc, reg, origin_f, dt, geo0):
+    def reflux(self, coarse_cc, reg, origin_f, dt, geo0=None):
         """Apply the deficit to the coarse cells adjacent to the interface
         (reference: reflux, divides by J): the lo-side interface face is
         the HIGH face of the coarse cell just outside the patch, so the
@@ -151,6 +156,10 @@ class PatchFluxRegister:
         grid0 = self.grid0
         h = self.h
         out = coarse_cc
+        Jinv = None
+        if geo0 is not None and hasattr(geo0.Jinv, "ndim") \
+                and geo0.Jinv.ndim == grid0.ndim:
+            Jinv = geo0.Jinv
         for d in self.h.cf_dirs:
             ax = grid0.axis(d)
             r = h.ratio[d]
@@ -175,7 +184,11 @@ class PatchFluxRegister:
                     sum(1 for a2 in range(axx) if a2 != ax)]
                     for axx in range(grid0.ndim)]
                 cur = jax.lax.dynamic_slice(arr, tuple(start), tuple(shape))
-                upd = cur + sign * (dt / dx) * jnp.expand_dims(plane, ax)
+                corr = sign * (dt / dx) * jnp.expand_dims(plane, ax)
+                if Jinv is not None:
+                    corr = corr * jax.lax.dynamic_slice(
+                        Jinv, tuple(start), tuple(shape))
+                upd = cur + corr
                 return jax.lax.dynamic_update_slice(arr, upd, tuple(start))
 
             # lo interface: coarse cell just OUTSIDE (index lo_face-1) sees

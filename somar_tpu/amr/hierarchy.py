@@ -22,20 +22,22 @@ recursive subcycling, `/root/reference/src/MappedChombo/LepticAMR.cpp:
     use the CF ghost-potential ring machinery (inhomogeneous Dirichlet
     ghost cells folded into the RHS).
   * Subcycling: nt = max(ratio) fine steps per coarse step (reference
-    timeStep recursion), statically unrolled.
-  * Synchronization: average-down of the fine interior onto the coarse
-    level + sync CC projection (AMRNavierStokesSync.cpp:249-295).
-    Refluxing registers are scaffolded; the shipped lock-exchange configs
-    run with all reflux flags off (inputs.LockExchange_*: *_reflux = 0).
-
-Round-1 restriction: uniform (Cartesian) coordinate maps — a moving patch
-on a mapped grid would need origin-dependent metric rebuilds per regrid.
+    timeStep recursion), statically unrolled.  Hierarchies NEST: level
+    l+1's patch lives inside level l's patch (its donor slab is clamped
+    to the parent's valid interior, away from the parent's own CF halo),
+    with per-level anisotropic ratios exactly like the reference
+    (amr.refratio_lev0 = 4 1, refratio_lev1 = 4 2, ...).
+  * Synchronization: average-down of each fine interior onto its parent
+    after every parent substep + sync CC projection at the coarsest level
+    (AMRNavierStokesSync.cpp:249-295).  Refluxing registers are
+    scaffolded; the shipped lock-exchange configs run with all reflux
+    flags off (inputs.LockExchange_*: *_reflux = 0).
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -69,8 +71,8 @@ class PatchNSLevel(NSLevel):
     """
 
     def __init__(self, geo, problem: Problem, params: NSParams,
-                 cf_dirs: Tuple[int, ...]):
-        super().__init__(geo, problem, params)
+                 cf_dirs: Tuple[int, ...], aux_fields=None):
+        super().__init__(geo, problem, params, aux_fields=aux_fields)
         grid = self.grid
         # override BCs on CF sides
         self.vel_bcs_trace = tuple(
@@ -109,66 +111,89 @@ class PatchNSLevel(NSLevel):
                           for m in range(grid.ndim)]
 
 
-class AMRHierarchy:
-    """Two-level (base + one refined patch) subcycled hierarchy.
+class PatchCoupling:
+    """One refined patch level and its coupling to its parent level.
 
-    Deeper hierarchies nest the same machinery level-by-level; the
-    flagship configs (LockExchange, BeamGeneration) use maxlevel = 1.
+    `parent_grid` is the FULL parent array grid (the base domain for
+    level 1, the parent's extended patch grid for deeper levels);
+    `parent_halo_axes[ax]` is the parent's own CF halo width per array
+    axis (0 for the base level), which the child's donor slab must avoid.
+    All origins are per ARRAY axis, in CHILD fine cells, relative to the
+    parent array's corner.
     """
 
-    def __init__(self, geo0, problem: Problem, params: NSParams,
-                 ratio: Tuple[int, ...], tag_params: TagParams = TagParams(),
-                 patch_frac: float = 0.5, eta_lambda: float = 0.0):
-        assert geo0.is_uniform, (
-            "round-1 AMR supports uniform (Cartesian) maps; mapped AMR "
-            "requires origin-dependent metric rebuilds at regrid")
-        self.level0 = NSLevel(geo0, problem, params)
-        self.eta_lambda = float(eta_lambda)
-        if self.eta_lambda > 0.0:
-            self.level0.use_vd_correction = True
-        self.grid0: Grid = geo0.grid
+    def __init__(self, parent_geo, parent_halo_axes: Tuple[int, ...],
+                 problem: Problem, params: NSParams, ratio: Tuple[int, ...],
+                 patch_frac: float = 0.5, root_geo_source=None):
+        """root_geo_source: the domain's true coordinate map (the parent
+        of a nested mapped coupling only exposes a raw array metric)."""
+        parent_grid: Grid = parent_geo.grid
+        ndim = parent_grid.ndim
+        self.parent_grid = parent_grid
+        self.parent_halo_axes = tuple(int(h) for h in parent_halo_axes)
         self.problem = problem
         self.params = params
+        self.geo_source = (root_geo_source if root_geo_source is not None
+                           else parent_geo.geo)
+        self.is_mapped = not self.geo_source.is_uniform
         self.ratio = tuple(int(r) for r in ratio)
-        self.tag_params = tag_params
         self.nt = max(self.ratio)           # time refinement (subcycles)
-        grid0 = self.grid0
-        ndim = grid0.ndim
 
-        # which dirs are CF (not spanned): non-periodic horizontal dirs
+        # spanned dirs: the vertical + dirs where the parent array is
+        # periodic (for a patch parent, "periodic" already means the
+        # parent spans the whole domain in that dir)
         self.span_dirs = tuple(
             d for d in range(ndim)
-            if d == grid0.vertical_dir or grid0.periodic[d])
+            if d == parent_grid.vertical_dir or parent_grid.periodic[d])
         self.cf_dirs = tuple(d for d in range(ndim)
                              if d not in self.span_dirs)
         H = ADVECT_GROW
         self.halo = H
 
+        # parent valid extent per dir (cells inside the parent's own halo)
+        pvalid = [parent_grid.nx[d] - 2 * self.parent_halo_axes[parent_grid.axis(d)]
+                  for d in range(ndim)]
+        self.parent_valid_nx = tuple(pvalid)
+
         # static patch interior shape (fine cells), per logical dir
         interior = []
         for d in range(ndim):
-            n_f = grid0.nx[d] * self.ratio[d]
+            r = self.ratio[d]
             if d in self.span_dirs:
-                interior.append(n_f)
+                interior.append(parent_grid.nx[d] * r)
             else:
+                n_f = pvalid[d] * r
                 want = int(round(patch_frac * n_f))
-                want = max(4 * H, (want // (2 * self.ratio[d]))
-                           * (2 * self.ratio[d]))
-                interior.append(min(want, n_f - 2 * H * self.ratio[d]))
+                want = max(4 * H, (want // (2 * r)) * (2 * r))
+                cap = n_f - 2 * max(H * r, H + r)
+                interior.append(min(want, cap))
         self.interior_nx = tuple(interior)
         ext = [interior[d] + (2 * H if d in self.cf_dirs else 0)
                for d in range(ndim)]
         self.ext_nx = tuple(ext)
 
-        dx_f = tuple(grid0.dx[d] / self.ratio[d] for d in range(ndim))
+        dx_f = tuple(parent_grid.dx[d] / self.ratio[d] for d in range(ndim))
         ext_grid = Grid(
             nx=self.ext_nx, dx=dx_f,
-            x0=tuple(grid0.x0),   # placeholder; ICs never read patch coords
-            periodic=tuple(grid0.periodic[d] and d in self.span_dirs
+            x0=tuple(parent_grid.x0),  # placeholder; ICs never read coords
+            periodic=tuple(parent_grid.periodic[d] and d in self.span_dirs
                            for d in range(ndim)))
-        geo1 = build_level_geometry(ext_grid, geo0.geo, dtype=params.dtype)
-        self.level1 = PatchNSLevel(geo1, problem, params, self.cf_dirs)
         self.ext_grid = ext_grid
+        if self.is_mapped:
+            # the real metric depends on the (moving) patch origin; this
+            # placeholder fixes the structure, build_patch_bundle fills in
+            # the values per regrid and the traced step consumes them as
+            # operands (no recompiles as the patch moves)
+            from somar_tpu.geometry.raw_geometry import raw_from_level_geometry
+            lg0 = build_level_geometry(ext_grid, self.geo_source,
+                                       dtype=params.dtype)
+            geo = raw_from_level_geometry(lg0, ext_grid)
+        else:
+            geo = build_level_geometry(ext_grid, self.geo_source,
+                                       dtype=params.dtype)
+        self.level = self.make_level(geo)
+        #: concrete (host) metric bundle at the current origin (mapped)
+        self.bundle = None
 
         # halo mask (1 where CF halo) on the extended grid
         mask = np.zeros(ext_grid.shape, dtype=bool)
@@ -181,32 +206,68 @@ class AMRHierarchy:
             mask[tuple(sl)] = True
         self._halo_mask = jnp.asarray(mask)
 
-        # donor slab geometry (static, coarse cells per array axis):
-        # CF axes carry a 1-coarse-cell margin each side (slopes + ring);
-        # spanned axes take the full coarse extent.
+        # donor slab geometry (static, parent cells per array axis):
+        # CF axes carry a 1-parent-cell margin each side (slopes + ring);
+        # spanned axes take the full parent extent.
         donor_shape = []
         for ax in range(ndim):
-            d = grid0.dir_of_axis(ax)
+            d = parent_grid.dir_of_axis(ax)
             if d in self.cf_dirs:
                 donor_shape.append(self.ext_nx[d] // self.ratio[d] + 2)
             else:
-                donor_shape.append(grid0.nx[d])
+                donor_shape.append(parent_grid.nx[d])
         self.donor_shape_c = tuple(donor_shape)
 
-        # current origin (host ints, per array axis, fine cells, of the
-        # EXTENDED patch); None until first regrid
+        # current origin of the EXTENDED patch relative to the parent
+        # array corner (host ints, per array axis, child fine cells);
+        # None until the first regrid
         self.origin_f: Optional[np.ndarray] = None
 
     # ---------------------------------------------------------------- util
+    def make_level(self, geo, aux=None) -> PatchNSLevel:
+        """Build the patch NS level from a (possibly traced) geometry."""
+        return PatchNSLevel(geo, self.problem, self.params, self.cf_dirs,
+                            aux_fields=aux)
+
+    def build_patch_bundle(self, global_origin_f, domain_grid: Grid):
+        """Host-side, at regrid time: evaluate the coordinate map's metric
+        at the patch's actual physical location and package it (plus the
+        geometry-dependent problem fields) as a pytree of traced operands.
+        Reference analog: the regrid-time LevelGeometry rebuild
+        (AMRNavierStokesRegrid.cpp:688+ defines new grids' geometry)."""
+        import jax.numpy as jnp
+        from somar_tpu.geometry.raw_geometry import raw_from_level_geometry
+
+        ndim = domain_grid.ndim
+        dx_f = self.ext_grid.dx
+        x0 = tuple(
+            domain_grid.x0[d]
+            + float(global_origin_f[domain_grid.axis(d)]) * dx_f[d]
+            for d in range(ndim))
+        grid_at = Grid(nx=self.ext_nx, dx=dx_f, x0=x0,
+                       periodic=self.ext_grid.periodic)
+        lg = build_level_geometry(grid_at, self.geo_source,
+                                  dtype=self.params.dtype)
+        raw = raw_from_level_geometry(lg, self.ext_grid)
+        aux = {}
+        if self.problem.use_background_scalar:
+            aux["nsq_cc"] = self.problem.nsq_cc(lg).astype(self.params.dtype)
+        if self.problem.sponge is not None:
+            from somar_tpu.problems.base import sponge_ramp
+            aux["sponge_ramp"] = jnp.asarray(
+                sponge_ramp(grid_at, self.problem.sponge), self.params.dtype)
+            aux["sponge_targets"] = self.problem.sponge_targets(lg)
+        return {"geo": raw, "aux": aux}, lg
+
     def _axis_ratio(self, ax: int) -> int:
-        return self.ratio[self.grid0.dir_of_axis(ax)]
+        return self.ratio[self.parent_grid.dir_of_axis(ax)]
 
     def _donor_origin_c(self, origin_f):
-        """Coarse-cell origin of the donor slab, per array axis (traced):
-        one coarse cell outward on CF axes, 0 on spanned axes."""
+        """Parent-cell origin of the donor slab, per array axis (traced):
+        one parent cell outward on CF axes, 0 on spanned axes."""
         out = []
-        for ax in range(self.grid0.ndim):
-            d = self.grid0.dir_of_axis(ax)
+        for ax in range(self.parent_grid.ndim):
+            d = self.parent_grid.dir_of_axis(ax)
             if d in self.cf_dirs:
                 out.append(origin_f[ax] // self._axis_ratio(ax) - 1)
             else:
@@ -215,23 +276,23 @@ class AMRHierarchy:
         return tuple(out)
 
     def _interp_ext(self, coarse_field, origin_f, extra: int = 0):
-        """Space-interpolate a coarse field onto the extended patch region
+        """Space-interpolate a parent field onto the extended patch region
         (+`extra` <= min(ratio) fine cells each side: CF axes have donor
         margin; spanned axes edge-extend)."""
-        grid0 = self.grid0
+        pgrid = self.parent_grid
         donor = extract_patch(coarse_field, self._donor_origin_c(origin_f),
                               self.donor_shape_c)
-        fine = prolong_linear(donor, grid0, self.ratio)
+        fine = prolong_linear(donor, pgrid, self.ratio)
         if extra > 0:
             pads = []
-            for ax in range(grid0.ndim):
-                d = grid0.dir_of_axis(ax)
+            for ax in range(pgrid.ndim):
+                d = pgrid.dir_of_axis(ax)
                 pads.append((0, 0) if d in self.cf_dirs else (extra, extra))
             fine = jnp.pad(fine, pads, mode="edge")
         start = []
         shape = []
-        for ax in range(grid0.ndim):
-            d = grid0.dir_of_axis(ax)
+        for ax in range(pgrid.ndim):
+            d = pgrid.dir_of_axis(ax)
             if d in self.cf_dirs:
                 start.append(self.ratio[d] - extra)
             else:
@@ -241,8 +302,9 @@ class AMRHierarchy:
 
     def _interp_state_ext(self, s0: NSState, origin_f) -> NSState:
         f = lambda arr: self._interp_ext(arr, origin_f)
+        ndim = self.parent_grid.ndim
         return NSState(
-            vel=jnp.stack([f(s0.vel[m]) for m in range(self.grid0.ndim)]),
+            vel=jnp.stack([f(s0.vel[m]) for m in range(ndim)]),
             scalars=jnp.stack([f(s0.scalars[c])
                                for c in range(s0.scalars.shape[0])]),
             lam=f(s0.lam),
@@ -271,7 +333,7 @@ class AMRHierarchy:
         )
 
     def _ring(self, coarse_phi, origin_f, scale=1.0):
-        """Padded-shape (ext+2) ghost-potential ring from a coarse field:
+        """Padded-shape (ext+2) ghost-potential ring from a parent field:
         interpolated values on the outermost layer of the CF sides, zero
         elsewhere (inhomogeneous CF Dirichlet data for the projections)."""
         ext1 = self._interp_ext(coarse_phi, origin_f, extra=1) * scale
@@ -284,36 +346,299 @@ class AMRHierarchy:
             ring = ring.at[tuple(sl)].set(ext1[tuple(sl)])
             sl[ax] = n - 1
             ring = ring.at[tuple(sl)].set(ext1[tuple(sl)])
-        # zero the corners that belong to non-CF sides' pad region is fine:
-        # those sides' BC fills are added separately and the ring stays 0
-        # there except on CF faces set above.
         return ring
 
+    def average_down(self, s_par: NSState, s_fine: NSState,
+                     origin_f, J_f=None) -> NSState:
+        """Fine interior -> parent (reference: MappedCoarseAverage +
+        postTimeStep avgDown, AMRNavierStokesSync.cpp:71-165).  With a
+        fine-level J the average is volume-weighted (the reference's
+        MAPPEDAVERAGE variant for mapped grids)."""
+        pgrid = self.parent_grid
+        H = self.halo
+        ndim = pgrid.ndim
+        int_start = tuple(H if pgrid.dir_of_axis(ax) in self.cf_dirs
+                          else 0 for ax in range(ndim))
+        int_shape = tuple(self.interior_nx[pgrid.dir_of_axis(ax)]
+                          for ax in range(ndim))
+        origin_c = tuple((origin_f[ax] + int_start[ax]) //
+                         self._axis_ratio(ax) for ax in range(ndim))
+        J_block = J_avg = None
+        if J_f is not None:
+            J_full = J_f * jnp.ones(self.ext_grid.shape)
+            J_block = extract_patch(J_full, int_start, int_shape)
+            J_avg = restrict_average(J_block, self.ext_grid, self.ratio)
+
+        def down(coarse, fine):
+            block = extract_patch(fine, int_start, int_shape)
+            if J_block is not None:
+                avg = restrict_average(block * J_block, self.ext_grid,
+                                       self.ratio) / J_avg
+            else:
+                avg = restrict_average(block, self.ext_grid, self.ratio)
+            return insert_patch(coarse, avg, origin_c)
+
+        return NSState(
+            vel=jnp.stack([down(s_par.vel[m], s_fine.vel[m])
+                           for m in range(ndim)]),
+            scalars=jnp.stack([down(s_par.scalars[c], s_fine.scalars[c])
+                               for c in range(s_par.scalars.shape[0])]),
+            lam=down(s_par.lam, s_fine.lam),
+            mac_phi=s_par.mac_phi,
+            cc_phi=s_par.cc_phi,
+            pressure=s_par.pressure,
+            e_lambda=s_par.e_lambda,
+            time=s_par.time,
+        )
+
+    # -------------------------------------------------------------- origin
+    def choose_origin(self, s_par: NSState, tag_params: TagParams
+                      ) -> np.ndarray:
+        """Tag the parent state and choose the patch origin (host-side).
+        Falls back to a centered patch if nothing is tagged."""
+        pgrid = self.parent_grid
+        ndim = pgrid.ndim
+        tags = compute_tags(s_par, self._parent_level, tag_params)
+        # never tag inside the parent's own CF halo: that data is
+        # interpolated from the grandparent, not an independent signal,
+        # and the donor slab must stay in the parent's valid interior
+        for ax in range(ndim):
+            ph = self.parent_halo_axes[ax]
+            if ph > 0:
+                sl = [slice(None)] * ndim
+                sl[ax] = slice(0, ph)
+                tags[tuple(sl)] = False
+                sl[ax] = slice(tags.shape[ax] - ph, None)
+                tags[tuple(sl)] = False
+        halo_axes = tuple(
+            self.halo if pgrid.dir_of_axis(ax) in self.cf_dirs else 0
+            for ax in range(ndim))
+        interior_axes = tuple(self.interior_nx[pgrid.dir_of_axis(ax)]
+                              for ax in range(ndim))
+        parent_halo_f = tuple(self.parent_halo_axes[ax]
+                              * self._axis_ratio(ax) for ax in range(ndim))
+        origin = patch_origin_from_tags(tags, pgrid, self.ratio,
+                                        interior_axes, halo_axes,
+                                        lo_pad_f=parent_halo_f)
+        if origin is None:
+            origin = np.zeros(ndim, dtype=np.int64)
+            for ax in range(ndim):
+                d = pgrid.dir_of_axis(ax)
+                r = self._axis_ratio(ax)
+                n_f = pgrid.nx[d] * r
+                if d in self.cf_dirs:
+                    start = (n_f - self.ext_nx[d]) // 2
+                    origin[ax] = (start // r) * r
+                else:
+                    origin[ax] = 0
+        return np.asarray(origin, dtype=np.int64)
+
+
+class AMRHierarchy:
+    """N-level subcycled hierarchy: base level + nested refined patches.
+
+    `ratios` is one per refinement boundary (reference
+    amr.refratio_lev<l>); each may be anisotropic.  Backward-compatible:
+    `ratio=(4, 4)` builds the two-level hierarchy.
+    """
+
+    def __init__(self, geo0, problem: Problem, params: NSParams,
+                 ratio=None, tag_params: TagParams = TagParams(),
+                 patch_frac: float = 0.5, eta_lambda: float = 0.0,
+                 ratios: Optional[Sequence[Tuple[int, ...]]] = None,
+                 reflux: Sequence[str] = ()):
+        """reflux: which advective fluxes get CF conservation corrections
+        — any of "vel", "scalars", "lam" (reference knobs
+        amr.advective_momentum/scalar/lambda_reflux; the shipped
+        lock-exchange configs run with all of them off)."""
+        if ratios is None:
+            assert ratio is not None
+            ratios = [tuple(int(r) for r in ratio)]
+        self.ratios = [tuple(int(r) for r in rr) for rr in ratios]
+        self.level0 = NSLevel(geo0, problem, params)
+        self.eta_lambda = float(eta_lambda)
+        if self.eta_lambda > 0.0:
+            self.level0.use_vd_correction = True
+        self.grid0: Grid = geo0.grid
+        self.problem = problem
+        self.params = params
+        self.tag_params = tag_params
+        self.reflux_fields = tuple(reflux) if reflux is not True else (
+            "vel", "scalars", "lam")
+        if self.reflux_fields:
+            assert params.update_scheme == "ppm", \
+                "refluxing requires the PPM scheme"
+
+        # build the nested patch couplings, coarse to fine
+        self.couplings: List[PatchCoupling] = []
+        parent_geo = geo0
+        parent_level = self.level0
+        parent_halo = (0,) * self.grid0.ndim
+        for rr in self.ratios:
+            c = PatchCoupling(parent_geo, parent_halo, problem, params,
+                              rr, patch_frac=patch_frac,
+                              root_geo_source=geo0.geo)
+            c._parent_level = parent_level
+            if self.reflux_fields:
+                from somar_tpu.amr.flux_register import PatchFluxRegister
+                c.flux_register = PatchFluxRegister(c)
+            self.couplings.append(c)
+            parent_geo = c.level.geo
+            parent_level = c.level
+            parent_halo = tuple(
+                c.halo if c.ext_grid.dir_of_axis(ax) in c.cf_dirs else 0
+                for ax in range(self.grid0.ndim))
+
+        # ----- backward-compatible 2-level aliases -----
+        c0 = self.couplings[0]
+        self.ratio = c0.ratio
+        self.nt = c0.nt
+        self.level1 = c0.level
+        self.ext_grid = c0.ext_grid
+        self.ext_nx = c0.ext_nx
+        self.interior_nx = c0.interior_nx
+        self.cf_dirs = c0.cf_dirs
+        self.span_dirs = c0.span_dirs
+        self.halo = c0.halo
+
+    @property
+    def num_levels(self) -> int:
+        return 1 + len(self.couplings)
+
+    @property
+    def origin_f(self):
+        return self.couplings[0].origin_f
+
+    @origin_f.setter
+    def origin_f(self, v):
+        self.couplings[0].origin_f = v
+
+    def levels(self):
+        return [self.level0] + [c.level for c in self.couplings]
+
     # ------------------------------------------------------------- advance
-    def advance(self, s0: NSState, s1: NSState, origin_f, dt):
-        """One coarse step + nt subcycled fine steps + synchronization.
-        origin_f: per-array-axis fine-cell origin of the extended patch
-        (traced int array).  Returns (s0_new, s1_new)."""
-        level0, level1 = self.level0, self.level1
-        nt = self.nt
-        s0_old = s0
-        s0_new = level0.advance(s0, dt)
+    def _advance_recursive(self, lev: int, s_old: NSState, s_new: NSState,
+                           fine_states: list, origins, dt, geos=None,
+                           parent_fluxes=None):
+        """Run level `lev`'s children through their subcycles between the
+        parent states (s_old at t, s_new at t+dt), average down, and
+        return the synchronized parent state.  `fine_states[k]` holds the
+        state of coupling k (level k+1) and is updated in place.
+
+        geos: for mapped geometries, per-coupling {"geo", "aux"} bundles
+        of TRACED metric operands; the patch level is rebuilt from them at
+        trace time so regrids never recompile (the metric rides along as
+        data)."""
+        if lev >= len(self.couplings):
+            return s_new
+        c = self.couplings[lev]
+        if c.is_mapped and geos is not None:
+            level = c.make_level(geos[lev]["geo"], geos[lev]["aux"])
+            J_f = geos[lev]["geo"].J
+        else:
+            level = c.level
+            J_f = None
+        s_f = fine_states[lev]
+        origin = origins[lev]
+        nt = c.nt
         dt_f = dt / nt
-
+        refluxing = parent_fluxes is not None and bool(self.reflux_fields)
+        regs = None
+        if refluxing:
+            freg = c.flux_register
+            regs = {key: freg.zeros()
+                    for key, _ in self._flux_items(parent_fluxes)}
         for i in range(nt):
-            frac_mid = (i + 0.5) / nt
             frac0 = i / nt
-            donor0 = time_interp(s0_old, s0_new, frac0)
-            donor_ext = self._interp_state_ext(donor0, origin_f)
-            s1 = self._overwrite_halo(s1, donor_ext)
-            donor_mid = time_interp(s0_old, s0_new, frac_mid)
+            frac_mid = (i + 0.5) / nt
+            donor0 = time_interp(s_old, s_new, frac0)
+            donor_ext = c._interp_state_ext(donor0, origin)
+            s_f = c._overwrite_halo(s_f, donor_ext)
+            donor_mid = time_interp(s_old, s_new, frac_mid)
             rings = {
-                "mac": self._ring(donor_mid.mac_phi, origin_f),
-                "cc": self._ring(donor_mid.cc_phi, origin_f, 1.0 / nt),
+                "mac": c._ring(donor_mid.mac_phi, origin),
+                "cc": c._ring(donor_mid.cc_phi, origin, 1.0 / nt),
             }
-            s1 = level1.advance(s1, dt_f, rings=rings)
+            s_f_old = s_f
+            if refluxing:
+                s_f_new, fl_f = level.advance(s_f, dt_f, rings=rings,
+                                              collect_fluxes=True)
+                for key, flux in self._flux_items(fl_f):
+                    regs[key] = freg.increment_fine(regs[key], flux,
+                                                    1.0 / nt)
+            else:
+                s_f_new = level.advance(s_f, dt_f, rings=rings)
+                fl_f = None
+            # recurse: the child's own children subcycle inside this step
+            s_f = self._advance_recursive(lev + 1, s_f_old, s_f_new,
+                                          fine_states, origins, dt_f, geos,
+                                          parent_fluxes=fl_f)
+        fine_states[lev] = s_f
+        s_par = c.average_down(s_new, s_f, origin, J_f=J_f)
+        if refluxing:
+            # conservation fix-up at the CF interface (reference:
+            # MappedLevelFluxRegister::reflux, AMRNavierStokesSync.cpp:
+            # 71-164)
+            parent_geo = (self.level0.geo if lev == 0 else
+                          (geos[lev - 1]["geo"]
+                           if (geos is not None and
+                               self.couplings[lev - 1].is_mapped)
+                           else self.couplings[lev - 1].level.geo))
+            for key, flux in self._flux_items(parent_fluxes):
+                regs[key] = freg.increment_coarse(regs[key], flux, origin)
+            vel = s_par.vel
+            scalars = s_par.scalars
+            lam = s_par.lam
+            for key in regs:
+                if key[0] == "vel":
+                    vel = vel.at[key[1]].set(freg.reflux(
+                        vel[key[1]], regs[key], origin, dt, parent_geo))
+                elif key[0] == "scalars":
+                    scalars = scalars.at[key[1]].set(freg.reflux(
+                        scalars[key[1]], regs[key], origin, dt, parent_geo))
+                else:
+                    lam = freg.reflux(lam, regs[key], origin, dt, parent_geo)
+            s_par = dataclasses.replace(s_par, vel=vel, scalars=scalars,
+                                        lam=lam)
+        return s_par
 
-        s0_new = self.average_down(s0_new, s1, origin_f)
+    def _flux_items(self, fluxes: dict):
+        """(key, per-direction flux tuple) pairs for the refluxed fields."""
+        items = []
+        if "vel" in self.reflux_fields and "vel" in fluxes:
+            for m, fl in enumerate(fluxes["vel"]):
+                items.append((("vel", m), fl))
+        if "scalars" in self.reflux_fields and "scalars" in fluxes:
+            for cc, fl in enumerate(fluxes["scalars"]):
+                items.append((("scalars", cc), fl))
+        if "lam" in self.reflux_fields and "lam" in fluxes:
+            items.append((("lam",), fluxes["lam"]))
+        return items
+
+    def advance(self, s0: NSState, fine_states, origins, dt, geos=None):
+        """One coarse step + nested subcycled fine steps + synchronization.
+        fine_states: tuple/list of patch states, coarse to fine;
+        origins: matching tuple of per-array-axis fine-cell origins
+        (traced int arrays), each relative to its parent array;
+        geos: traced metric bundles for mapped geometries (see
+        geo_bundles).  Returns (s0_new, new_fine_states)."""
+        single = not isinstance(fine_states, (list, tuple))
+        if single:       # backward-compatible 2-level call signature
+            fine_states = [fine_states]
+            origins = [origins]
+            if geos is not None:
+                geos = [geos]
+        fine_states = list(fine_states)
+        level0 = self.level0
+        s0_old = s0
+        if self.reflux_fields:
+            s0_new, fl0 = level0.advance(s0, dt, collect_fluxes=True)
+        else:
+            s0_new = level0.advance(s0, dt)
+            fl0 = None
+        s0_new = self._advance_recursive(0, s0_old, s0_new, fine_states,
+                                         origins, dt, geos,
+                                         parent_fluxes=fl0)
         # sync projection (reference: AMRNavierStokesSync.cpp:249-295)
         if self.params.is_incompressible:
             vel, cc_phi, _ = level0.projector.project_cc(
@@ -327,98 +652,139 @@ class AMRHierarchy:
             rhs = self.eta_lambda * (s0_new.lam - 1.0) / dt
             e_lam, _ = level0.projector._solve(rhs - jnp.mean(rhs))
             s0_new = dataclasses.replace(s0_new, e_lambda=e_lam)
-        return s0_new, s1
+        if single:
+            return s0_new, fine_states[0]
+        return s0_new, tuple(fine_states)
 
     def average_down(self, s0: NSState, s1: NSState, origin_f) -> NSState:
-        """Fine interior -> coarse (reference: MappedCoarseAverage +
-        postTimeStep avgDown, AMRNavierStokesSync.cpp:71-165)."""
-        grid0 = self.grid0
-        H = self.halo
-        ndim = grid0.ndim
-        # fine interior block
-        int_start = tuple(H if self.grid0.dir_of_axis(ax) in self.cf_dirs
-                          else 0 for ax in range(ndim))
-        int_shape = tuple(self.interior_nx[grid0.dir_of_axis(ax)]
-                          for ax in range(ndim))
-        origin_c = tuple((origin_f[ax] + int_start[ax]) //
-                         self._axis_ratio(ax) for ax in range(ndim))
-
-        def down(coarse, fine):
-            block = extract_patch(fine, int_start, int_shape)
-            avg = restrict_average(block, self.ext_grid, self.ratio)
-            return insert_patch(coarse, avg, origin_c)
-
-        return NSState(
-            vel=jnp.stack([down(s0.vel[m], s1.vel[m])
-                           for m in range(ndim)]),
-            scalars=jnp.stack([down(s0.scalars[c], s1.scalars[c])
-                               for c in range(s0.scalars.shape[0])]),
-            lam=down(s0.lam, s1.lam),
-            mac_phi=s0.mac_phi,
-            cc_phi=s0.cc_phi,
-            pressure=s0.pressure,
-            e_lambda=s0.e_lambda,
-            time=s0.time,
-        )
+        """Backward-compatible 2-level average-down."""
+        return self.couplings[0].average_down(s0, s1, origin_f)
 
     # -------------------------------------------------------------- regrid
+    def _fill_patch_state(self, lev: int, s_par: NSState) -> NSState:
+        c = self.couplings[lev]
+        return c._interp_state_ext(s_par, jnp.asarray(c.origin_f))
+
+    def _refresh_bundle(self, lev: int):
+        """Rebuild the mapped metric bundle of coupling `lev` at its
+        current origin (host-side, at regrid time)."""
+        c = self.couplings[lev]
+        if not c.is_mapped:
+            return
+        bundle, lg = c.build_patch_bundle(self._global_origin(lev),
+                                          self.grid0)
+        c.bundle = bundle
+        # the host template level keeps the concrete metric for tagging
+        # (vorticity) and as the parent geometry of deeper couplings
+        c.level.geo = lg
+
+    @property
+    def geo_bundles(self):
+        """Traced-operand metric bundles, one per coupling (None entries
+        for uniform couplings); pass to advance/compute_dt on mapped
+        runs."""
+        if not any(c.is_mapped for c in self.couplings):
+            return None
+        return tuple(c.bundle for c in self.couplings)
+
+    def initial_patch_states(self, s0: NSState):
+        """Tag, choose every patch origin, and fill patch data coarse to
+        fine (host-side; reference: initialGrid + regrid data fill).
+        Returns (fine_states, origins) tuples, coarse to fine."""
+        states = []
+        origins = []
+        s_par = s0
+        for lev, c in enumerate(self.couplings):
+            c.origin_f = c.choose_origin(s_par, self.tag_params)
+            self._refresh_bundle(lev)
+            s_f = self._fill_patch_state(lev, s_par)
+            states.append(s_f)
+            origins.append(jnp.asarray(c.origin_f))
+            s_par = s_f
+        return tuple(states), tuple(origins)
+
     def initial_patch_state(self, s0: NSState):
-        """Tag, choose the patch origin, and fill patch data from coarse
-        (host-side; reference: initialGrid + regrid data fill)."""
-        tags = compute_tags(s0, self.level0, self.tag_params)
-        halo_axes = tuple(
-            self.halo if self.grid0.dir_of_axis(ax) in self.cf_dirs else 0
-            for ax in range(self.grid0.ndim))
-        interior_axes = tuple(self.interior_nx[self.grid0.dir_of_axis(ax)]
-                              for ax in range(self.grid0.ndim))
-        origin = patch_origin_from_tags(tags, self.grid0, self.ratio,
-                                        interior_axes, halo_axes)
-        if origin is None:
-            origin = np.array(
-                [(self.grid0.nx[self.grid0.dir_of_axis(ax)]
-                  * self._axis_ratio(ax) - self.ext_nx[
-                      self.grid0.dir_of_axis(ax)]) // 2
-                 for ax in range(self.grid0.ndim)], dtype=np.int64)
-            for ax in range(self.grid0.ndim):
-                r = self._axis_ratio(ax)
-                origin[ax] = (origin[ax] // r) * r
-        self.origin_f = np.asarray(origin, dtype=np.int64)
-        s1 = self._interp_state_ext(s0, jnp.asarray(self.origin_f))
-        return s1, jnp.asarray(self.origin_f)
+        """Backward-compatible 2-level initializer."""
+        states, origins = self.initial_patch_states(s0)
+        return states[0], origins[0]
 
-    def regrid(self, s0: NSState, s1: NSState):
-        """Re-tag and move the patch; data fill = coarse interpolation
-        overwritten by old-patch data where the patches overlap
-        (reference: AMRNavierStokesRegrid::regrid, :688-966)."""
-        old_origin = None if self.origin_f is None else self.origin_f.copy()
-        s1_new, origin = self.initial_patch_state(s0)
-        if old_origin is not None:
-            # overlap copy in fine index space (host ints -> static slices)
-            new_o = self.origin_f
-            lo = np.maximum(old_origin, new_o)
-            hi = np.minimum(old_origin + np.asarray(self.ext_grid.shape),
-                            new_o + np.asarray(self.ext_grid.shape))
-            if np.all(hi > lo):
-                src = tuple(slice(int(a), int(b)) for a, b in
-                            zip(lo - old_origin, hi - old_origin))
-                dst = tuple(slice(int(a), int(b)) for a, b in
-                            zip(lo - new_o, hi - new_o))
+    def _global_origin(self, upto: int) -> np.ndarray:
+        """Global origin of coupling `upto`'s patch in its own fine index
+        space (accumulating parent origins through the nesting)."""
+        ndim = self.grid0.ndim
+        g = np.zeros(ndim, dtype=np.int64)
+        for lev in range(upto + 1):
+            c = self.couplings[lev]
+            r = np.array([c._axis_ratio(ax) for ax in range(ndim)],
+                         dtype=np.int64)
+            g = g * r + np.asarray(c.origin_f, dtype=np.int64)
+        return g
 
-                def copy_overlap(new, old):
-                    lead = new.ndim - self.grid0.ndim
-                    pre = (slice(None),) * lead
-                    return new.at[pre + dst].set(old[pre + src])
+    def regrid(self, s0: NSState, fine_states):
+        """Re-tag and move every patch, coarse to fine; data fill = parent
+        interpolation overwritten by old-patch data where the old and new
+        patches overlap in global index space (reference:
+        AMRNavierStokesRegrid::regrid, :688-966)."""
+        single = not isinstance(fine_states, (list, tuple))
+        if single:
+            fine_states = [fine_states]
+        old_globals = []
+        for lev, c in enumerate(self.couplings):
+            old_globals.append(None if c.origin_f is None
+                               else self._global_origin(lev))
 
-                s1_new = jax.tree_util.tree_map(
-                    lambda n, o: copy_overlap(n, o)
-                    if n.ndim >= self.grid0.ndim else n,
-                    s1_new, s1)
-        return s1_new, origin
+        new_states = []
+        origins = []
+        s_par = s0
+        for lev, c in enumerate(self.couplings):
+            c.origin_f = c.choose_origin(s_par, self.tag_params)
+            self._refresh_bundle(lev)
+            s_new = self._fill_patch_state(lev, s_par)
+            if old_globals[lev] is not None:
+                new_g = self._global_origin(lev)
+                old_g = old_globals[lev]
+                shape = np.asarray(c.ext_grid.shape)
+                lo = np.maximum(old_g, new_g)
+                hi = np.minimum(old_g + shape, new_g + shape)
+                if np.all(hi > lo):
+                    src = tuple(slice(int(a), int(b)) for a, b in
+                                zip(lo - old_g, hi - old_g))
+                    dst = tuple(slice(int(a), int(b)) for a, b in
+                                zip(lo - new_g, hi - new_g))
+                    ndim = self.grid0.ndim
+
+                    def copy_overlap(new, old):
+                        lead = new.ndim - ndim
+                        pre = (slice(None),) * lead
+                        return new.at[pre + dst].set(old[pre + src])
+
+                    s_new = jax.tree_util.tree_map(
+                        lambda n, o: copy_overlap(n, o)
+                        if n.ndim >= ndim else n,
+                        s_new, fine_states[lev])
+            new_states.append(s_new)
+            origins.append(jnp.asarray(c.origin_f))
+            s_par = s_new
+        if single:
+            return new_states[0], origins[0]
+        return tuple(new_states), tuple(origins)
 
     # ------------------------------------------------------------------ dt
-    def compute_dt(self, s0: NSState, s1: NSState):
-        """Coarse dt limited so the subcycled fine level stays in CFL
+    def compute_dt(self, s0: NSState, fine_states, geos=None):
+        """Coarse dt limited so every subcycled level stays in CFL
         (reference: LepticAMR::assignDt, :854-947)."""
-        dt0 = self.level0.compute_dt(s0)
-        dt1 = self.level1.compute_dt(s1)
-        return jnp.minimum(dt0, self.nt * dt1)
+        single = not isinstance(fine_states, (list, tuple))
+        if single:
+            fine_states = [fine_states]
+            if geos is not None:
+                geos = [geos]
+        dt = self.level0.compute_dt(s0)
+        factor = 1
+        for lev, (c, s_f) in enumerate(zip(self.couplings, fine_states)):
+            factor *= c.nt
+            if c.is_mapped and geos is not None:
+                level = c.make_level(geos[lev]["geo"], geos[lev]["aux"])
+            else:
+                level = c.level
+            dt = jnp.minimum(dt, factor * level.compute_dt(s_f))
+        return dt

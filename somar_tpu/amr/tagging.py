@@ -91,20 +91,25 @@ def compute_tags(state, level, params: TagParams) -> np.ndarray:
 
 
 def patch_origin_from_tags(tags: np.ndarray, grid: Grid, ratio,
-                           interior_shape_f, halo_axes) -> Optional[np.ndarray]:
+                           interior_shape_f, halo_axes,
+                           lo_pad_f=None) -> Optional[np.ndarray]:
     """Choose the (fine-index-space) patch origin covering the tags.
 
     The patch has a STATIC fine interior shape per array axis
     (interior_shape_f) and a per-axis halo (0 on physical/vertical sides,
     ADVECT_GROW on coarse-fine sides); the origin snaps to coarse cells and
-    is clamped so patch+halo stays inside the domain.  Returns the
-    per-array-axis origin of the EXTENDED patch, or None when untagged.
+    is clamped so patch+halo stays inside the domain.  `lo_pad_f` adds a
+    per-axis no-go margin in fine cells at BOTH ends (the parent level's
+    own CF halo for nested hierarchies).  Returns the per-array-axis
+    origin of the EXTENDED patch, or None when untagged.
     """
     from somar_tpu.native import tag_bounding_box
 
     bbox = tag_bounding_box(tags)
     if bbox is None:
         return None
+    if lo_pad_f is None:
+        lo_pad_f = (0,) * grid.ndim
     lo, hi = bbox[0], bbox[1]
     origin = np.zeros(grid.ndim, dtype=np.int64)  # per array axis, fine cells
     for ax in range(grid.ndim):
@@ -118,7 +123,7 @@ def patch_origin_from_tags(tags: np.ndarray, grid: Grid, ratio,
         start_f = (start_f // r) * r                 # snap to coarse cells
         # clamp keeping one coarse cell of donor margin beyond the halo on
         # CF sides (h > 0); spanned sides (h == 0) pin to the boundary
-        margin = h + r if h > 0 else 0
+        margin = h + r + lo_pad_f[ax] if h > 0 else 0
         start_f = max(margin, min(start_f, n_f - interior_f - margin))
         origin[ax] = start_f - h                     # extended origin
     return origin

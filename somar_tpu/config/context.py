@@ -120,7 +120,17 @@ class ProblemContext:
     # ------------------------------------------------------------ factory
     @classmethod
     def from_file(cls, path: str, overrides: Sequence[str] = ()):
-        return cls.from_parmparse(ParmParse.from_file(path, overrides))
+        import os
+        ctx = cls.from_parmparse(ParmParse.from_file(path, overrides))
+        # resolve input-file-relative resource paths (the reference's
+        # shipped configs point at ../src/geometry/maps/DEMMaps/...)
+        if ctx.dem_file and not os.path.isabs(ctx.dem_file) \
+                and not os.path.exists(ctx.dem_file):
+            cand = os.path.join(os.path.dirname(os.path.abspath(path)),
+                                ctx.dem_file)
+            if os.path.exists(cand):
+                ctx.dem_file = cand
+        return ctx
 
     @classmethod
     def from_parmparse(cls, pp: ParmParse) -> "ProblemContext":
@@ -269,7 +279,8 @@ class ProblemContext:
             ledge_xl=pp.get_real("geometry.ledgeMapXl", -1.0),
             ledge_xr=pp.get_real("geometry.ledgeMapXr", 1.0),
             beam_gen_alpha=pp.get_real("geometry.beamGenMapAlpha", 0.0),
-            dem_file=pp.get_str("geometry.demFile", "") or "",
+            dem_file=(pp.get_str("geometry.DemFile", "")
+                      or pp.get_str("geometry.demFile", "") or ""),
             use_background_scalar=bool(
                 pp.get_int("ibc.useBackgroundScalar", 0)),
             bg_profile=pp.get_int("ibc.bgScalarProfile", 1),

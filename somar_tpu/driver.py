@@ -40,7 +40,7 @@ class RunDriver:
                                         dtype=ctx.ns.dtype)
         self.problem = ctx.new_problem()
         self.hierarchy = None
-        if ctx.amr.max_level >= 1 and self.geo.is_uniform:
+        if ctx.amr.max_level >= 1:
             from somar_tpu.amr.hierarchy import AMRHierarchy
             from somar_tpu.amr.tagging import TagParams
             tagp = TagParams(
@@ -51,7 +51,8 @@ class RunDriver:
                 vert_extrude=True)
             self.hierarchy = AMRHierarchy(
                 self.geo, self.problem, ctx.ns,
-                ratio=ctx.amr.ref_ratios[0], tag_params=tagp)
+                ratios=list(ctx.amr.ref_ratios[:ctx.amr.max_level]),
+                tag_params=tagp)
             self.level = self.hierarchy.level0
             self._amr_step_fn = jax.jit(self.hierarchy.advance)
             self._amr_dt_fn = jax.jit(self.hierarchy.compute_dt)
@@ -91,10 +92,16 @@ class RunDriver:
         prev_handler = signal.signal(
             signal.SIGINT, lambda *_: setattr(self, "_interrupted", True))
 
-        # AMR: build the patch level
+        # AMR: build the patch levels
         fine_state = origin = None
         if self.hierarchy is not None:
-            fine_state, origin = self.hierarchy.initial_patch_state(state)
+            fine_state, origin = self.hierarchy.initial_patch_states(state)
+            # substeps of coupling k per coarse step = prod of nt's above it
+            self._amr_substeps = []
+            factor = 1
+            for c in self.hierarchy.couplings:
+                factor *= c.nt
+                self._amr_substeps.append(factor)
 
         cell_updates = 0
         t_start = time.perf_counter()
@@ -112,9 +119,11 @@ class RunDriver:
                 t0 = time.perf_counter()
                 if self.hierarchy is not None:
                     state, fine_state = self._amr_step_fn(
-                        state, fine_state, origin, dt)
-                    cell_updates += (self.hierarchy.nt
-                                     * int(np.prod(self.hierarchy.ext_nx)))
+                        state, fine_state, origin, dt,
+                        self.hierarchy.geo_bundles)
+                    for c, nsub in zip(self.hierarchy.couplings,
+                                       self._amr_substeps):
+                        cell_updates += nsub * int(np.prod(c.ext_nx))
                 else:
                     state = self._step_fn(state, dt)
                 state.vel.block_until_ready()
@@ -129,7 +138,8 @@ class RunDriver:
 
                 # next dt: CFL-limited, growth-capped
                 if self.hierarchy is not None:
-                    dt_new = self._amr_dt_fn(state, fine_state)
+                    dt_new = self._amr_dt_fn(state, fine_state,
+                                             self.hierarchy.geo_bundles)
                 else:
                     dt_new = self._dt_fn(state)
                 dt = jnp.minimum(dt_new, ctx.ns.max_dt_grow * dt)
@@ -161,10 +171,11 @@ class RunDriver:
                                      f"{p.checkpoint_prefix}{step:06d}.hdf5"),
                         state, self.level, step, float(dt),
                         fine_state=fine_state,
-                        fine_grid=(self.hierarchy.ext_grid
+                        fine_grid=([c.ext_grid for c in
+                                    self.hierarchy.couplings]
                                    if self.hierarchy else None),
                         origin=(None if origin is None
-                                else np.asarray(origin)))
+                                else [np.asarray(o) for o in origin]))
         finally:
             signal.signal(signal.SIGINT, prev_handler)
 
@@ -181,6 +192,8 @@ class RunDriver:
                          f"{ctx.plot.checkpoint_prefix}final.hdf5"),
             state, self.level, step, float(dt),
             fine_state=fine_state,
-            fine_grid=self.hierarchy.ext_grid if self.hierarchy else None,
-            origin=None if origin is None else np.asarray(origin))
+            fine_grid=([c.ext_grid for c in self.hierarchy.couplings]
+                       if self.hierarchy else None),
+            origin=None if origin is None else [np.asarray(o)
+                                                for o in origin])
         return state, step

@@ -21,11 +21,24 @@ from somar_tpu.geometry.level_geometry import LevelGeometry
 
 
 class RawGeoSource(GeoSource):
-    """Marker geo-source for array-defined geometries (no coordinate map)."""
+    """Marker geo-source for array-defined geometries (no coordinate map).
 
-    is_diagonal = True
+    Equality/hash by flags only: LevelGeometry pytrees carry the geo
+    source as static aux data, and regrid rebuilds must not change the
+    treedef (that would retrace the jitted step every regrid)."""
+
     is_uniform = False
     name = "Raw"
+
+    def __init__(self, is_diagonal: bool = True):
+        self.is_diagonal = is_diagonal
+
+    def __eq__(self, other):
+        return (type(other) is RawGeoSource
+                and other.is_diagonal == self.is_diagonal)
+
+    def __hash__(self):
+        return hash(("RawGeoSource", self.is_diagonal))
 
     def phys_coor(self, mu, xi):
         return xi[mu]   # identity placeholder; metric comes from arrays
@@ -40,6 +53,32 @@ def raw_level_geometry(grid: Grid, J, Jgup_diag: Sequence,
         Jgup_diag=tuple(jnp.asarray(g, dtype) * jnp.ones(grid.fc_shape(d), dtype)
                         for d, g in enumerate(Jgup_diag)),
         Jgup_full=None, e_cc=None, einv_cc=None, gdn_cc=None,
+    )
+
+
+def raw_from_level_geometry(lg: LevelGeometry,
+                            grid: Grid = None) -> LevelGeometry:
+    """Re-wrap a map-derived LevelGeometry as a raw (array-defined) one, so
+    that downstream consumers (MG coefficient coarsening, the traced AMR
+    metric path) treat the metric as data rather than re-evaluating the
+    coordinate map.  Keeps the full metric (Jgup_full/e/einv/gdn) when
+    present — the AMR patch of a terrain-following map is non-diagonal.
+
+    `grid` optionally rebases onto a static index grid (same nx/dx but a
+    placeholder x0): the moving AMR patch keeps ONE treedef across
+    regrids, so the jitted step never recompiles as the patch moves."""
+    if grid is None:
+        grid = lg.grid
+    assert grid.nx == lg.grid.nx and grid.dx == lg.grid.dx
+    shape = grid.shape
+    J = lg.J * jnp.ones(shape)
+    return LevelGeometry(
+        grid, RawGeoSource(is_diagonal=lg.is_diagonal),
+        J=J, Jinv=1.0 / J,
+        Jgup_diag=tuple(lg.Jgup_diag[d] * jnp.ones(grid.fc_shape(d))
+                        for d in range(grid.ndim)),
+        Jgup_full=lg.Jgup_full, e_cc=lg.e_cc, einv_cc=lg.einv_cc,
+        gdn_cc=lg.gdn_cc,
     )
 
 
@@ -79,14 +118,32 @@ def _coarsen_fc(arr, grid: Grid, d: int, ratio):
 
 
 def coarsen_raw_geometry(geo: LevelGeometry, ratio) -> LevelGeometry:
-    grid_c = geo.grid.coarsen(ratio)
-    J_c = _block_mean_cc(geo.J * jnp.ones(geo.grid.shape), geo.grid, ratio)
+    grid = geo.grid
+    grid_c = grid.coarsen(ratio)
+    ndim = grid.ndim
+    J_c = _block_mean_cc(geo.J * jnp.ones(grid.shape), grid, ratio)
     Jg_c = tuple(
-        _coarsen_fc(geo.Jgup_diag[d] * jnp.ones(geo.grid.fc_shape(d)),
-                    geo.grid, d, ratio)
-        for d in range(geo.grid.ndim))
+        _coarsen_fc(geo.Jgup_diag[d] * jnp.ones(grid.fc_shape(d)),
+                    grid, d, ratio)
+        for d in range(ndim))
+    Jg_full_c = None
+    if geo.Jgup_full is not None:
+        Jg_full_c = tuple(
+            jnp.stack([_coarsen_fc(geo.Jgup_full[d][j], grid, d, ratio)
+                       for j in range(ndim)])
+            for d in range(ndim))
+
+    def cc_tensor(t):
+        if t is None:
+            return None
+        rows = [[_block_mean_cc(t[i, j], grid, ratio) for j in range(ndim)]
+                for i in range(ndim)]
+        return jnp.stack([jnp.stack(r) for r in rows])
+
     return LevelGeometry(
         grid_c, geo.geo,
         J=J_c, Jinv=1.0 / J_c,
-        Jgup_diag=Jg_c, Jgup_full=None, e_cc=None, einv_cc=None, gdn_cc=None,
+        Jgup_diag=Jg_c, Jgup_full=Jg_full_c,
+        e_cc=cc_tensor(geo.e_cc), einv_cc=cc_tensor(geo.einv_cc),
+        gdn_cc=cc_tensor(geo.gdn_cc),
     )

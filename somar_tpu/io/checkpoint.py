@@ -45,21 +45,29 @@ def write_checkpoint(path: str, state, level, step: int, dt: float,
                      extra: Optional[dict] = None,
                      fine_state=None, fine_grid=None, origin=None):
     """Save full state for exact resume.  With fine_state/fine_grid/origin
-    the AMR patch level is stacked as group level_1 (reference: per-level
-    checkpoint groups, AMRNavierStokesIO.cpp:92-165)."""
+    the AMR patch levels are stacked as groups level_1..level_N
+    (reference: per-level checkpoint groups, AMRNavierStokesIO.cpp:92-165).
+    Each of fine_state/fine_grid/origin may be a single value (2-level
+    runs) or a coarse-to-fine sequence (N-level hierarchies)."""
     import h5py
 
+    if fine_state is not None and not isinstance(fine_state, (list, tuple)):
+        fine_state = [fine_state]
+        fine_grid = [fine_grid]
+        origin = [origin]
     grid = level.grid
+    nfine = 0 if fine_state is None else len(fine_state)
     with h5py.File(path, "w") as f:
         f.attrs["iteration"] = step
         f.attrs["time"] = float(state.time)
         f.attrs["dt"] = float(dt)
-        f.attrs["num_levels"] = 2 if fine_state is not None else 1
+        f.attrs["num_levels"] = 1 + nfine
         f.attrs["ndim"] = grid.ndim
         f.attrs["config_json"] = json.dumps(extra or {})
         _write_level_group(f, "level_0", state, grid)
-        if fine_state is not None:
-            _write_level_group(f, "level_1", fine_state, fine_grid, origin)
+        for k in range(nfine):
+            _write_level_group(f, f"level_{k + 1}", fine_state[k],
+                               fine_grid[k], origin[k])
 
 
 def _read_level_group(g, grid, dtype, nscal, time):
@@ -103,10 +111,16 @@ def read_checkpoint(path: str, level, fine_grid=None):
         nscal = level.problem.num_scalars
         state = _read_level_group(g, grid, dtype, nscal, time)
         if fine_grid is not None and "level_1" in f:
-            g1 = f["level_1"]
-            fine = _read_level_group(g1, fine_grid, dtype, nscal, time)
-            origin = np.asarray(g1.attrs["patch_origin"])
-            return state, step, dt, fine, origin
+            single = not isinstance(fine_grid, (list, tuple))
+            grids = [fine_grid] if single else list(fine_grid)
+            fines, origins = [], []
+            for k, gk in enumerate(grids):
+                g1 = f[f"level_{k + 1}"]
+                fines.append(_read_level_group(g1, gk, dtype, nscal, time))
+                origins.append(np.asarray(g1.attrs["patch_origin"]))
+            if single:
+                return state, step, dt, fines[0], origins[0]
+            return state, step, dt, tuple(fines), tuple(origins)
     return state, step, dt
 
 

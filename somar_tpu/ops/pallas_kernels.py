@@ -28,6 +28,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+#: per-block VMEM byte budget for the PPM predictor blocking (module-level
+#: so tests can shrink it to exercise the lane-padded fallback paths)
+_VMEM_BUDGET = 640 * 1024
+
 
 def _ppm_kernel(sp_ref, up_ref, dtdx_ref, lo_ref, hi_ref, rie_ref, *,
                 ax: int, use_limiting: bool):
@@ -107,21 +111,15 @@ def ppm_predict_pallas(sp, up, dt_over_dx, ax: int, use_limiting: bool,
     sp, up: padded scalar / tracing velocity (same shape).
     Returns (lo, hi, rie) face arrays (n_pad - 1 along ax).
     """
-    shape = sp.shape
     ndim = sp.ndim
-    out_shape = list(shape)
-    out_shape[ax] -= 1
-    out_shape = tuple(out_shape)
 
-    # blocking: full extent along ax (the stencil axis) and along the lane
-    # axis; tile every other axis down to a VMEM budget.  TPU constraint:
-    # block sublane dim divisible by 8 (or full); lane dim full here.
+    # blocking: full extent along ax (the stencil axis); tile the other
+    # axes down to a VMEM budget.  TPU constraint: block sublane dim
+    # divisible by 8 (or full); lane dim multiple of 128 (or full).
     # Mosaic materializes ~15 block-sized temporaries inside the kernel
     # (slices, face values, limiter branches), so the block must be well
     # under VMEM/15.
-    VMEM_BUDGET = 640 * 1024        # bytes per block
-    block = list(shape)
-    tile_axes = [a for a in range(ndim) if a != ax and a != ndim - 1]
+    VMEM_BUDGET = _VMEM_BUDGET      # bytes per block
 
     def divisors_desc(n, multiple=1):
         return [d for d in range(n, 0, -1)
@@ -133,22 +131,54 @@ def ppm_predict_pallas(sp, up, dt_over_dx, ax: int, use_limiting: bool,
             b *= v
         return b
 
-    for a in tile_axes:
-        if bytes_of(block) <= VMEM_BUDGET:
-            break
-        mult = 8 if a == ndim - 2 else 1
-        for d in divisors_desc(shape[a], mult):
-            block[a] = d
-            if bytes_of(block) <= VMEM_BUDGET:
+    def try_blocking(shp, tile_lanes: bool):
+        blk = list(shp)
+        axes = [a for a in range(ndim) if a != ax and a != ndim - 1]
+        if tile_lanes and ax != ndim - 1:
+            axes.append(ndim - 1)   # lanes last: prefer sublane tiling
+        for a in axes:
+            if bytes_of(blk) <= VMEM_BUDGET:
                 break
-    if bytes_of(block) > VMEM_BUDGET:
-        # no feasible blocking (e.g. the stencil axis is the only tileable
-        # one); the caller falls back to the jnp predictor
+            mult = 8 if a == ndim - 2 else (128 if a == ndim - 1 else 1)
+            for d in divisors_desc(shp[a], mult):
+                blk[a] = d
+                if bytes_of(blk) <= VMEM_BUDGET:
+                    break
+        return blk if bytes_of(blk) <= VMEM_BUDGET else None
+
+    shape = sp.shape
+    crop_lanes = None
+    block = try_blocking(shape, tile_lanes=False)
+    if block is None and ax != ndim - 1:
+        # the stencil is not along lanes, so lanes can tile freely —
+        # pad the lane axis up to a multiple of 128 first (the z-direction
+        # predictor at production sizes lands here: e.g. (136,136,520)
+        # cannot tile y below 8 sublanes within budget, but 520->640 lanes
+        # tile as 5 x 128 with no halo cost)
+        lane_ax = ndim - 1
+        n_l = shape[lane_ax]
+        n_lp = ((n_l + 127) // 128) * 128
+        padw = [(0, 0)] * ndim
+        padw[lane_ax] = (0, n_lp - n_l)
+        if n_lp != n_l:
+            sp = jnp.pad(sp, padw, mode="edge")
+            up = jnp.pad(up, padw, mode="edge")
+            crop_lanes = n_l
+        shape = sp.shape
+        block = try_blocking(shape, tile_lanes=True)
+    if block is None:
+        # no feasible blocking; the caller falls back to the jnp predictor
         return None
+
+    out_shape = list(shape)
+    out_shape[ax] -= 1
+    out_shape = tuple(out_shape)
+    tile_axes = [a for a in range(ndim) if a != ax]
 
     grid = tuple(shape[a] // block[a] for a in tile_axes
                  if shape[a] // block[a] > 1)
     grid_axes = [a for a in tile_axes if shape[a] // block[a] > 1]
+    assert ax not in grid_axes
     index_map = None
     if grid:
         def imap(*gidx):
@@ -163,8 +193,7 @@ def ppm_predict_pallas(sp, up, dt_over_dx, ax: int, use_limiting: bool,
     out_block = tuple(out_block)
 
     in_specs = [
-        pl.BlockSpec(block, index_map, memory_space=pltpu.ANY)
-        if False else pl.BlockSpec(block, index_map),
+        pl.BlockSpec(block, index_map),
         pl.BlockSpec(block, index_map),
         pl.BlockSpec(memory_space=pltpu.SMEM),
     ]
@@ -187,4 +216,8 @@ def ppm_predict_pallas(sp, up, dt_over_dx, ax: int, use_limiting: bool,
         interpret=interpret,
     )(sp, up, jnp.asarray([dt_over_dx], sp.dtype)
       if jnp.ndim(dt_over_dx) == 0 else dt_over_dx)
+    if crop_lanes is not None:
+        sl = [slice(None)] * ndim
+        sl[ndim - 1] = slice(0, crop_lanes)
+        lo, hi, rie = lo[tuple(sl)], hi[tuple(sl)], rie[tuple(sl)]
     return lo, hi, rie

@@ -99,7 +99,14 @@ class NSLevel:
     """One level's Navier-Stokes integrator (reference: AMRNavierStokes)."""
 
     def __init__(self, geo: LevelGeometry, problem: Problem,
-                 params: NSParams = NSParams()):
+                 params: NSParams = NSParams(),
+                 aux_fields: Optional[dict] = None):
+        """aux_fields optionally precomputes the host-derived problem
+        fields ("nsq_cc", "sponge_ramp", "sponge_targets") so the level
+        can be constructed from a TRACED LevelGeometry (the mapped-AMR
+        path rebuilds the patch level inside the jitted step with the
+        metric as a traced operand)."""
+        aux = aux_fields or {}
         self.geo = geo
         self.grid = geo.grid
         self.problem = problem
@@ -149,12 +156,19 @@ class NSLevel:
         # precomputed problem fields
         self._sponge_ramp = None
         if problem.sponge is not None:
-            from somar_tpu.problems.base import sponge_ramp
-            self._sponge_ramp = jnp.asarray(
-                sponge_ramp(grid, problem.sponge), params.dtype)
-            self._sponge_targets = problem.sponge_targets(geo)
-        self._nsq_cc = (problem.nsq_cc(geo).astype(params.dtype)
-                        if problem.use_background_scalar else None)
+            if "sponge_ramp" in aux:
+                self._sponge_ramp = aux["sponge_ramp"]
+                self._sponge_targets = aux["sponge_targets"]
+            else:
+                from somar_tpu.problems.base import sponge_ramp
+                self._sponge_ramp = jnp.asarray(
+                    sponge_ramp(grid, problem.sponge), params.dtype)
+                self._sponge_targets = problem.sponge_targets(geo)
+        if "nsq_cc" in aux:
+            self._nsq_cc = aux["nsq_cc"]
+        else:
+            self._nsq_cc = (problem.nsq_cc(geo).astype(params.dtype)
+                            if problem.use_background_scalar else None)
 
         # implicit-gravity (BV) machinery: altered-metric fields per MG level
         self._altered_metric = None
@@ -320,7 +334,8 @@ class NSLevel:
         return tuple(adv), mac_phi
 
     # ------------------------------------------------------------ scalars
-    def _advect_update(self, s, u_mapped, adv_vel, src, dt, bcs, params):
+    def _advect_update(self, s, u_mapped, adv_vel, src, dt, bcs, params,
+                       return_fluxes: bool = False):
         faces = trace_face_states(s, u_mapped, adv_vel, src, dt, self.geo,
                                   bcs, params, vel_bcs=self.vel_bcs_trace,
                                   u_pad=getattr(self, "_u_pad", None))
@@ -328,13 +343,26 @@ class NSLevel:
             # advective form: div(u s) - s div(u)
             div_us = flux_divergence(faces, adv_vel, self.geo)
             div_u = mac_divergence(adv_vel, self.geo)
-            return div_us - s * div_u
-        return flux_divergence(faces, adv_vel, self.geo)
+            out = div_us - s * div_u
+        else:
+            out = flux_divergence(faces, adv_vel, self.geo)
+        if return_fluxes:
+            # the physical interface fluxes J u^d s consumed by the
+            # divergence — what the AMR flux registers accumulate
+            # (reference: incrementCoarse/incrementFine operands)
+            fluxes = tuple(faces[d] * adv_vel[d]
+                           for d in range(self.grid.ndim))
+            return out, fluxes
+        return out
 
-    def get_new_scalars(self, state: NSState, u_mapped, adv_vel, dt):
+    def get_new_scalars(self, state: NSState, u_mapped, adv_vel, dt,
+                        collect: Optional[dict] = None):
         """Advect + diffuse each scalar (reference: getNewScalar,
-        AMRNavierStokesAdvancePPM.cpp:379-789)."""
+        AMRNavierStokesAdvancePPM.cpp:379-789).  With `collect` (a dict),
+        the per-component interface fluxes are stored under
+        collect["scalars"] for AMR refluxing."""
         out = []
+        fluxes_out = []
         _, sponge_s = self._sponge_source(state.vel, state.scalars, dt)
         for c in range(self.problem.num_scalars):
             s = state.scalars[c]
@@ -351,36 +379,53 @@ class NSLevel:
                     src = sum(parts)
             adv = self._advect_update(s, u_mapped, adv_vel, src, dt,
                                       self.scal_bcs,
-                                      self.params.advection_scal)
+                                      self.params.advection_scal,
+                                      return_fluxes=collect is not None)
+            if collect is not None:
+                adv, fl = adv
+                fluxes_out.append(fl)
             total_src = -adv + (src if src is not None else 0.0)
             if self.diff_solvers[c] is not None:
                 s_new, _ = self.diff_solvers[c].update(s, total_src, dt)
             else:
                 s_new = s + dt * total_src
             out.append(s_new)
+        if collect is not None:
+            collect["scalars"] = tuple(fluxes_out)
         return jnp.stack(out)
 
-    def get_new_lambda(self, state: NSState, u_mapped, adv_vel, dt):
+    def get_new_lambda(self, state: NSState, u_mapped, adv_vel, dt,
+                       collect: Optional[dict] = None):
         """Advect the freestream tracer conservatively (reference:
         getNewLambda, AMRNavierStokesAdvancePPM.cpp:306-377)."""
         adv = self._advect_update(state.lam, u_mapped, adv_vel, None, dt,
-                                  self.lam_bcs, self.params.advection_scal)
+                                  self.lam_bcs, self.params.advection_scal,
+                                  return_fluxes=collect is not None)
+        if collect is not None:
+            adv, fl = adv
+            collect["lam"] = fl
         return state.lam - dt * adv
 
     # ----------------------------------------------------------- velocity
     def get_new_velocity(self, state: NSState, u_mapped, adv_vel, src_vel,
-                         grav, tidal, sponge_v, grad_p, dt):
+                         grav, tidal, sponge_v, grad_p, dt,
+                         collect: Optional[dict] = None):
         """Conservative momentum advection + forcing + implicit viscosity
         (reference: getNewVelocity, AMRNavierStokesAdvancePPM.cpp:791-1352).
         """
         grid = self.grid
         ndim = grid.ndim
         new_vel = []
+        fluxes_out = []
         for m in range(ndim):
             src_m = src_vel[m] if src_vel is not None else None
             adv = self._advect_update(state.vel[m], u_mapped, adv_vel, src_m,
                                       dt, self.vel_bcs_trace[m],
-                                      self.params.advection_vel)
+                                      self.params.advection_vel,
+                                      return_fluxes=collect is not None)
+            if collect is not None:
+                adv, fl = adv
+                fluxes_out.append(fl)
             force = grav[m]
             if grad_p is not None:
                 force = force - grad_p[m]
@@ -395,18 +440,26 @@ class NSLevel:
             else:
                 u_new = state.vel[m] + dt * total_src
             new_vel.append(u_new)
+        if collect is not None:
+            collect["vel"] = tuple(fluxes_out)
         return jnp.stack(new_vel)
 
     # ------------------------------------------------------------ advance
-    def advance(self, state: NSState, dt, rings=None) -> NSState:
+    def advance(self, state: NSState, dt, rings=None,
+                collect_fluxes: bool = False):
         """One time step: PPM predictor-corrector (reference: PPMTimeStep)
         or RK3 MOL (reference: RK3TimeStep) per update_scheme
         (AMRNavierStokesAdvance.cpp:130-150 dispatch).
 
         rings: optional dict(mac=..., cc=...) of padded-shape coarse-fine
-        ghost-potential arrays (AMR patch levels)."""
+        ghost-potential arrays (AMR patch levels).
+        collect_fluxes: also return the advective interface fluxes
+        {"vel": .., "scalars": .., "lam": ..} for AMR flux registers
+        (reference: the incrementCoarse/incrementFine call sites in
+        AMRNavierStokesAdvancePPM.cpp)."""
         p = self.params
         if p.update_scheme == "rk3":
+            assert not collect_fluxes, "refluxing requires the PPM scheme"
             from somar_tpu.physics.rk3 import advance_rk3
             return advance_rk3(self, state, dt)
         grid = self.grid
@@ -445,10 +498,12 @@ class NSLevel:
         adv_vel, mac_phi = self.compute_advecting_velocities(
             state, src_vel, dt, ring_mac=ring_mac)
 
-        scalars = self.get_new_scalars(state, u_mapped, adv_vel, dt)
-        lam = self.get_new_lambda(state, u_mapped, adv_vel, dt)
+        collect = {} if collect_fluxes else None
+        scalars = self.get_new_scalars(state, u_mapped, adv_vel, dt, collect)
+        lam = self.get_new_lambda(state, u_mapped, adv_vel, dt, collect)
         vel = self.get_new_velocity(state, u_mapped, adv_vel, src_vel,
-                                    grav, tidal, sponge_v, grad_p, dt)
+                                    grav, tidal, sponge_v, grad_p, dt,
+                                    collect)
         self._u_pad = None
 
         cc_phi = state.cc_phi
@@ -462,9 +517,12 @@ class NSLevel:
                 vel, self.vel_bcs_trace, phi0=state.cc_phi, ring=ring_cc)
             pressure = state.pressure + cc_phi / dt
 
-        return NSState(vel=vel, scalars=scalars, lam=lam, mac_phi=mac_phi,
-                       cc_phi=cc_phi, pressure=pressure,
-                       e_lambda=state.e_lambda, time=state.time + dt)
+        out = NSState(vel=vel, scalars=scalars, lam=lam, mac_phi=mac_phi,
+                      cc_phi=cc_phi, pressure=pressure,
+                      e_lambda=state.e_lambda, time=state.time + dt)
+        if collect_fluxes:
+            return out, collect
+        return out
 
     # ------------------------------------------------- implicit gravity
     def _do_ig_projection(self, state: NSState, vel_star, scalars_star, dt):

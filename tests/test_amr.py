@@ -119,3 +119,163 @@ def test_subcycle_count():
     assert h.nt == 4        # ratio (4,1) -> 4 fine substeps
     assert h.cf_dirs == (0,)
     assert h.span_dirs == (1,)
+
+
+def _hierarchy3(nx=64, nz=16):
+    """Three-level nested hierarchy with the DEM_2D-style anisotropic
+    per-level ratios (amr.refratio_lev0 = 4 1, refratio_lev1 = 4 2)."""
+    Lx, Lz = 15.0, 2.0
+    g = Grid(nx=(nx, nz), dx=(Lx / nx, Lz / nz), x0=(-Lx / 2, 0.0))
+    geo = build_level_geometry(g, CartesianMap())
+    params = NSParams(nu=1e-4, kappa=(1e-4,), gravity_method=1,
+                      mg=MGParams(eps=1e-5, imax=12))
+    return AMRHierarchy(geo, LockExchange(pert_amp=0.0), params,
+                        ratios=[(4, 1), (4, 2)],
+                        tag_params=TagParams(buoyancy_tag_tol=0.2,
+                                             tags_grow=1))
+
+
+def test_three_level_geometry():
+    h = _hierarchy3()
+    assert h.num_levels == 3
+    c0, c1 = h.couplings
+    assert c0.nt == 4 and c1.nt == 4
+    # level 2 spans level 1's full vertical extent at ratio 2
+    assert c1.ext_nx[1] == c0.ext_nx[1] * 2
+    # level 2's x extent (interior + halos) fits inside level 1's valid
+    # interior with donor margin
+    valid1_f = (c0.ext_nx[0] - 2 * c0.halo) * 4
+    assert c1.ext_nx[0] <= valid1_f - 2 * (c1.halo + 4)
+
+
+def test_three_level_advance_stable():
+    h = _hierarchy3()
+    s0 = h.level0.post_initialize(h.level0.initial_state())
+    fines, origins = h.initial_patch_states(s0)
+    # level-2 patch must sit inside level-1's valid interior
+    c0, c1 = h.couplings
+    o1 = np.asarray(c1.origin_f)
+    ax_x = 1   # 2D: array axes (z, x)
+    assert o1[ax_x] >= (c0.halo + 1) * 4
+    assert (o1[ax_x] + c1.ext_nx[0]
+            <= (c0.ext_nx[0] - c0.halo - 1) * 4)
+    step = jax.jit(h.advance)
+    for _ in range(3):
+        s0, fines = step(s0, fines, origins, jnp.asarray(0.02))
+    H = h.halo
+    for s_f, c in zip(fines, h.couplings):
+        ax = c.ext_grid.axis(c.cf_dirs[0])
+        sl = [slice(None)] * 2
+        sl[ax] = slice(H, -H)
+        b = np.asarray(s_f.scalars[0])[tuple(sl)]
+        assert np.all(np.isfinite(b))
+        assert b.min() > -0.05 and b.max() < 1.05
+    assert np.all(np.isfinite(np.asarray(s0.vel)))
+
+
+def test_three_level_regrid_and_dt():
+    h = _hierarchy3()
+    s0 = h.level0.post_initialize(h.level0.initial_state())
+    fines, origins = h.initial_patch_states(s0)
+    step = jax.jit(h.advance)
+    for _ in range(2):
+        s0, fines = step(s0, fines, origins, jnp.asarray(0.02))
+    fines, origins = h.regrid(s0, fines)
+    s0, fines = step(s0, fines, origins, jnp.asarray(0.02))
+    for s_f in fines:
+        assert np.all(np.isfinite(np.asarray(s_f.vel)))
+    dt = float(jax.jit(h.compute_dt)(s0, fines))
+    assert 0.0 < dt < 10.0
+
+
+def _mapped_hierarchy(nx=48, nz=16):
+    """2-level AMR over the shelf-break (Ledge) terrain-following map —
+    the LockExchange_DEM/Ledge configuration family."""
+    from somar_tpu.geometry.bathymetric import LedgeMap
+    Lx = 8.0
+    g = Grid(nx=(nx, nz), dx=(Lx / nx, 1.0 / nz), x0=(-Lx / 2, 0.0))
+    geo_src = LedgeMap((0.0, 1.0), hl=0.5, hr=1.0, xl=-1.0, xr=1.0)
+    geo = build_level_geometry(g, geo_src)
+    params = NSParams(nu=1e-4, kappa=(1e-4,), gravity_method=1,
+                      mg=MGParams(eps=1e-5, imax=12, relax_mode="line"))
+    return AMRHierarchy(geo, LockExchange(pert_amp=0.0), params,
+                        ratio=(2, 2),
+                        tag_params=TagParams(buoyancy_tag_tol=0.2,
+                                             tags_grow=1))
+
+
+def test_mapped_amr_bundle_metric_matches_direct_eval():
+    h = _mapped_hierarchy()
+    c = h.couplings[0]
+    assert c.is_mapped
+    s0 = h.level0.post_initialize(h.level0.initial_state())
+    fines, origins = h.initial_patch_states(s0)
+    assert c.bundle is not None
+    # direct evaluation of the map on the patch window
+    g0 = h.grid0
+    dx_f = c.ext_grid.dx
+    glob = h._global_origin(0)
+    x0 = tuple(g0.x0[d] + glob[g0.axis(d)] * dx_f[d] for d in range(2))
+    gwin = Grid(nx=c.ext_nx, dx=dx_f, x0=x0, periodic=c.ext_grid.periodic)
+    lg = build_level_geometry(gwin, h.level0.geo.geo)
+    np.testing.assert_allclose(np.asarray(c.bundle["geo"].J),
+                               np.asarray(lg.J * jnp.ones(gwin.shape)),
+                               rtol=1e-5)
+
+
+def test_mapped_amr_advance_and_regrid():
+    h = _mapped_hierarchy()
+    s0 = h.level0.post_initialize(h.level0.initial_state())
+    fines, origins = h.initial_patch_states(s0)
+    geos = h.geo_bundles
+    assert geos is not None
+    step = jax.jit(h.advance)
+    for _ in range(3):
+        s0, fines = step(s0, fines, origins, jnp.asarray(0.01), geos)
+    H = h.halo
+    b = np.asarray(fines[0].scalars[0])
+    assert np.all(np.isfinite(b))
+    assert b.min() > -0.1 and b.max() < 1.1
+    # regrid refreshes the metric bundle; the treedef must not change
+    # (same jitted step keeps serving after a regrid)
+    old_treedef = jax.tree_util.tree_structure(geos)
+    fines, origins = h.regrid(s0, fines)
+    geos = h.geo_bundles
+    assert jax.tree_util.tree_structure(geos) == old_treedef
+    s0, fines = step(s0, fines, origins, jnp.asarray(0.01), geos)
+    assert np.all(np.isfinite(np.asarray(fines[0].vel)))
+    dt = float(jax.jit(h.compute_dt)(s0, fines, geos))
+    assert 0.0 < dt < 10.0
+
+
+def test_refluxing_conserves_buoyancy_better():
+    """Advective refluxing (reference: MappedLevelFluxRegister + the
+    postTimeStep reflux calls) restores CF conservation: with nu=kappa=0
+    and solid walls the level-0 integral of buoyancy should drift less
+    than without refluxing."""
+    def run(reflux):
+        Lx, Lz = 15.0, 2.0
+        nx, nz = 64, 16
+        g = Grid(nx=(nx, nz), dx=(Lx / nx, Lz / nz), x0=(-Lx / 2, 0.0))
+        geo = build_level_geometry(g, CartesianMap())
+        params = NSParams(nu=0.0, kappa=(0.0,), gravity_method=1,
+                          mg=MGParams(eps=1e-6, imax=15))
+        h = AMRHierarchy(geo, LockExchange(pert_amp=0.0), params,
+                         ratio=(4, 1),
+                         tag_params=TagParams(buoyancy_tag_tol=0.2,
+                                              tags_grow=1),
+                         reflux=reflux)
+        s0 = h.level0.post_initialize(h.level0.initial_state())
+        s1, origin = h.initial_patch_state(s0)
+        step = jax.jit(h.advance)
+        b0 = float(jnp.sum(s0.scalars[0], dtype=jnp.float64))
+        for _ in range(8):
+            s0, s1 = step(s0, s1, origin, jnp.asarray(0.02))
+        b1 = float(jnp.sum(s0.scalars[0], dtype=jnp.float64))
+        assert np.all(np.isfinite(np.asarray(s0.scalars[0])))
+        return abs(b1 - b0)
+
+    drift_off = run(())
+    drift_on = run(("scalars", "lam", "vel"))
+    # refluxing must not blow up and should conserve at least as well
+    assert drift_on <= drift_off + 1e-4, (drift_on, drift_off)

@@ -58,3 +58,32 @@ def test_ppm_pallas_2d():
         err = np.abs(np.asarray(lo[tuple(sl)]) -
                      np.asarray(lo_ref[tuple(sl)])).max()
         assert err < 1e-5, (ax, err)
+
+
+def test_ppm_pallas_lane_padded_path(monkeypatch):
+    """z-direction predictor at production sizes: lanes not a multiple of
+    128 and sublane tiling alone cannot fit the VMEM budget -> the kernel
+    pads the lane axis to 128k and tiles it (no stencil along lanes)."""
+    import somar_tpu.ops.pallas_kernels as pk
+    rng = np.random.default_rng(3)
+    shape = (24, 16, 200)   # lanes 200: not a multiple of 128
+    sp = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+    up = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+    dtdx = jnp.asarray(0.3, jnp.float32)
+    params = AdvectionParams(normal_pred_order=2, use_limiting=True)
+    # force the budget below what sublane tiling alone can reach
+    monkeypatch.setattr(pk, "_VMEM_BUDGET", 24 * 8 * 128 * 4)
+    got = pk.ppm_predict_pallas(sp, up, dtdx, 0, True, interpret=True)
+    assert got is not None, "lane-padded blocking should be feasible"
+    lo, hi, rie = got
+    assert lo.shape == (23, 16, 200)
+    lo_ref, hi_ref = _normal_predict_fullpad(sp, up, 0, 4, 1.0, dtdx, params)
+    rie_ref = _riemann(lo_ref, hi_ref, avg_along(up, 0))
+
+    def crop(a):
+        return np.asarray(a[3:-3])
+
+    for name, a, b in [("lo", lo, lo_ref), ("hi", hi, hi_ref),
+                       ("rie", rie, rie_ref)]:
+        err = np.abs(crop(a) - crop(b)).max()
+        assert err < 1e-5, (name, err)
