@@ -45,7 +45,8 @@ import numpy as np
 
 from somar_tpu.amr.tagging import TagParams, compute_tags, patch_origin_from_tags
 from somar_tpu.amr.transfer import (
-    extract_patch, insert_patch, prolong_linear, restrict_average, time_interp)
+    extract_patch, insert_patch, prolong_linear, prolong_quadratic,
+    restrict_average, time_interp)
 from somar_tpu.core.bc import BC, BCType, FieldBCs
 from somar_tpu.core.grid import Grid
 from somar_tpu.geometry.level_geometry import build_level_geometry
@@ -275,14 +276,18 @@ class PatchCoupling:
                            if hasattr(origin_f, "dtype") else 0)
         return tuple(out)
 
-    def _interp_ext(self, coarse_field, origin_f, extra: int = 0):
+    def _interp_ext(self, coarse_field, origin_f, extra: int = 0,
+                    quadratic: bool = False):
         """Space-interpolate a parent field onto the extended patch region
         (+`extra` <= min(ratio) fine cells each side: CF axes have donor
-        margin; spanned axes edge-extend)."""
+        margin; spanned axes edge-extend).  quadratic=True uses the
+        unlimited parabolic interpolant (elliptic ghost data; reference:
+        MappedQuadCFInterp) instead of limited-linear (advected state)."""
         pgrid = self.parent_grid
         donor = extract_patch(coarse_field, self._donor_origin_c(origin_f),
                               self.donor_shape_c)
-        fine = prolong_linear(donor, pgrid, self.ratio)
+        prolong = prolong_quadratic if quadratic else prolong_linear
+        fine = prolong(donor, pgrid, self.ratio)
         if extra > 0:
             pads = []
             for ax in range(pgrid.ndim):
@@ -334,9 +339,13 @@ class PatchCoupling:
 
     def _ring(self, coarse_phi, origin_f, scale=1.0):
         """Padded-shape (ext+2) ghost-potential ring from a parent field:
-        interpolated values on the outermost layer of the CF sides, zero
-        elsewhere (inhomogeneous CF Dirichlet data for the projections)."""
-        ext1 = self._interp_ext(coarse_phi, origin_f, extra=1) * scale
+        QUADRATICALLY interpolated values on the outermost layer of the CF
+        sides, zero elsewhere (inhomogeneous CF Dirichlet data for the
+        projections; reference: MappedQuadCFInterp — quadratic CF ghosts
+        keep the 2nd-order elliptic operator's interface error from
+        dominating)."""
+        ext1 = self._interp_ext(coarse_phi, origin_f, extra=1,
+                                quadratic=True) * scale
         ring = jnp.zeros_like(ext1)
         for d in self.cf_dirs:
             ax = self.ext_grid.axis(d)
@@ -446,11 +455,22 @@ class AMRHierarchy:
                  ratio=None, tag_params: TagParams = TagParams(),
                  patch_frac: float = 0.5, eta_lambda: float = 0.0,
                  ratios: Optional[Sequence[Tuple[int, ...]]] = None,
-                 reflux: Sequence[str] = ()):
+                 reflux: Sequence[str] = (),
+                 implicit_reflux: bool = False,
+                 regrid_smoothing_coeff: float = 0.0):
         """reflux: which advective fluxes get CF conservation corrections
         — any of "vel", "scalars", "lam" (reference knobs
         amr.advective_momentum/scalar/lambda_reflux; the shipped
-        lock-exchange configs run with all of them off)."""
+        lock-exchange configs run with all of them off).
+
+        implicit_reflux: when a refluxed field is diffusive/viscous, solve
+        (I - dt*kappa*L) corr = refluxRHS instead of adding the explicit
+        reflux (reference knobs amr.implicit_scalar/momentum_reflux;
+        doImplicitScalarReflux / doImplicitMomentumReflux,
+        AMRNavierStokesSync.cpp:338,601 — the implicit solve keeps the
+        correction from violating the diffusive CFL the implicit update
+        already paid for).  Non-diffusive fields fall back to the explicit
+        correction, as in the reference."""
         if ratios is None:
             assert ratio is not None
             ratios = [tuple(int(r) for r in ratio)]
@@ -465,6 +485,10 @@ class AMRHierarchy:
         self.tag_params = tag_params
         self.reflux_fields = tuple(reflux) if reflux is not True else (
             "vel", "scalars", "lam")
+        self.implicit_reflux = bool(implicit_reflux)
+        #: post-regrid antidiffusive smoothing strength (reference:
+        #: amr.postRegrid_smoothing_coeff / s_smooth_after_regrid)
+        self.regrid_smoothing_coeff = float(regrid_smoothing_coeff)
         if self.reflux_fields:
             assert params.update_scheme == "ppm", \
                 "refluxing requires the PPM scheme"
@@ -519,7 +543,7 @@ class AMRHierarchy:
     # ------------------------------------------------------------- advance
     def _advance_recursive(self, lev: int, s_old: NSState, s_new: NSState,
                            fine_states: list, origins, dt, geos=None,
-                           parent_fluxes=None):
+                           parent_fluxes=None, parent_level=None):
         """Run level `lev`'s children through their subcycles between the
         parent states (s_old at t, s_new at t+dt), average down, and
         return the synchronized parent state.  `fine_states[k]` holds the
@@ -572,7 +596,8 @@ class AMRHierarchy:
             # recurse: the child's own children subcycle inside this step
             s_f = self._advance_recursive(lev + 1, s_f_old, s_f_new,
                                           fine_states, origins, dt_f, geos,
-                                          parent_fluxes=fl_f)
+                                          parent_fluxes=fl_f,
+                                          parent_level=level)
         fine_states[lev] = s_f
         s_par = c.average_down(s_new, s_f, origin, J_f=J_f)
         if refluxing:
@@ -586,18 +611,36 @@ class AMRHierarchy:
                            else self.couplings[lev - 1].level.geo))
             for key, flux in self._flux_items(parent_fluxes):
                 regs[key] = freg.increment_coarse(regs[key], flux, origin)
+            plev = parent_level if parent_level is not None else self.level0
+
+            def corr_of(key, field):
+                """Explicit or implicit reflux correction of one field
+                (reference: the explicit path AMRNavierStokesSync.cpp:
+                71-164 vs doImplicitScalar/MomentumReflux :338,601)."""
+                rhs = freg.reflux(jnp.zeros_like(field), regs[key], origin,
+                                  dt, parent_geo)
+                solver = None
+                if self.implicit_reflux:
+                    if key[0] == "vel" and getattr(plev, "is_viscous", False):
+                        solver = plev.visc_solvers[key[1]]
+                    elif key[0] == "scalars":
+                        solver = plev.diff_solvers[key[1]]
+                if solver is None:
+                    return rhs
+                corr, _ = solver._helmholtz_solve(rhs, 1.0, dt, rhs)
+                return corr
+
             vel = s_par.vel
             scalars = s_par.scalars
             lam = s_par.lam
             for key in regs:
                 if key[0] == "vel":
-                    vel = vel.at[key[1]].set(freg.reflux(
-                        vel[key[1]], regs[key], origin, dt, parent_geo))
+                    vel = vel.at[key[1]].add(corr_of(key, vel[key[1]]))
                 elif key[0] == "scalars":
-                    scalars = scalars.at[key[1]].set(freg.reflux(
-                        scalars[key[1]], regs[key], origin, dt, parent_geo))
+                    scalars = scalars.at[key[1]].add(
+                        corr_of(key, scalars[key[1]]))
                 else:
-                    lam = freg.reflux(lam, regs[key], origin, dt, parent_geo)
+                    lam = lam + corr_of(key, lam)
             s_par = dataclasses.replace(s_par, vel=vel, scalars=scalars,
                                         lam=lam)
         return s_par
@@ -638,7 +681,8 @@ class AMRHierarchy:
             fl0 = None
         s0_new = self._advance_recursive(0, s0_old, s0_new, fine_states,
                                          origins, dt, geos,
-                                         parent_fluxes=fl0)
+                                         parent_fluxes=fl0,
+                                         parent_level=level0)
         # sync projection (reference: AMRNavierStokesSync.cpp:249-295)
         if self.params.is_incompressible:
             vel, cc_phi, _ = level0.projector.project_cc(
@@ -720,14 +764,94 @@ class AMRHierarchy:
             g = g * r + np.asarray(c.origin_f, dtype=np.int64)
         return g
 
-    def regrid(self, s0: NSState, fine_states):
+    # -------------------------------------------- post-regrid smoothing
+    def _smooth_mus(self, dt):
+        """Per-field smoothing strengths mu = coeff*dt*diffusivity
+        (reference: mu = -s_regrid_smoothing_coeff*dtLBase*a_viscCoeff,
+        AMRNavierStokesRegrid.cpp:1764; our op sign convention folds the
+        minus into apply(alpha=1, beta=-mu))."""
+        c = self.regrid_smoothing_coeff
+        mu_v = c * dt * self.params.nu
+        mu_s = [c * dt * (self.params.kappa[i]
+                          if i < len(self.params.kappa) else 0.0)
+                for i in range(self.problem.num_scalars)]
+        return mu_v, mu_s
+
+    @staticmethod
+    def _apply_smooth_op(level, state: NSState, mu_v, mu_s) -> NSState:
+        """(I - mu*L) applied to vel/scalars (the reference's
+        setupPostRegridSmoothing op application on the OLD grids,
+        AMRNavierStokesRegrid.cpp:1088-1398)."""
+        vel = state.vel
+        if mu_v > 0.0:
+            vel = jnp.stack([
+                level._visc_ops[m].apply(state.vel[m], 1.0, -mu_v,
+                                         homogeneous=False)
+                for m in range(vel.shape[0])])
+        scal = state.scalars
+        new_s = []
+        for cc in range(scal.shape[0]):
+            if mu_s[cc] > 0.0 and level.diff_solvers[cc] is not None:
+                new_s.append(level.diff_solvers[cc]._op.apply(
+                    scal[cc], 1.0, -mu_s[cc], homogeneous=False))
+            else:
+                new_s.append(scal[cc])
+        return dataclasses.replace(state, vel=vel, scalars=jnp.stack(new_s))
+
+    @staticmethod
+    def _solve_smooth_op(level, state: NSState, mu_v, mu_s) -> NSState:
+        """Solve (I - mu*L) out = field for vel/scalars on the NEW grids
+        (reference: doPostRegridSmoothing, :1408-1735)."""
+        from somar_tpu.solvers.bicgstab import bicgstab
+
+        def solve(op, rhs, mu):
+            # fold inhomogeneous BC values into the RHS so apply-then-
+            # solve is the exact identity (affine split A(x)=A_hom(x)+A(0))
+            bc_term = op.apply(jnp.zeros_like(rhs), 1.0, -mu,
+                               homogeneous=False)
+            x, _ = bicgstab(lambda v: op.apply(v, 1.0, -mu),
+                            rhs - bc_term, x0=rhs)
+            return x
+
+        vel = state.vel
+        if mu_v > 0.0:
+            vel = jnp.stack([
+                solve(level._visc_ops[m], state.vel[m], mu_v)
+                for m in range(vel.shape[0])])
+        scal = state.scalars
+        new_s = []
+        for cc in range(scal.shape[0]):
+            if mu_s[cc] > 0.0 and level.diff_solvers[cc] is not None:
+                new_s.append(solve(level.diff_solvers[cc]._op, scal[cc],
+                                   mu_s[cc]))
+            else:
+                new_s.append(scal[cc])
+        return dataclasses.replace(state, vel=vel, scalars=jnp.stack(new_s))
+
+    def regrid(self, s0: NSState, fine_states, dt=None):
         """Re-tag and move every patch, coarse to fine; data fill = parent
         interpolation overwritten by old-patch data where the old and new
         patches overlap in global index space (reference:
-        AMRNavierStokesRegrid::regrid, :688-966)."""
+        AMRNavierStokesRegrid::regrid, :688-966).
+
+        With regrid_smoothing_coeff > 0 and dt given, the moved data is
+        antidiffusively smoothed: interpolate (I - mu*L)applied old fields,
+        then solve (I - mu*L) on the new patch — identity where the patch
+        did not move, diffusion of strength mu on freshly interpolated
+        cells (reference: setupPostRegridSmoothing/doPostRegridSmoothing,
+        AMRNavierStokesRegrid.cpp:1088,1408)."""
         single = not isinstance(fine_states, (list, tuple))
         if single:
             fine_states = [fine_states]
+        smoothing = (self.regrid_smoothing_coeff > 0.0 and dt is not None
+                     and (self.params.nu > 0.0 or any(
+                         k > 0.0 for k in self.params.kappa))
+                     # mapped patch levels rebuild their metric per regrid;
+                     # their host template ops hold placeholder metrics, so
+                     # smoothing is uniform-geometry only
+                     and not any(c.is_mapped for c in self.couplings))
+        if smoothing:
+            mu_v, mu_s = self._smooth_mus(float(dt))
         old_globals = []
         for lev, c in enumerate(self.couplings):
             old_globals.append(None if c.origin_f is None
@@ -739,6 +863,16 @@ class AMRHierarchy:
         for lev, c in enumerate(self.couplings):
             c.origin_f = c.choose_origin(s_par, self.tag_params)
             self._refresh_bundle(lev)
+            old_fine = fine_states[lev]
+            if smoothing:
+                # interp sources carry (I - mu*L) of the data; the solve
+                # below undoes it exactly wherever data was not moved
+                parent_level = (self.level0 if lev == 0
+                                else self.couplings[lev - 1].level)
+                s_par = self._apply_smooth_op(parent_level, s_par,
+                                              mu_v, mu_s)
+                old_fine = self._apply_smooth_op(c.level, old_fine,
+                                                 mu_v, mu_s)
             s_new = self._fill_patch_state(lev, s_par)
             if old_globals[lev] is not None:
                 new_g = self._global_origin(lev)
@@ -761,7 +895,9 @@ class AMRHierarchy:
                     s_new = jax.tree_util.tree_map(
                         lambda n, o: copy_overlap(n, o)
                         if n.ndim >= ndim else n,
-                        s_new, fine_states[lev])
+                        s_new, old_fine)
+            if smoothing:
+                s_new = self._solve_smooth_op(c.level, s_new, mu_v, mu_s)
             new_states.append(s_new)
             origins.append(jnp.asarray(c.origin_f))
             s_par = s_new

@@ -88,6 +88,23 @@ class AMRConfig:
     max_steps: int = 100
     restart_file: str = ""
     verbosity: int = 1
+    # CF conservation knobs (reference: ProblemContext.cpp:522-548,
+    # :530-544 — advective_*_reflux select which fields reflux;
+    # implicit_*_reflux switch the diffusive/viscous corrections to
+    # Helmholtz solves)
+    advective_momentum_reflux: bool = False
+    advective_scalar_reflux: bool = False
+    advective_lambda_reflux: bool = False
+    implicit_scalar_reflux: bool = False
+    implicit_momentum_reflux: bool = False
+    # post-regrid antidiffusive smoothing (reference:
+    # amr.smooth_after_regrid / amr.postRegrid_smoothing_coeff,
+    # ProblemContext.cpp:512-519)
+    regrid_smoothing_coeff: float = 0.0
+    # freestream preservation (reference: projection.applyVDCorrection /
+    # etaLambda, ProblemContext.cpp:1384-1401)
+    apply_vd_correction: bool = False
+    eta_lambda: float = 0.0
 
 
 @dataclasses.dataclass
@@ -174,6 +191,23 @@ class ProblemContext:
             max_steps=pp.get_int("amr.maxsteps", 100),
             restart_file=pp.get_str("amr.restart_file", "") or "",
             verbosity=pp.get_int("amr.verbosity", 1),
+            advective_momentum_reflux=bool(
+                pp.get_int("amr.advective_momentum_reflux", 0)),
+            advective_scalar_reflux=bool(
+                pp.get_int("amr.advective_scalar_reflux", 0)),
+            advective_lambda_reflux=bool(
+                pp.get_int("amr.advective_lambda_reflux", 0)),
+            implicit_scalar_reflux=bool(
+                pp.get_int("amr.implicit_scalar_reflux", 0)),
+            implicit_momentum_reflux=bool(
+                pp.get_int("amr.implicit_momentum_reflux", 0)),
+            regrid_smoothing_coeff=(
+                pp.get_real("amr.postRegrid_smoothing_coeff", 0.0)
+                if pp.get_int("amr.smooth_after_regrid", 0) else 0.0),
+            apply_vd_correction=bool(
+                pp.get_int("projection.applyVDCorrection", 0)),
+            eta_lambda=pp.get_real("projection.etaLambda",
+                                   pp.get_real("projection.eta", 0.0)),
         )
 
         kappa_raw = pp.get_real("amr.scal_diffusion_coeffs", 0.0)

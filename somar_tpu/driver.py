@@ -49,10 +49,20 @@ class RunDriver:
                 magvort_tag_quota=ctx.amr.magvort_tag_quota,
                 tags_grow=ctx.amr.tags_grow,
                 vert_extrude=True)
+            reflux = tuple(
+                name for flag, name in (
+                    (ctx.amr.advective_momentum_reflux, "vel"),
+                    (ctx.amr.advective_scalar_reflux, "scalars"),
+                    (ctx.amr.advective_lambda_reflux, "lam")) if flag)
             self.hierarchy = AMRHierarchy(
                 self.geo, self.problem, ctx.ns,
                 ratios=list(ctx.amr.ref_ratios[:ctx.amr.max_level]),
-                tag_params=tagp)
+                tag_params=tagp, reflux=reflux,
+                implicit_reflux=(ctx.amr.implicit_scalar_reflux
+                                 or ctx.amr.implicit_momentum_reflux),
+                regrid_smoothing_coeff=ctx.amr.regrid_smoothing_coeff,
+                eta_lambda=(ctx.amr.eta_lambda
+                            if ctx.amr.apply_vd_correction else 0.0))
             self.level = self.hierarchy.level0
             self._amr_step_fn = jax.jit(self.hierarchy.advance)
             self._amr_dt_fn = jax.jit(self.hierarchy.compute_dt)
@@ -134,7 +144,7 @@ class RunDriver:
                 # regrid cadence (reference: LepticAMR::needToRegrid)
                 if self.hierarchy is not None and                         step % self.regrid_interval == 0:
                     fine_state, origin = self.hierarchy.regrid(
-                        state, fine_state)
+                        state, fine_state, dt=float(dt))
 
                 # next dt: CFL-limited, growth-capped
                 if self.hierarchy is not None:

@@ -12,7 +12,8 @@ from somar_tpu.solvers.multigrid import MGParams
 from somar_tpu.problems.lock_exchange import LockExchange
 from somar_tpu.amr.hierarchy import AMRHierarchy
 from somar_tpu.amr.tagging import TagParams, compute_tags
-from somar_tpu.amr.transfer import prolong_linear, restrict_average
+from somar_tpu.amr.transfer import (prolong_linear, prolong_quadratic,
+                                    restrict_average)
 
 
 def test_prolong_restrict_consistency():
@@ -42,6 +43,39 @@ def test_prolong_limited_no_overshoot():
     step[:, 4:] = 1.0
     f = np.asarray(prolong_linear(jnp.asarray(step), g, (4, 1)))
     assert f.min() >= -1e-6 and f.max() <= 1.0 + 1e-6
+
+
+def test_prolong_quadratic_exact_for_quadratic_field():
+    # cell-centered POINT values of a parabola are reproduced exactly at
+    # the fine cell centers — including at the one-sided edge cells
+    g = Grid(nx=(8, 6), dx=(1.0, 0.5))
+
+    def centers(n, h, x0=0.0):
+        return x0 + (np.arange(n) + 0.5) * h
+
+    cx = centers(8, 1.0)
+    cz = centers(6, 0.5)
+    c = jnp.asarray((cz * cz)[:, None] + 3.0 * (cx * cx)[None, :]
+                    + 0.7 * cz[:, None] * cx[None, :])
+    f = prolong_quadratic(c, g, (4, 2))
+    fx = centers(32, 0.25)
+    fz = centers(12, 0.25)
+    expected = ((fz * fz)[:, None] + 3.0 * (fx * fx)[None, :]
+                + 0.7 * fz[:, None] * fx[None, :])
+    np.testing.assert_allclose(np.asarray(f), expected, atol=1e-5)
+
+
+def test_prolong_quadratic_beats_linear_on_smooth_field():
+    g = Grid(nx=(32, 4), dx=(1.0 / 32, 1.0))
+    x = (np.arange(32) + 0.5) / 32
+    c = jnp.asarray(np.broadcast_to(np.sin(2 * np.pi * x)[None, :],
+                                    g.shape))
+    xf = (np.arange(128) + 0.5) / 128
+    exact = np.broadcast_to(np.sin(2 * np.pi * xf)[None, :], (4, 128))
+    err_q = np.abs(np.asarray(prolong_quadratic(c, g, (4, 1))) - exact)
+    err_l = np.abs(np.asarray(prolong_linear(c, g, (4, 1))) - exact)
+    # compare away from the one-sided edge cells
+    assert err_q[:, 8:-8].max() < 0.35 * err_l[:, 8:-8].max()
 
 
 def _hierarchy(nx=64, nz=16):
@@ -279,3 +313,75 @@ def test_refluxing_conserves_buoyancy_better():
     drift_on = run(("scalars", "lam", "vel"))
     # refluxing must not blow up and should conserve at least as well
     assert drift_on <= drift_off + 1e-4, (drift_on, drift_off)
+
+
+def test_implicit_reflux_stable_and_matches_explicit_at_small_dt():
+    """Implicit refluxing (reference: doImplicitScalarReflux,
+    AMRNavierStokesSync.cpp:338): with diffusion on, the (I - dt*kappa*L)
+    solve applied to the reflux RHS stays stable and agrees with the
+    explicit correction as dt*kappa -> 0."""
+    def run(implicit):
+        Lx, Lz = 15.0, 2.0
+        nx, nz = 48, 12
+        g = Grid(nx=(nx, nz), dx=(Lx / nx, Lz / nz), x0=(-Lx / 2, 0.0))
+        geo = build_level_geometry(g, CartesianMap())
+        params = NSParams(nu=1e-4, kappa=(1e-4,), gravity_method=1,
+                          mg=MGParams(eps=1e-6, imax=15))
+        h = AMRHierarchy(geo, LockExchange(pert_amp=0.0), params,
+                         ratio=(4, 1),
+                         tag_params=TagParams(buoyancy_tag_tol=0.2,
+                                              tags_grow=1),
+                         reflux=("scalars", "vel"),
+                         implicit_reflux=implicit)
+        s0 = h.level0.post_initialize(h.level0.initial_state())
+        s1, origin = h.initial_patch_state(s0)
+        step = jax.jit(h.advance)
+        for _ in range(5):
+            s0, s1 = step(s0, s1, origin, jnp.asarray(0.01))
+        assert np.all(np.isfinite(np.asarray(s0.scalars[0])))
+        return np.asarray(s0.scalars[0])
+
+    b_exp = run(False)
+    b_imp = run(True)
+    # dt*kappa ~ 1e-6: the implicit solve is a tiny perturbation of the
+    # explicit correction
+    assert np.max(np.abs(b_imp - b_exp)) < 1e-4
+
+
+def test_post_regrid_smoothing_identity_and_stability():
+    """Post-regrid antidiffusive smoothing (reference:
+    setupPostRegridSmoothing/doPostRegridSmoothing,
+    AMRNavierStokesRegrid.cpp:1088,1408): where the patch does not move,
+    apply-then-solve of (I - mu*L) is the identity; a moving regrid stays
+    bounded."""
+    Lx, Lz = 15.0, 2.0
+    nx, nz = 48, 12
+    g = Grid(nx=(nx, nz), dx=(Lx / nx, Lz / nz), x0=(-Lx / 2, 0.0))
+    geo = build_level_geometry(g, CartesianMap())
+    params = NSParams(nu=1e-3, kappa=(1e-3,), gravity_method=1,
+                      mg=MGParams(eps=1e-6, imax=15))
+    h = AMRHierarchy(geo, LockExchange(pert_amp=0.0), params,
+                     ratio=(4, 1),
+                     tag_params=TagParams(buoyancy_tag_tol=0.2,
+                                          tags_grow=1),
+                     regrid_smoothing_coeff=4.0)
+    s0 = h.level0.post_initialize(h.level0.initial_state())
+    s1, origin = h.initial_patch_state(s0)
+
+    # immediate regrid: tags have not changed, so the patch stays put and
+    # smoothing must be a near-identity on the patch data
+    s1b, origin2 = h.regrid(s0, s1, dt=0.02)
+    assert np.array_equal(np.asarray(origin), np.asarray(origin2))
+    db = np.max(np.abs(np.asarray(s1b.scalars[0]) - np.asarray(s1.scalars[0])))
+    dv = np.max(np.abs(np.asarray(s1b.vel) - np.asarray(s1.vel)))
+    assert db < 5e-4 and dv < 5e-4, (db, dv)
+
+    # advance, then a regrid that may move the patch: smoothed data bounded
+    step = jax.jit(h.advance)
+    for _ in range(4):
+        s0, s1b = step(s0, s1b, origin2, jnp.asarray(0.02))
+    s1c, origin3 = h.regrid(s0, s1b, dt=0.02)
+    b = np.asarray(s1c.scalars[0])
+    assert np.all(np.isfinite(b)) and b.min() > -0.1 and b.max() < 1.1
+    s0, s1c = step(s0, s1c, origin3, jnp.asarray(0.02))
+    assert np.all(np.isfinite(np.asarray(s1c.vel)))
