@@ -55,6 +55,16 @@ from somar_tpu.physics.navier_stokes import NSLevel, NSParams, NSState
 from somar_tpu.problems.base import Problem
 
 
+def _tree_index(s, k):
+    """Pytree slice at leading-axis index k (one patch of a stack)."""
+    return jax.tree_util.tree_map(lambda a: a[k], s)
+
+
+def _tree_stack(states):
+    """Stack pytrees along a new leading (patch) axis."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
+
+
 def _replace_cf_sides(bcs: FieldBCs, cf_dirs, new_bc: BC) -> FieldBCs:
     lo = list(bcs.lo)
     hi = list(bcs.hi)
@@ -125,9 +135,14 @@ class PatchCoupling:
 
     def __init__(self, parent_geo, parent_halo_axes: Tuple[int, ...],
                  problem: Problem, params: NSParams, ratio: Tuple[int, ...],
-                 patch_frac: float = 0.5, root_geo_source=None):
+                 patch_frac: float = 0.5, root_geo_source=None,
+                 num_patches: int = 1):
         """root_geo_source: the domain's true coordinate map (the parent
-        of a nested mapped coupling only exposes a raw array metric)."""
+        of a nested mapped coupling only exposes a raw array metric).
+        num_patches: K > 1 gives this level K same-shape patches with
+        per-patch traced origins and weights (multi-box levels; inactive
+        slots duplicate patch 0 at weight 0 so the compiled step never
+        depends on how many clusters the tagger found)."""
         parent_grid: Grid = parent_geo.grid
         ndim = parent_grid.ndim
         self.parent_grid = parent_grid
@@ -139,6 +154,11 @@ class PatchCoupling:
         self.is_mapped = not self.geo_source.is_uniform
         self.ratio = tuple(int(r) for r in ratio)
         self.nt = max(self.ratio)           # time refinement (subcycles)
+        self.K = int(num_patches)
+        if self.K > 1:
+            assert not self.is_mapped, \
+                "multi-patch levels require uniform geometry (per-patch " \
+                "metric bundles not wired)"
 
         # spanned dirs: the vertical + dirs where the parent array is
         # periodic (for a patch parent, "periodic" already means the
@@ -221,8 +241,10 @@ class PatchCoupling:
 
         # current origin of the EXTENDED patch relative to the parent
         # array corner (host ints, per array axis, child fine cells);
-        # None until the first regrid
+        # None until the first regrid.  Multi-patch (K > 1) couplings hold
+        # a (K, ndim) origin array + (K,) weights
         self.origin_f: Optional[np.ndarray] = None
+        self.weights: Optional[np.ndarray] = None
 
     # ---------------------------------------------------------------- util
     def make_level(self, geo, aux=None) -> PatchNSLevel:
@@ -358,11 +380,14 @@ class PatchCoupling:
         return ring
 
     def average_down(self, s_par: NSState, s_fine: NSState,
-                     origin_f, J_f=None) -> NSState:
+                     origin_f, J_f=None, weight=None) -> NSState:
         """Fine interior -> parent (reference: MappedCoarseAverage +
         postTimeStep avgDown, AMRNavierStokesSync.cpp:71-165).  With a
         fine-level J the average is volume-weighted (the reference's
-        MAPPEDAVERAGE variant for mapped grids)."""
+        MAPPEDAVERAGE variant for mapped grids).  `weight` (traced scalar
+        in [0,1]) blends the averaged block with the existing parent data
+        — weight 0 makes the insert a no-op (inactive multi-patch
+        slots)."""
         pgrid = self.parent_grid
         H = self.halo
         ndim = pgrid.ndim
@@ -385,6 +410,9 @@ class PatchCoupling:
                                        self.ratio) / J_avg
             else:
                 avg = restrict_average(block, self.ext_grid, self.ratio)
+            if weight is not None:
+                cur = extract_patch(coarse, origin_c, avg.shape)
+                avg = cur + weight * (avg.astype(coarse.dtype) - cur)
             return insert_patch(coarse, avg, origin_c)
 
         return NSState(
@@ -401,16 +429,52 @@ class PatchCoupling:
         )
 
     # -------------------------------------------------------------- origin
-    def choose_origin(self, s_par: NSState, tag_params: TagParams
-                      ) -> np.ndarray:
-        """Tag the parent state and choose the patch origin (host-side).
-        Falls back to a centered patch if nothing is tagged."""
+    def _centered_origin(self) -> np.ndarray:
+        pgrid = self.parent_grid
+        origin = np.zeros(pgrid.ndim, dtype=np.int64)
+        for ax in range(pgrid.ndim):
+            d = pgrid.dir_of_axis(ax)
+            r = self._axis_ratio(ax)
+            n_f = pgrid.nx[d] * r
+            if d in self.cf_dirs:
+                start = (n_f - self.ext_nx[d]) // 2
+                origin[ax] = (start // r) * r
+            else:
+                origin[ax] = 0
+        return origin
+
+    def choose_origins(self, s_par: NSState, tag_params: TagParams):
+        """Tag the parent state and choose K patch origins + weights
+        (host-side; reference: tagCells + LepticMeshRefine box lists).
+        Inactive slots duplicate patch 0 at weight 0."""
+        from somar_tpu.amr.tagging import patch_origins_from_tags
+        pgrid = self.parent_grid
+        ndim = pgrid.ndim
+        tags = self._masked_tags(s_par, tag_params)
+        halo_axes = tuple(
+            self.halo if pgrid.dir_of_axis(ax) in self.cf_dirs else 0
+            for ax in range(ndim))
+        interior_axes = tuple(self.interior_nx[pgrid.dir_of_axis(ax)]
+                              for ax in range(ndim))
+        parent_halo_f = tuple(self.parent_halo_axes[ax]
+                              * self._axis_ratio(ax) for ax in range(ndim))
+        got = patch_origins_from_tags(tags, pgrid, self.ratio,
+                                      interior_axes, halo_axes, self.K,
+                                      lo_pad_f=parent_halo_f)
+        if got is None:
+            origins = np.tile(self._centered_origin(), (self.K, 1))
+            weights = np.zeros(self.K, np.float32)
+            weights[0] = 1.0
+            return origins, weights
+        return got
+
+    def _masked_tags(self, s_par: NSState, tag_params: TagParams):
+        """Tags with the parent's own CF halo zeroed (that data is
+        interpolated, not an independent refinement signal, and donor
+        slabs must stay in the parent's valid interior)."""
         pgrid = self.parent_grid
         ndim = pgrid.ndim
         tags = compute_tags(s_par, self._parent_level, tag_params)
-        # never tag inside the parent's own CF halo: that data is
-        # interpolated from the grandparent, not an independent signal,
-        # and the donor slab must stay in the parent's valid interior
         for ax in range(ndim):
             ph = self.parent_halo_axes[ax]
             if ph > 0:
@@ -419,6 +483,16 @@ class PatchCoupling:
                 tags[tuple(sl)] = False
                 sl[ax] = slice(tags.shape[ax] - ph, None)
                 tags[tuple(sl)] = False
+        return tags
+
+    def choose_origin(self, s_par: NSState, tag_params: TagParams
+                      ) -> np.ndarray:
+        """Single-patch origin (K = 1 path): tag the parent state and
+        choose the patch origin (host-side); centered fallback when
+        nothing is tagged."""
+        tags = self._masked_tags(s_par, tag_params)
+        pgrid = self.parent_grid
+        ndim = pgrid.ndim
         halo_axes = tuple(
             self.halo if pgrid.dir_of_axis(ax) in self.cf_dirs else 0
             for ax in range(ndim))
@@ -430,16 +504,7 @@ class PatchCoupling:
                                         interior_axes, halo_axes,
                                         lo_pad_f=parent_halo_f)
         if origin is None:
-            origin = np.zeros(ndim, dtype=np.int64)
-            for ax in range(ndim):
-                d = pgrid.dir_of_axis(ax)
-                r = self._axis_ratio(ax)
-                n_f = pgrid.nx[d] * r
-                if d in self.cf_dirs:
-                    start = (n_f - self.ext_nx[d]) // 2
-                    origin[ax] = (start // r) * r
-                else:
-                    origin[ax] = 0
+            origin = self._centered_origin()
         return np.asarray(origin, dtype=np.int64)
 
 
@@ -457,7 +522,8 @@ class AMRHierarchy:
                  ratios: Optional[Sequence[Tuple[int, ...]]] = None,
                  reflux: Sequence[str] = (),
                  implicit_reflux: bool = False,
-                 regrid_smoothing_coeff: float = 0.0):
+                 regrid_smoothing_coeff: float = 0.0,
+                 num_patches: int = 1):
         """reflux: which advective fluxes get CF conservation corrections
         — any of "vel", "scalars", "lam" (reference knobs
         amr.advective_momentum/scalar/lambda_reflux; the shipped
@@ -493,15 +559,19 @@ class AMRHierarchy:
             assert params.update_scheme == "ppm", \
                 "refluxing requires the PPM scheme"
 
-        # build the nested patch couplings, coarse to fine
+        # build the nested patch couplings, coarse to fine; only the
+        # FINEST level may carry K > 1 patches (children would otherwise
+        # need a multi-parent donor search)
+        self.num_patches = int(num_patches)
         self.couplings: List[PatchCoupling] = []
         parent_geo = geo0
         parent_level = self.level0
         parent_halo = (0,) * self.grid0.ndim
-        for rr in self.ratios:
+        for ilev, rr in enumerate(self.ratios):
+            K = self.num_patches if ilev == len(self.ratios) - 1 else 1
             c = PatchCoupling(parent_geo, parent_halo, problem, params,
                               rr, patch_frac=patch_frac,
-                              root_geo_source=geo0.geo)
+                              root_geo_source=geo0.geo, num_patches=K)
             c._parent_level = parent_level
             if self.reflux_fields:
                 from somar_tpu.amr.flux_register import PatchFluxRegister
@@ -541,9 +611,101 @@ class AMRHierarchy:
         return [self.level0] + [c.level for c in self.couplings]
 
     # ------------------------------------------------------------- advance
+    def _advance_multipatch(self, lev: int, s_old: NSState, s_new: NSState,
+                            fine_states: list, origins, weights, dt,
+                            parent_fluxes=None, parent_level=None):
+        """Multi-patch (K > 1) variant of one coupling's subcycled advance:
+        K same-shape patches, each with its own traced origin; weight-0
+        slots duplicate patch 0 and contribute nothing to the parent.
+        Only the finest coupling may be multi-patch (asserted at build)."""
+        c = self.couplings[lev]
+        K = c.K
+        level = c.level
+        s_stack = fine_states[lev]
+        org = origins[lev]
+        w = (weights[lev] if weights is not None
+             else jnp.ones(K, self.params.dtype))
+        nt = c.nt
+        dt_f = dt / nt
+        refluxing = parent_fluxes is not None and bool(self.reflux_fields)
+        freg = c.flux_register if refluxing else None
+        new_patches = []
+        regs_per_patch = []
+        for k in range(K):
+            s_f = _tree_index(s_stack, k)
+            origin = org[k]
+            regs = None
+            if refluxing:
+                regs = {key: freg.zeros()
+                        for key, _ in self._flux_items(parent_fluxes)}
+            for i in range(nt):
+                frac0 = i / nt
+                frac_mid = (i + 0.5) / nt
+                donor0 = time_interp(s_old, s_new, frac0)
+                donor_ext = c._interp_state_ext(donor0, origin)
+                s_f = c._overwrite_halo(s_f, donor_ext)
+                donor_mid = time_interp(s_old, s_new, frac_mid)
+                rings = {
+                    "mac": c._ring(donor_mid.mac_phi, origin),
+                    "cc": c._ring(donor_mid.cc_phi, origin, 1.0 / nt),
+                }
+                if refluxing:
+                    s_f, fl_f = level.advance(s_f, dt_f, rings=rings,
+                                              collect_fluxes=True)
+                    for key, flux in self._flux_items(fl_f):
+                        regs[key] = freg.increment_fine(regs[key], flux,
+                                                        1.0 / nt)
+                else:
+                    s_f = level.advance(s_f, dt_f, rings=rings)
+            new_patches.append(s_f)
+            regs_per_patch.append(regs)
+        fine_states[lev] = _tree_stack(new_patches)
+
+        # weighted average-down of every active patch
+        s_par = s_new
+        for k in range(K):
+            s_par = c.average_down(s_par, new_patches[k], org[k],
+                                   weight=w[k])
+        if refluxing:
+            parent_geo = (self.level0.geo if lev == 0 else
+                          self.couplings[lev - 1].level.geo)
+            plev = parent_level if parent_level is not None else self.level0
+            vel = s_par.vel
+            scalars = s_par.scalars
+            lam = s_par.lam
+            for k in range(K):
+                regs = regs_per_patch[k]
+                for key, flux in self._flux_items(parent_fluxes):
+                    regs[key] = freg.increment_coarse(regs[key], flux,
+                                                      org[k])
+                for key in regs:
+                    field = (vel[key[1]] if key[0] == "vel" else
+                             scalars[key[1]] if key[0] == "scalars" else lam)
+                    rhs = freg.reflux(jnp.zeros_like(field), regs[key],
+                                      org[k], dt, parent_geo) * w[k]
+                    solver = None
+                    if self.implicit_reflux:
+                        if key[0] == "vel" and getattr(plev, "is_viscous",
+                                                       False):
+                            solver = plev.visc_solvers[key[1]]
+                        elif key[0] == "scalars":
+                            solver = plev.diff_solvers[key[1]]
+                    corr = (rhs if solver is None else
+                            solver._helmholtz_solve(rhs, 1.0, dt, rhs)[0])
+                    if key[0] == "vel":
+                        vel = vel.at[key[1]].add(corr)
+                    elif key[0] == "scalars":
+                        scalars = scalars.at[key[1]].add(corr)
+                    else:
+                        lam = lam + corr
+            s_par = dataclasses.replace(s_par, vel=vel, scalars=scalars,
+                                        lam=lam)
+        return s_par
+
     def _advance_recursive(self, lev: int, s_old: NSState, s_new: NSState,
                            fine_states: list, origins, dt, geos=None,
-                           parent_fluxes=None, parent_level=None):
+                           parent_fluxes=None, parent_level=None,
+                           weights=None):
         """Run level `lev`'s children through their subcycles between the
         parent states (s_old at t, s_new at t+dt), average down, and
         return the synchronized parent state.  `fine_states[k]` holds the
@@ -556,6 +718,10 @@ class AMRHierarchy:
         if lev >= len(self.couplings):
             return s_new
         c = self.couplings[lev]
+        if c.K > 1:
+            return self._advance_multipatch(
+                lev, s_old, s_new, fine_states, origins, weights, dt,
+                parent_fluxes=parent_fluxes, parent_level=parent_level)
         if c.is_mapped and geos is not None:
             level = c.make_level(geos[lev]["geo"], geos[lev]["aux"])
             J_f = geos[lev]["geo"].J
@@ -597,7 +763,8 @@ class AMRHierarchy:
             s_f = self._advance_recursive(lev + 1, s_f_old, s_f_new,
                                           fine_states, origins, dt_f, geos,
                                           parent_fluxes=fl_f,
-                                          parent_level=level)
+                                          parent_level=level,
+                                          weights=weights)
         fine_states[lev] = s_f
         s_par = c.average_down(s_new, s_f, origin, J_f=J_f)
         if refluxing:
@@ -658,19 +825,28 @@ class AMRHierarchy:
             items.append((("lam",), fluxes["lam"]))
         return items
 
-    def advance(self, s0: NSState, fine_states, origins, dt, geos=None):
+    def advance(self, s0: NSState, fine_states, origins, dt, geos=None,
+                weights=None):
         """One coarse step + nested subcycled fine steps + synchronization.
-        fine_states: tuple/list of patch states, coarse to fine;
+        fine_states: tuple/list of patch states, coarse to fine (a
+        multi-patch level's state carries a leading K patch axis);
         origins: matching tuple of per-array-axis fine-cell origins
-        (traced int arrays), each relative to its parent array;
+        (traced int arrays; (K, ndim) for a multi-patch level), each
+        relative to its parent array;
         geos: traced metric bundles for mapped geometries (see
-        geo_bundles).  Returns (s0_new, new_fine_states)."""
+        geo_bundles);
+        weights: per-coupling (K,) patch weights (multi-patch levels;
+        None entries / None means all-active).
+        Returns (s0_new, new_fine_states)."""
         single = not isinstance(fine_states, (list, tuple))
         if single:       # backward-compatible 2-level call signature
             fine_states = [fine_states]
             origins = [origins]
             if geos is not None:
                 geos = [geos]
+            if weights is not None and not isinstance(weights,
+                                                      (list, tuple)):
+                weights = [weights]
         fine_states = list(fine_states)
         level0 = self.level0
         s0_old = s0
@@ -682,7 +858,8 @@ class AMRHierarchy:
         s0_new = self._advance_recursive(0, s0_old, s0_new, fine_states,
                                          origins, dt, geos,
                                          parent_fluxes=fl0,
-                                         parent_level=level0)
+                                         parent_level=level0,
+                                         weights=weights)
         # sync projection (reference: AMRNavierStokesSync.cpp:249-295)
         if self.params.is_incompressible:
             vel, cc_phi, _ = level0.projector.project_cc(
@@ -731,20 +908,42 @@ class AMRHierarchy:
             return None
         return tuple(c.bundle for c in self.couplings)
 
+    @property
+    def multi_patch(self) -> bool:
+        return any(c.K > 1 for c in self.couplings)
+
     def initial_patch_states(self, s0: NSState):
         """Tag, choose every patch origin, and fill patch data coarse to
         fine (host-side; reference: initialGrid + regrid data fill).
-        Returns (fine_states, origins) tuples, coarse to fine."""
+        Returns (fine_states, origins) tuples, coarse to fine — plus a
+        weights tuple when any level is multi-patch."""
         states = []
         origins = []
+        weights = []
         s_par = s0
         for lev, c in enumerate(self.couplings):
-            c.origin_f = c.choose_origin(s_par, self.tag_params)
-            self._refresh_bundle(lev)
-            s_f = self._fill_patch_state(lev, s_par)
+            if c.K > 1:
+                org, w = c.choose_origins(s_par, self.tag_params)
+                c.origin_f = org
+                c.weights = w
+                patches = [c._interp_state_ext(s_par, jnp.asarray(org[k]))
+                           for k in range(c.K)]
+                s_f = _tree_stack(patches)
+                weights.append(jnp.asarray(w, self.params.dtype))
+                # the parent of a deeper coupling is patch 0 (asserted to
+                # not exist: multi-patch is finest-only)
+                s_par = patches[0]
+            else:
+                c.origin_f = c.choose_origin(s_par, self.tag_params)
+                c.weights = None
+                self._refresh_bundle(lev)
+                s_f = self._fill_patch_state(lev, s_par)
+                weights.append(None)
+                s_par = s_f
             states.append(s_f)
             origins.append(jnp.asarray(c.origin_f))
-            s_par = s_f
+        if self.multi_patch:
+            return tuple(states), tuple(origins), tuple(weights)
         return tuple(states), tuple(origins)
 
     def initial_patch_state(self, s0: NSState):
@@ -752,16 +951,20 @@ class AMRHierarchy:
         states, origins = self.initial_patch_states(s0)
         return states[0], origins[0]
 
-    def _global_origin(self, upto: int) -> np.ndarray:
+    def _global_origin(self, upto: int, last_origin=None) -> np.ndarray:
         """Global origin of coupling `upto`'s patch in its own fine index
-        space (accumulating parent origins through the nesting)."""
+        space (accumulating parent origins through the nesting).
+        last_origin overrides coupling `upto`'s own origin row (per-patch
+        globals of a multi-patch level)."""
         ndim = self.grid0.ndim
         g = np.zeros(ndim, dtype=np.int64)
         for lev in range(upto + 1):
             c = self.couplings[lev]
             r = np.array([c._axis_ratio(ax) for ax in range(ndim)],
                          dtype=np.int64)
-            g = g * r + np.asarray(c.origin_f, dtype=np.int64)
+            o = (last_origin if (lev == upto and last_origin is not None)
+                 else c.origin_f)
+            g = g * r + np.asarray(o, dtype=np.int64)
         return g
 
     # -------------------------------------------- post-regrid smoothing
@@ -854,55 +1057,110 @@ class AMRHierarchy:
             mu_v, mu_s = self._smooth_mus(float(dt))
         old_globals = []
         for lev, c in enumerate(self.couplings):
-            old_globals.append(None if c.origin_f is None
-                               else self._global_origin(lev))
+            if c.origin_f is None:
+                old_globals.append(None)
+            elif c.K > 1:
+                old_globals.append([
+                    self._global_origin(lev, last_origin=c.origin_f[k])
+                    for k in range(c.K)])
+            else:
+                old_globals.append(self._global_origin(lev))
+
+        def overlap_copy(s_new, old, new_g, old_g, ext_shape):
+            """Overwrite s_new with `old` wherever the two patches overlap
+            in global fine index space."""
+            shape = np.asarray(ext_shape)
+            lo = np.maximum(old_g, new_g)
+            hi = np.minimum(old_g + shape, new_g + shape)
+            if not np.all(hi > lo):
+                return s_new
+            src = tuple(slice(int(a), int(b)) for a, b in
+                        zip(lo - old_g, hi - old_g))
+            dst = tuple(slice(int(a), int(b)) for a, b in
+                        zip(lo - new_g, hi - new_g))
+            ndim = self.grid0.ndim
+
+            def cp(new, o):
+                lead = new.ndim - ndim
+                pre = (slice(None),) * lead
+                return new.at[pre + dst].set(o[pre + src])
+
+            return jax.tree_util.tree_map(
+                lambda n, o: cp(n, o) if n.ndim >= ndim else n, s_new, old)
 
         new_states = []
         origins = []
+        weights_out = []
         s_par = s0
         for lev, c in enumerate(self.couplings):
-            c.origin_f = c.choose_origin(s_par, self.tag_params)
-            self._refresh_bundle(lev)
             old_fine = fine_states[lev]
-            if smoothing:
-                # interp sources carry (I - mu*L) of the data; the solve
-                # below undoes it exactly wherever data was not moved
-                parent_level = (self.level0 if lev == 0
-                                else self.couplings[lev - 1].level)
-                s_par = self._apply_smooth_op(parent_level, s_par,
-                                              mu_v, mu_s)
-                old_fine = self._apply_smooth_op(c.level, old_fine,
-                                                 mu_v, mu_s)
-            s_new = self._fill_patch_state(lev, s_par)
-            if old_globals[lev] is not None:
-                new_g = self._global_origin(lev)
-                old_g = old_globals[lev]
-                shape = np.asarray(c.ext_grid.shape)
-                lo = np.maximum(old_g, new_g)
-                hi = np.minimum(old_g + shape, new_g + shape)
-                if np.all(hi > lo):
-                    src = tuple(slice(int(a), int(b)) for a, b in
-                                zip(lo - old_g, hi - old_g))
-                    dst = tuple(slice(int(a), int(b)) for a, b in
-                                zip(lo - new_g, hi - new_g))
-                    ndim = self.grid0.ndim
-
-                    def copy_overlap(new, old):
-                        lead = new.ndim - ndim
-                        pre = (slice(None),) * lead
-                        return new.at[pre + dst].set(old[pre + src])
-
-                    s_new = jax.tree_util.tree_map(
-                        lambda n, o: copy_overlap(n, o)
-                        if n.ndim >= ndim else n,
-                        s_new, old_fine)
-            if smoothing:
-                s_new = self._solve_smooth_op(c.level, s_new, mu_v, mu_s)
+            old_w = getattr(c, "weights", None)
+            if c.K > 1:
+                org, w = c.choose_origins(s_par, self.tag_params)
+                c.origin_f = org
+                c.weights = w
+                old_patches = None
+                if old_globals[lev] is not None:
+                    old_patches = [_tree_index(old_fine, j)
+                                   for j in range(c.K)]
+                    if smoothing:
+                        old_patches = [
+                            self._apply_smooth_op(c.level, p, mu_v, mu_s)
+                            for p in old_patches]
+                if smoothing:
+                    parent_level = (self.level0 if lev == 0
+                                    else self.couplings[lev - 1].level)
+                    s_par = self._apply_smooth_op(parent_level, s_par,
+                                                  mu_v, mu_s)
+                patches = []
+                for k in range(c.K):
+                    s_new_k = c._interp_state_ext(s_par,
+                                                  jnp.asarray(org[k]))
+                    if old_patches is not None:
+                        new_g = self._global_origin(lev,
+                                                    last_origin=org[k])
+                        for j in range(c.K):
+                            if old_w is not None and float(old_w[j]) == 0.0:
+                                continue
+                            s_new_k = overlap_copy(
+                                s_new_k, old_patches[j], new_g,
+                                old_globals[lev][j], c.ext_grid.shape)
+                    if smoothing:
+                        s_new_k = self._solve_smooth_op(c.level, s_new_k,
+                                                        mu_v, mu_s)
+                    patches.append(s_new_k)
+                s_new = _tree_stack(patches)
+                weights_out.append(jnp.asarray(w, self.params.dtype))
+                s_par = patches[0]
+            else:
+                c.origin_f = c.choose_origin(s_par, self.tag_params)
+                self._refresh_bundle(lev)
+                if smoothing:
+                    # interp sources carry (I - mu*L) of the data; the
+                    # solve below undoes it exactly where data not moved
+                    parent_level = (self.level0 if lev == 0
+                                    else self.couplings[lev - 1].level)
+                    s_par = self._apply_smooth_op(parent_level, s_par,
+                                                  mu_v, mu_s)
+                    old_fine = self._apply_smooth_op(c.level, old_fine,
+                                                     mu_v, mu_s)
+                s_new = self._fill_patch_state(lev, s_par)
+                if old_globals[lev] is not None:
+                    s_new = overlap_copy(s_new, old_fine,
+                                         self._global_origin(lev),
+                                         old_globals[lev],
+                                         c.ext_grid.shape)
+                if smoothing:
+                    s_new = self._solve_smooth_op(c.level, s_new,
+                                                  mu_v, mu_s)
+                weights_out.append(None)
+                s_par = s_new
             new_states.append(s_new)
             origins.append(jnp.asarray(c.origin_f))
-            s_par = s_new
         if single:
             return new_states[0], origins[0]
+        if self.multi_patch:
+            return tuple(new_states), tuple(origins), tuple(weights_out)
         return tuple(new_states), tuple(origins)
 
     # ------------------------------------------------------------------ dt
@@ -922,5 +1180,10 @@ class AMRHierarchy:
                 level = c.make_level(geos[lev]["geo"], geos[lev]["aux"])
             else:
                 level = c.level
-            dt = jnp.minimum(dt, factor * level.compute_dt(s_f))
+            if c.K > 1:
+                for k in range(c.K):
+                    dt = jnp.minimum(dt, factor * level.compute_dt(
+                        _tree_index(s_f, k)))
+            else:
+                dt = jnp.minimum(dt, factor * level.compute_dt(s_f))
         return dt

@@ -90,6 +90,112 @@ def compute_tags(state, level, params: TagParams) -> np.ndarray:
     return tags
 
 
+def patch_origins_from_tags(tags: np.ndarray, grid: Grid, ratio,
+                            interior_shape_f, halo_axes, num_patches: int,
+                            lo_pad_f=None):
+    """Choose up to `num_patches` well-separated patch origins covering
+    the tag clusters (multi-box levels; reference: LepticMeshRefine
+    returns Berger-Rigoutsos box lists, `LepticMeshRefine.H:63-80`).
+
+    Each patch has the SAME static fine interior shape; clusters closer
+    than the patch footprint merge into one patch (separation guarantees
+    every patch's CF halo sees only parent data — no fine-fine sibling
+    ghost exchange).  Returns (origins (K, ndim) int64, weights (K,)
+    float32) with weight 0 marking inactive duplicate slots, or None when
+    nothing is tagged.
+    """
+    from somar_tpu.native import berger_rigoutsos
+
+    if not tags.any():
+        return None
+    if lo_pad_f is None:
+        lo_pad_f = (0,) * grid.ndim
+    K = int(num_patches)
+    boxes = np.asarray(berger_rigoutsos(tags))   # (n, 2, ndim), hi incl.
+    if boxes.ndim != 3 or len(boxes) == 0:
+        boxes = np.stack([np.stack([np.zeros(grid.ndim, np.int64),
+                                    np.asarray(tags.shape) - 1])])
+    # group clusters: sort by CF-axis interval, then greedily merge any
+    # two groups whose bounding boxes would land on overlapping patches
+    cf_axes = [ax for ax in range(grid.ndim) if halo_axes[ax] > 0]
+    groups = [b.astype(np.int64) for b in boxes]
+
+    def origin_of(bbox):
+        lo, hi = bbox[0], bbox[1]
+        origin = np.zeros(grid.ndim, dtype=np.int64)
+        for ax in range(grid.ndim):
+            d = grid.dir_of_axis(ax)
+            r = ratio[d]
+            n_f = grid.nx[d] * r
+            interior_f = interior_shape_f[ax]
+            h = halo_axes[ax]
+            center_c = 0.5 * (lo[ax] + hi[ax] + 1)
+            start_f = int(round(center_c * r - interior_f / 2))
+            start_f = (start_f // r) * r
+            margin = h + r + lo_pad_f[ax] if h > 0 else 0
+            start_f = max(margin, min(start_f, n_f - interior_f - margin))
+            origin[ax] = start_f - h
+        return origin
+
+    def merged(a, b):
+        return np.stack([np.minimum(a[0], b[0]), np.maximum(a[1], b[1])])
+
+    def patches_overlap(oa, ob):
+        """Extended patches (plus one parent cell of donor margin) must be
+        disjoint along at least one CF axis."""
+        for ax in cf_axes:
+            d = grid.dir_of_axis(ax)
+            r = ratio[d]
+            ext_f = (interior_shape_f[ax] + 2 * halo_axes[ax])
+            lo_a, hi_a = oa[ax] - r, oa[ax] + ext_f + r
+            lo_b, hi_b = ob[ax] - r, ob[ax] + ext_f + r
+            if hi_a <= lo_b or hi_b <= lo_a:
+                return False
+        return len(cf_axes) > 0
+
+    # merge until the chosen origins are pairwise separated and <= K
+    while True:
+        # largest-first keeps the dominant clusters distinct
+        groups.sort(key=lambda b: -int(np.prod(b[1] - b[0] + 1)))
+        while len(groups) > K:
+            # merge the pair with the smallest gap along the CF axes
+            best = (None, np.inf)
+            for i in range(len(groups)):
+                for j in range(i + 1, len(groups)):
+                    gap = 0
+                    for ax in cf_axes:
+                        gap += max(0, max(groups[i][0][ax]
+                                          - groups[j][1][ax] - 1,
+                                          groups[j][0][ax]
+                                          - groups[i][1][ax] - 1))
+                    if gap < best[1]:
+                        best = ((i, j), gap)
+            (i, j), _ = best
+            groups[i] = merged(groups[i], groups[j])
+            del groups[j]
+        origins = [origin_of(b) for b in groups]
+        collided = False
+        for i in range(len(origins)):
+            for j in range(i + 1, len(origins)):
+                if patches_overlap(origins[i], origins[j]):
+                    groups[i] = merged(groups[i], groups[j])
+                    del groups[j]
+                    collided = True
+                    break
+            if collided:
+                break
+        if not collided:
+            break
+
+    n = len(origins)
+    out = np.zeros((K, grid.ndim), dtype=np.int64)
+    w = np.zeros(K, dtype=np.float32)
+    for k in range(K):
+        out[k] = origins[k if k < n else 0]
+        w[k] = 1.0 if k < n else 0.0
+    return out, w
+
+
 def patch_origin_from_tags(tags: np.ndarray, grid: Grid, ratio,
                            interior_shape_f, halo_axes,
                            lo_pad_f=None) -> Optional[np.ndarray]:

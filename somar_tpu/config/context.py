@@ -66,6 +66,9 @@ class PlotConfig:
     write_displacement: bool = True
     write_geometry: bool = False
     write_proc_ids: bool = False
+    write_streamfunction: bool = False
+    write_grad_e_lambda: bool = False
+    write_ri: bool = False
 
 
 @dataclasses.dataclass
@@ -101,6 +104,11 @@ class AMRConfig:
     # amr.smooth_after_regrid / amr.postRegrid_smoothing_coeff,
     # ProblemContext.cpp:512-519)
     regrid_smoothing_coeff: float = 0.0
+    # max patches per (finest) refined level — the TPU analog of the
+    # reference's multi-box levels (LepticMeshRefine box lists): K
+    # same-shape patches with traced origins/weights, so the number of
+    # active clusters never recompiles the step
+    max_patches: int = 1
     # freestream preservation (reference: projection.applyVDCorrection /
     # etaLambda, ProblemContext.cpp:1384-1401)
     apply_vd_correction: bool = False
@@ -201,6 +209,7 @@ class ProblemContext:
                 pp.get_int("amr.implicit_scalar_reflux", 0)),
             implicit_momentum_reflux=bool(
                 pp.get_int("amr.implicit_momentum_reflux", 0)),
+            max_patches=pp.get_int("amr.max_patches", 1),
             regrid_smoothing_coeff=(
                 pp.get_real("amr.postRegrid_smoothing_coeff", 0.0)
                 if pp.get_int("amr.smooth_after_regrid", 0) else 0.0),
@@ -295,6 +304,11 @@ class ProblemContext:
             write_vorticity=bool(pp.get_int("plot.writeVorticity", 0)),
             write_displacement=bool(pp.get_int("plot.writeDisplacement", 1)),
             write_geometry=bool(pp.get_int("plot.writeGeometry", 0)),
+            write_streamfunction=bool(
+                pp.get_int("plot.writeStreamFunction", 0)),
+            write_grad_e_lambda=bool(
+                pp.get_int("plot.writeGradELambda", 0)),
+            write_ri=bool(pp.get_int("plot.writeRi", 0)),
         )
 
         tidal_u0 = tuple(pp.get_real_vect("ibc.tidalU0", 1, (0.0,))

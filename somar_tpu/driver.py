@@ -61,6 +61,7 @@ class RunDriver:
                 implicit_reflux=(ctx.amr.implicit_scalar_reflux
                                  or ctx.amr.implicit_momentum_reflux),
                 regrid_smoothing_coeff=ctx.amr.regrid_smoothing_coeff,
+                num_patches=ctx.amr.max_patches,
                 eta_lambda=(ctx.amr.eta_lambda
                             if ctx.amr.apply_vd_correction else 0.0))
             self.level = self.hierarchy.level0
@@ -103,9 +104,13 @@ class RunDriver:
             signal.SIGINT, lambda *_: setattr(self, "_interrupted", True))
 
         # AMR: build the patch levels
-        fine_state = origin = None
+        fine_state = origin = weights = None
         if self.hierarchy is not None:
-            fine_state, origin = self.hierarchy.initial_patch_states(state)
+            got = self.hierarchy.initial_patch_states(state)
+            if self.hierarchy.multi_patch:
+                fine_state, origin, weights = got
+            else:
+                fine_state, origin = got
             # substeps of coupling k per coarse step = prod of nt's above it
             self._amr_substeps = []
             factor = 1
@@ -130,10 +135,10 @@ class RunDriver:
                 if self.hierarchy is not None:
                     state, fine_state = self._amr_step_fn(
                         state, fine_state, origin, dt,
-                        self.hierarchy.geo_bundles)
+                        self.hierarchy.geo_bundles, weights)
                     for c, nsub in zip(self.hierarchy.couplings,
                                        self._amr_substeps):
-                        cell_updates += nsub * int(np.prod(c.ext_nx))
+                        cell_updates += nsub * c.K * int(np.prod(c.ext_nx))
                 else:
                     state = self._step_fn(state, dt)
                 state.vel.block_until_ready()
@@ -143,8 +148,12 @@ class RunDriver:
 
                 # regrid cadence (reference: LepticAMR::needToRegrid)
                 if self.hierarchy is not None and                         step % self.regrid_interval == 0:
-                    fine_state, origin = self.hierarchy.regrid(
-                        state, fine_state, dt=float(dt))
+                    got = self.hierarchy.regrid(state, fine_state,
+                                                dt=float(dt))
+                    if self.hierarchy.multi_patch:
+                        fine_state, origin, weights = got
+                    else:
+                        fine_state, origin = got
 
                 # next dt: CFL-limited, growth-capped
                 if self.hierarchy is not None:

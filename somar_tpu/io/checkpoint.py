@@ -160,6 +160,23 @@ def write_plotfile(path: str, state, level, step: int, plot_cfg=None):
             fields[f"displacement_{m}"] = disp[m]
     if plot_cfg is not None and plot_cfg.write_geometry and not geo.is_uniform:
         fields["J"] = np.asarray(geo.J * np.ones(grid.shape))
+    if plot_cfg is not None and getattr(plot_cfg, "write_streamfunction",
+                                        False) and grid.ndim == 2:
+        from somar_tpu.physics.derived import compute_stream_function
+        fields["streamfunction"] = np.asarray(
+            compute_stream_function(level, state))
+    if plot_cfg is not None and getattr(plot_cfg, "write_grad_e_lambda",
+                                        False):
+        from somar_tpu.ops.stencil import mac_gradient, fc_to_cc
+        ge = mac_gradient(state.e_lambda, geo, level.projector.phi_bcs)
+        for m in range(grid.ndim):
+            fields[f"grad_eLambda_{'xyz'[m]}"] = np.asarray(
+                fc_to_cc(ge[m], m, grid))
+    if plot_cfg is not None and getattr(plot_cfg, "write_ri", False):
+        from somar_tpu.physics.derived import compute_ri_number
+        fields["Ri"] = np.asarray(compute_ri_number(level, state))
+    if plot_cfg is not None and getattr(plot_cfg, "write_scalars_minus_background", False):
+        fields["buoyancy_pert"] = np.asarray(state.scalars[0])
 
     with h5py.File(path, "w") as f:
         f.attrs["iteration"] = step

@@ -385,3 +385,89 @@ def test_post_regrid_smoothing_identity_and_stability():
     assert np.all(np.isfinite(b)) and b.min() > -0.1 and b.max() < 1.1
     s0, s1c = step(s0, s1c, origin3, jnp.asarray(0.02))
     assert np.all(np.isfinite(np.asarray(s1c.vel)))
+
+
+def test_patch_origins_from_tags_two_clusters():
+    from somar_tpu.amr.tagging import patch_origins_from_tags
+    g = Grid(nx=(64, 8), dx=(1.0, 1.0))
+    tags = np.zeros(g.shape, dtype=bool)   # array axes (z, x)
+    tags[:, 10:13] = True
+    tags[:, 50:53] = True
+    interior = (8, 24)      # (z, x) fine cells, ratio (4,1) -> z spans
+    halos = (0, 4)
+    got = patch_origins_from_tags(tags, g, (4, 1), interior, halos, 2)
+    assert got is not None
+    origins, w = got
+    assert w.tolist() == [1.0, 1.0]
+    xs = sorted(origins[:, 1])
+    # each patch centered near its cluster (fine x = coarse*4)
+    assert abs((xs[0] + 4 + 12) - 11.5 * 4) < 8
+    assert abs((xs[1] + 4 + 12) - 51.5 * 4) < 8
+
+    # single cluster -> one active + one duplicate slot
+    tags2 = np.zeros(g.shape, dtype=bool)
+    tags2[:, 30:34] = True
+    origins2, w2 = patch_origins_from_tags(tags2, g, (4, 1), interior,
+                                           halos, 2)
+    assert w2.tolist() == [1.0, 0.0]
+    assert np.array_equal(origins2[0], origins2[1])
+
+    # two clusters too close to separate -> merged into one patch
+    tags3 = np.zeros(g.shape, dtype=bool)
+    tags3[:, 28:30] = True
+    tags3[:, 34:36] = True
+    origins3, w3 = patch_origins_from_tags(tags3, g, (4, 1), interior,
+                                           halos, 2)
+    assert w3.tolist() == [1.0, 0.0]
+
+
+def test_multipatch_two_blobs_activates_two_patches():
+    """K=2 patches on a state with two well-separated buoyancy fronts:
+    tagging must activate both patches (weights [1,1]) at different
+    origins, and the subcycled advance stays stable."""
+    import dataclasses
+    Lx, Lz = 15.0, 2.0
+    nx, nz = 96, 12
+    g = Grid(nx=(nx, nz), dx=(Lx / nx, Lz / nz), x0=(-Lx / 2, 0.0))
+    geo = build_level_geometry(g, CartesianMap())
+    params = NSParams(nu=1e-4, kappa=(1e-4,), gravity_method=1,
+                      mg=MGParams(eps=1e-5, imax=12))
+    h = AMRHierarchy(geo, LockExchange(pert_amp=0.0), params,
+                     ratio=(4, 1), patch_frac=0.2,
+                     tag_params=TagParams(buoyancy_tag_tol=0.12,
+                                          tags_grow=1),
+                     num_patches=2)
+    assert h.multi_patch and h.couplings[0].K == 2
+    s0 = h.level0.post_initialize(h.level0.initial_state())
+    # overwrite buoyancy with two separated sharp blobs (vertically
+    # uniform so each is one extruded cluster)
+    x = np.asarray(geo.phys_coords_cc()[0])
+    b = (np.abs(x + 4.0) < 0.8).astype(np.float32) \
+        + (np.abs(x - 4.0) < 0.8).astype(np.float32)
+    b2 = np.broadcast_to(b, g.shape)
+    s0 = dataclasses.replace(
+        s0, scalars=s0.scalars.at[0].set(jnp.asarray(b2)))
+
+    fines, origins, weights = h.initial_patch_states(s0)
+    w = np.asarray(weights[0])
+    assert w.tolist() == [1.0, 1.0], w
+    org = np.asarray(origins[0])
+    assert abs(org[0, 1] - org[1, 1]) > h.couplings[0].ext_nx[0] // 2
+    assert fines[0].vel.shape[0] == 2          # leading patch axis
+
+    step = jax.jit(h.advance)
+    dt = jnp.asarray(0.02)
+    f = fines[0]
+    for _ in range(5):
+        s0, f = step(s0, f, origins[0], dt, None, weights)
+    b_c = np.asarray(s0.scalars[0])
+    assert np.all(np.isfinite(b_c)) and b_c.min() > -0.1 and b_c.max() < 1.15
+    assert np.all(np.isfinite(np.asarray(f.vel)))
+
+    # regrid keeps both patches active and data bounded
+    fines2, origins2, weights2 = h.regrid(s0, (f,))
+    assert np.asarray(weights2[0]).sum() == 2.0
+    bf = np.asarray(fines2[0].scalars[0])
+    assert np.all(np.isfinite(bf)) and bf.min() > -0.15 and bf.max() < 1.2
+    s0, f = step(s0, fines2[0], origins2[0], dt, None, weights2)
+    assert np.all(np.isfinite(np.asarray(f.vel)))

@@ -90,3 +90,40 @@ def test_tg_rk3_scheme():
     err = float(jnp.max(jnp.abs(state.vel - exact)))
     assert err < 3e-2, err
     assert np.all(np.isfinite(np.asarray(state.vel)))
+
+
+def test_tg_float64_convergence_anchor():
+    """f64 validation anchor (the reference is all-f64): on the CPU
+    backend with x64 enabled, the viscous TG error converges at 2nd order
+    well below the f32 floor, pinning the discretization (not roundoff)
+    as the error source."""
+    jax.config.update("jax_enable_x64", True)
+    try:
+        nu = 1e-2
+        T = 0.04
+
+        def run(n, nsteps):
+            g = Grid(nx=(n, n), dx=(1.0 / n,) * 2, periodic=(True, True))
+            lg = build_level_geometry(g, CartesianMap(), dtype=jnp.float64)
+            prob = TaylorGreen(nu=nu)
+            params = NSParams(nu=nu, kappa=(0.0,), gravity_method=0,
+                              fixed_dt=T / nsteps, dtype=jnp.float64,
+                              mg=MGParams(eps=1e-11, imax=40))
+            level = NSLevel(lg, prob, params)
+            state = level.post_initialize(level.initial_state())
+            step = jax.jit(lambda s: level.advance(
+                s, jnp.asarray(T / nsteps, jnp.float64)))
+            for _ in range(nsteps):
+                state = step(state)
+            exact = prob.vel_soln(lg, float(state.time))
+            assert state.vel.dtype == jnp.float64
+            return float(jnp.max(jnp.abs(state.vel - exact)))
+
+        e_c = run(24, 6)
+        e_f = run(48, 12)
+        order = np.log2(e_c / e_f)
+        assert order > 1.6, (e_c, e_f, order)
+        # far below the ~1e-3 f32 floor: errors are discretization only
+        assert e_f < 2e-3, e_f
+    finally:
+        jax.config.update("jax_enable_x64", False)
