@@ -133,6 +133,87 @@ def restrict_average(fine, grid_f: Grid, ratio: Sequence[int]):
     return restrict_fullweight(fine, grid_f, ratio)
 
 
+def restrict_average_fc(fine_fc, d: int, grid_f: Grid, ratio: Sequence[int],
+                        harmonic: bool = False):
+    """Fine->coarse averaging of a FACE-centered (d-normal) field
+    (reference: MappedCoarseAverageFace, kernels UNMAPPEDAVERAGEFACE /
+    UNMAPPEDAVERAGEFACEHARMONIC): coarse faces coincide with every
+    ratio[d]-th fine face plane; the coarse value is the TANGENTIAL block
+    mean of that plane (arithmetic or harmonic)."""
+    ndim = fine_fc.ndim
+    ax_n = grid_f.axis(d)
+    r_n = ratio[d]
+    # subsample the coincident fine face planes along the normal
+    sl = [slice(None)] * ndim
+    sl[ax_n] = slice(0, None, r_n)
+    out = fine_fc[tuple(sl)]
+    if harmonic:
+        out = 1.0 / out
+    # tangential block mean
+    resh = []
+    mean_axes = []
+    for ax in range(ndim):
+        dd = grid_f.dir_of_axis(ax)
+        if ax == ax_n:
+            resh.append(out.shape[ax])
+        else:
+            r = ratio[dd]
+            resh.extend([out.shape[ax] // r, r])
+            mean_axes.append(len(resh) - 1)
+    out = out.reshape(resh).mean(axis=tuple(mean_axes))
+    if harmonic:
+        out = 1.0 / out
+    return out
+
+
+def prolong_linear_fc(coarse_fc, d: int, grid_c: Grid,
+                      ratio: Sequence[int]):
+    """Coarse->fine interpolation of a FACE-centered (d-normal) field
+    (reference: MappedFineInterpFace, UnmappedInterpLinearFace): linear
+    along the normal between coincident coarse faces, slope-limited
+    linear in the tangential directions (per-face prolongation of the
+    tangential profile)."""
+    ndim = coarse_fc.ndim
+    ax_n = grid_c.axis(d)
+    r_n = ratio[d]
+    out = coarse_fc
+    # normal direction: fine faces between coincident coarse faces f, f+1
+    # at fractions k/r  (k = 0..r-1), plus the final coincident face
+    if r_n > 1:
+        n = out.shape[ax_n]
+        lo = jax.lax.slice_in_dim(out, 0, n - 1, axis=ax_n)
+        hi = jax.lax.slice_in_dim(out, 1, n, axis=ax_n)
+        fracs = jnp.arange(r_n) / r_n
+        oshape = [1] * (out.ndim + 1)
+        oshape[ax_n + 1] = r_n
+        f = fracs.reshape(oshape)
+        vals = (jnp.expand_dims(lo, ax_n + 1) * (1.0 - f)
+                + jnp.expand_dims(hi, ax_n + 1) * f)
+        merged = list(out.shape)
+        merged[ax_n] = (n - 1) * r_n
+        vals = vals.reshape(merged)
+        last = jax.lax.slice_in_dim(out, n - 1, n, axis=ax_n)
+        out = jnp.concatenate([vals, last], axis=ax_n)
+    # tangential directions: limited-linear within each coarse cell
+    for ax in range(ndim):
+        if ax == ax_n:
+            continue
+        dd = grid_c.dir_of_axis(ax)
+        r = ratio[dd]
+        if r == 1:
+            continue
+        s = _slopes(out, ax)
+        offsets = (jnp.arange(r) + 0.5) / r - 0.5
+        oshape = [1] * (out.ndim + 1)
+        oshape[ax + 1] = r
+        off = offsets.reshape(oshape)
+        vals = jnp.expand_dims(out, ax + 1) + off * jnp.expand_dims(s, ax + 1)
+        merged = list(out.shape)
+        merged[ax] = merged[ax] * r
+        out = vals.reshape(merged)
+    return out
+
+
 def extract_patch(field, origin_axes, shape_axes):
     """dynamic_slice of a rectangular patch; origin per ARRAY axis (may be
     traced), shape static."""
