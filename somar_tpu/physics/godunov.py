@@ -134,6 +134,7 @@ def trace_face_states(
     vel_bcs: Optional[Sequence[FieldBCs]] = None,
     u_pad: Optional[Sequence] = None,
     out_dirs: Optional[Sequence[int]] = None,
+    return_pre_riemann: bool = False,
 ):
     """Predict time-centered upwind face states of `s` in every direction.
 
@@ -141,6 +142,14 @@ def trace_face_states(
     per direction) — the NS step traces 5+ fields per substep and shares
     one fill (the pads are identical across fields).
     Returns a tuple of face-state arrays (fc_shape(d)) per logical dir d.
+
+    return_pre_riemann: also return the cropped (lo, hi) face-state pairs
+    per direction BEFORE the final Riemann upwinding.  The traced states
+    depend only on (s, u_pad, src, dt) — NOT on adv_vel, which enters only
+    through the final upwinding — so a caller that upwinds the same field
+    against a second advecting velocity (the NS step's momentum update
+    re-uses the advecting-velocity prediction's traces,
+    riemann_from_states below) skips the whole predictor.
     """
     grid = geo.grid
     ndim = grid.ndim
@@ -212,6 +221,7 @@ def trace_face_states(
     # the transverse corrections.
     dirs = range(ndim) if out_dirs is None else out_dirs
     out = {}
+    pre = {}
     for d in dirs:
         ax = grid.axis(d)
         lo_f, hi_f = lo1[d], hi1[d]
@@ -235,8 +245,21 @@ def trace_face_states(
         # crop to valid faces/cells and final Riemann with the advecting vel
         lo_v = _crop_faces(lo_f, grid, d, G)
         hi_v = _crop_faces(hi_f, grid, d, G)
+        pre[d] = (lo_v, hi_v)
         out[d] = _riemann(lo_v, hi_v, adv_vel[d])
-    return tuple(out.get(d) for d in range(ndim))
+    faces = tuple(out.get(d) for d in range(ndim))
+    if return_pre_riemann:
+        return faces, tuple(pre.get(d) for d in range(ndim))
+    return faces
+
+
+def riemann_from_states(pre_states, adv_vel):
+    """Final Riemann upwinding of precomputed (lo, hi) face states against
+    a (new) advecting velocity — the re-use path of trace_face_states's
+    return_pre_riemann."""
+    return tuple(
+        _riemann(lo, hi, adv_vel[d])
+        for d, (lo, hi) in enumerate(pre_states))
 
 
 def _normal_predict_fullpad(sp, u_pad, ax: int, G: int, dx: float, dt: float,

@@ -290,19 +290,24 @@ class NSLevel:
                      self.vel_bcs_trace[d])
             for d in range(ndim))
 
-        # predict each Cartesian component to faces; on uniform/diagonal
-        # maps only the normal component is consumed per direction
-        need_all = geo.einv_cc is not None
+        # predict each Cartesian component to faces.  The pre-Riemann face
+        # states are stashed: getNewVelocity's momentum fluxes upwind the
+        # SAME traced states against the projected advecting velocity, so
+        # the predictor runs once per component per step instead of twice
+        # (the reference re-traces, AMRNavierStokesAdvancePPM.cpp:1354 vs
+        # :791 — identical math, twice the kernel work).
         predicted = []
+        self._vel_pre_states = []
         for m in range(ndim):
             src_m = src_vel[m] if src_vel is not None else None
-            faces = trace_face_states(
+            faces, pre = trace_face_states(
                 vel[m], u_mapped, prov, src_m, dt, geo,
                 self.vel_bcs_trace[m], self.params.advection_vel,
                 vel_bcs=self.vel_bcs_trace,
                 u_pad=getattr(self, "_u_pad", None),
-                out_dirs=None if need_all else (m,))
+                return_pre_riemann=True)
             predicted.append(faces)
+            self._vel_pre_states.append(pre)
 
         # normal contravariant flux on d-faces: J * einv[d,m] * u_m
         adv = []
@@ -335,10 +340,15 @@ class NSLevel:
 
     # ------------------------------------------------------------ scalars
     def _advect_update(self, s, u_mapped, adv_vel, src, dt, bcs, params,
-                       return_fluxes: bool = False):
-        faces = trace_face_states(s, u_mapped, adv_vel, src, dt, self.geo,
-                                  bcs, params, vel_bcs=self.vel_bcs_trace,
-                                  u_pad=getattr(self, "_u_pad", None))
+                       return_fluxes: bool = False, pre_states=None):
+        if pre_states is not None:
+            from somar_tpu.physics.godunov import riemann_from_states
+            faces = riemann_from_states(pre_states, adv_vel)
+        else:
+            faces = trace_face_states(s, u_mapped, adv_vel, src, dt,
+                                      self.geo, bcs, params,
+                                      vel_bcs=self.vel_bcs_trace,
+                                      u_pad=getattr(self, "_u_pad", None))
         if self.params.nonlinear_differencing_form == 1:
             # advective form: div(u s) - s div(u)
             div_us = flux_divergence(faces, adv_vel, self.geo)
@@ -417,12 +427,15 @@ class NSLevel:
         ndim = grid.ndim
         new_vel = []
         fluxes_out = []
+        pre = getattr(self, "_vel_pre_states", None)
         for m in range(ndim):
             src_m = src_vel[m] if src_vel is not None else None
             adv = self._advect_update(state.vel[m], u_mapped, adv_vel, src_m,
                                       dt, self.vel_bcs_trace[m],
                                       self.params.advection_vel,
-                                      return_fluxes=collect is not None)
+                                      return_fluxes=collect is not None,
+                                      pre_states=(pre[m] if pre is not None
+                                                  else None))
             if collect is not None:
                 adv, fl = adv
                 fluxes_out.append(fl)
@@ -505,6 +518,7 @@ class NSLevel:
                                     grav, tidal, sponge_v, grad_p, dt,
                                     collect)
         self._u_pad = None
+        self._vel_pre_states = None
 
         cc_phi = state.cc_phi
         pressure = state.pressure
