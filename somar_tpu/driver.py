@@ -87,9 +87,30 @@ class RunDriver:
         final_time = ctx.amr.final_time if final_time is None else final_time
 
         step0 = 0
+        restored_fine = None
         if ctx.amr.restart_file:
-            state, step0, dt_prev = read_checkpoint(
-                os.path.join(self.out_dir, ctx.amr.restart_file), self.level)
+            got = read_checkpoint(
+                os.path.join(self.out_dir, ctx.amr.restart_file), self.level,
+                fine_grid=([c.ext_grid for c in self.hierarchy.couplings]
+                           if self.hierarchy is not None else None))
+            if len(got) > 3:
+                # exact AMR resume (reference: setupForRestart,
+                # LepticAMR.cpp:512): restore every patch level + origins
+                state, step0, dt_prev = got[0], got[1], got[2]
+                fines, origs = got[3], got[4]
+                wts = got[5] if len(got) > 5 else (None,) * len(fines)
+                for lev, c in enumerate(self.hierarchy.couplings):
+                    c.origin_f = np.asarray(origs[lev])
+                    c.weights = (None if wts[lev] is None
+                                 else np.asarray(wts[lev]))
+                    self.hierarchy._refresh_bundle(lev)
+                restored_fine = (
+                    tuple(fines),
+                    tuple(jnp.asarray(o) for o in origs),
+                    tuple(None if w is None
+                          else jnp.asarray(w, ctx.ns.dtype) for w in wts))
+            else:
+                state, step0, dt_prev = got
             dt = jnp.asarray(dt_prev, ctx.ns.dtype)
         else:
             state = self.level.post_initialize(self.level.initial_state())
@@ -103,14 +124,19 @@ class RunDriver:
         prev_handler = signal.signal(
             signal.SIGINT, lambda *_: setattr(self, "_interrupted", True))
 
-        # AMR: build the patch levels
+        # AMR: build the patch levels (or restore them from the checkpoint)
         fine_state = origin = weights = None
         if self.hierarchy is not None:
-            got = self.hierarchy.initial_patch_states(state)
-            if self.hierarchy.multi_patch:
-                fine_state, origin, weights = got
+            if restored_fine is not None:
+                fine_state, origin, weights = restored_fine
+                if not self.hierarchy.multi_patch:
+                    weights = None
             else:
-                fine_state, origin = got
+                got = self.hierarchy.initial_patch_states(state)
+                if self.hierarchy.multi_patch:
+                    fine_state, origin, weights = got
+                else:
+                    fine_state, origin = got
             # substeps of coupling k per coarse step = prod of nt's above it
             self._amr_substeps = []
             factor = 1
@@ -123,7 +149,10 @@ class RunDriver:
         last_plot_time = float(state.time)
         step = step0
         try:
-            while step < step0 + max_steps and float(state.time) < final_time:
+            # max_steps is the maximum step NUMBER, as in the reference
+            # (LepticAMR::run loops while m_cur_step < a_max_step), so a
+            # restarted run continues to the same absolute step count.
+            while step < max_steps and float(state.time) < final_time:
                 # graceful stop: `halt` file or SIGINT
                 if self._interrupted or os.path.exists(
                         os.path.join(self.out_dir, "halt")):
@@ -194,7 +223,11 @@ class RunDriver:
                                     self.hierarchy.couplings]
                                    if self.hierarchy else None),
                         origin=(None if origin is None
-                                else [np.asarray(o) for o in origin]))
+                                else [np.asarray(o) for o in origin]),
+                        weights=(None if self.hierarchy is None else
+                                 [None if c.weights is None
+                                  else np.asarray(c.weights)
+                                  for c in self.hierarchy.couplings]))
         finally:
             signal.signal(signal.SIGINT, prev_handler)
 
@@ -214,5 +247,8 @@ class RunDriver:
             fine_grid=([c.ext_grid for c in self.hierarchy.couplings]
                        if self.hierarchy else None),
             origin=None if origin is None else [np.asarray(o)
-                                                for o in origin])
+                                                for o in origin],
+            weights=(None if self.hierarchy is None else
+                     [None if c.weights is None else np.asarray(c.weights)
+                      for c in self.hierarchy.couplings]))
         return state, step

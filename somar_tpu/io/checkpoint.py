@@ -22,7 +22,8 @@ from typing import Optional
 import numpy as np
 
 
-def _write_level_group(f, name: str, state, grid, origin=None):
+def _write_level_group(f, name: str, state, grid, origin=None,
+                       weights=None):
     g = f.create_group(name)
     g.attrs["nx"] = np.asarray(grid.nx)
     g.attrs["dx"] = np.asarray(grid.dx)
@@ -30,10 +31,19 @@ def _write_level_group(f, name: str, state, grid, origin=None):
     g.attrs["periodic"] = np.asarray(grid.periodic, dtype=np.int8)
     if origin is not None:
         g.attrs["patch_origin"] = np.asarray(origin)
+    if weights is not None:
+        g.attrs["patch_weights"] = np.asarray(weights)
+    vel = np.asarray(state.vel)
+    scal = np.asarray(state.scalars)
+    multi = vel.ndim == grid.ndim + 2   # leading patch axis (multi-patch)
+    if multi:
+        g.attrs["num_patches"] = vel.shape[0]
     for m in range(grid.ndim):
-        g.create_dataset(f"new_velocity_{m}", data=np.asarray(state.vel[m]))
-    for c in range(state.scalars.shape[0]):
-        g.create_dataset(f"new_scalar_{c}", data=np.asarray(state.scalars[c]))
+        g.create_dataset(f"new_velocity_{m}",
+                         data=vel[:, m] if multi else vel[m])
+    for c in range(scal.shape[1] if multi else scal.shape[0]):
+        g.create_dataset(f"new_scalar_{c}",
+                         data=scal[:, c] if multi else scal[c])
     g.create_dataset("new_lambda", data=np.asarray(state.lam))
     g.create_dataset("eLambda", data=np.asarray(state.e_lambda))
     g.create_dataset("ccPressure", data=np.asarray(state.cc_phi))
@@ -43,7 +53,8 @@ def _write_level_group(f, name: str, state, grid, origin=None):
 
 def write_checkpoint(path: str, state, level, step: int, dt: float,
                      extra: Optional[dict] = None,
-                     fine_state=None, fine_grid=None, origin=None):
+                     fine_state=None, fine_grid=None, origin=None,
+                     weights=None):
     """Save full state for exact resume.  With fine_state/fine_grid/origin
     the AMR patch levels are stacked as groups level_1..level_N
     (reference: per-level checkpoint groups, AMRNavierStokesIO.cpp:92-165).
@@ -55,6 +66,8 @@ def write_checkpoint(path: str, state, level, step: int, dt: float,
         fine_state = [fine_state]
         fine_grid = [fine_grid]
         origin = [origin]
+    if weights is None and fine_state is not None:
+        weights = [None] * len(fine_state)
     grid = level.grid
     nfine = 0 if fine_state is None else len(fine_state)
     with h5py.File(path, "w") as f:
@@ -67,19 +80,24 @@ def write_checkpoint(path: str, state, level, step: int, dt: float,
         _write_level_group(f, "level_0", state, grid)
         for k in range(nfine):
             _write_level_group(f, f"level_{k + 1}", fine_state[k],
-                               fine_grid[k], origin[k])
+                               fine_grid[k], origin[k],
+                               weights=weights[k])
 
 
 def _read_level_group(g, grid, dtype, nscal, time):
     import jax.numpy as jnp
     from somar_tpu.physics.navier_stokes import NSState
 
+    multi = "num_patches" in g.attrs
+    stack_ax = 1 if multi else 0
     vel = jnp.stack([jnp.asarray(g[f"new_velocity_{m}"][...], dtype)
-                     for m in range(grid.ndim)])
+                     for m in range(grid.ndim)], axis=stack_ax)
     scal = jnp.stack([jnp.asarray(g[f"new_scalar_{c}"][...], dtype)
-                      for c in range(nscal)])
+                      for c in range(nscal)], axis=stack_ax)
     e_lam = (jnp.asarray(g["eLambda"][...], dtype) if "eLambda" in g
              else jnp.zeros(grid.shape, dtype))
+    t = (jnp.full((int(g.attrs["num_patches"]),), time, dtype) if multi
+         else jnp.asarray(time, dtype))
     return NSState(
         vel=vel, scalars=scal,
         lam=jnp.asarray(g["new_lambda"][...], dtype),
@@ -87,7 +105,7 @@ def _read_level_group(g, grid, dtype, nscal, time):
         cc_phi=jnp.asarray(g["ccPressure"][...], dtype),
         pressure=jnp.asarray(g["pressure"][...], dtype),
         e_lambda=e_lam,
-        time=jnp.asarray(time, dtype),
+        time=t,
     )
 
 
@@ -113,14 +131,17 @@ def read_checkpoint(path: str, level, fine_grid=None):
         if fine_grid is not None and "level_1" in f:
             single = not isinstance(fine_grid, (list, tuple))
             grids = [fine_grid] if single else list(fine_grid)
-            fines, origins = [], []
+            fines, origins, weights = [], [], []
             for k, gk in enumerate(grids):
                 g1 = f[f"level_{k + 1}"]
                 fines.append(_read_level_group(g1, gk, dtype, nscal, time))
                 origins.append(np.asarray(g1.attrs["patch_origin"]))
+                weights.append(np.asarray(g1.attrs["patch_weights"])
+                               if "patch_weights" in g1.attrs else None)
             if single:
                 return state, step, dt, fines[0], origins[0]
-            return state, step, dt, tuple(fines), tuple(origins)
+            return (state, step, dt, tuple(fines), tuple(origins),
+                    tuple(weights))
     return state, step, dt
 
 

