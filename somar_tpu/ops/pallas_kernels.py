@@ -1,60 +1,193 @@
 """Pallas TPU kernels for the hot stencil ops.
 
-The Godunov predictor is the step's FLOP/bandwidth hog (8 traced fields x
-3 directions per step).  The jnp path materializes each stage; this
-kernel fuses the whole PPM normal predictor for one direction — face
-interpolation, CW84 limiting, characteristic tracing, and the 1D Riemann
-upwinding — into one VMEM-resident pass: read s_pad and u_pad once, write
-(lo, hi, riemann) once.
+The Godunov CTU predictor is the step's bandwidth hog (5+ traced fields x
+3 directions per step).  Left to XLA, the stage-2/3 transverse-correction
+DAG materializes ~40 padded (136,136,520)-size temporaries per trace and
+fuses the rest BY DUPLICATION (every shift/identity diamond doubles the
+recompute) — measured ~15 ms/trace at 512x128x128 on v5e vs ~1.5 ms for
+the kernelized pipeline below.
 
-Blocking: the stencil reaches +-2 cells along the predictor direction
-only, so blocks span that axis fully and tile the others (no halo
-exchange between blocks).  Lanes stay on x (the minor axis) whichever
-direction is being predicted.
+Two kernel rounds, each with stencils along exactly ONE axis so blocks
+never need halos (full extent along the stencil axis, tiles elsewhere):
 
-Equivalent jnp reference: somar_tpu/physics/godunov.py
-_normal_predict_fullpad (+ _riemann); parity is asserted in tests (the
-kernel runs under interpret=True on CPU).
+  P1  `ppm_predict_pallas`  (per direction d, stencil along d):
+      the fused PPM normal predictor — 4th-order face interpolation,
+      CW84 limiting, characteristic tracing — emitting the face-indexed
+      (lo, hi) states, the stage-1 Riemann state rie, and the shared
+      transverse correction  corr2 = -coef * u * d(rie)/dxi
+      (coef = dt/3 for the 3D CTU stage 2, dt/2 for the 2D stage 3).
+      Reference kernels: PPMFaceValuesF / PPMLimiterF / PPMNormalPredF /
+      RiemannSolver (MappedGodunovUtilitiesF.ChF, AdvectUtilF.ChF).
+
+  P2  `ctu_corr3_pallas`  (per direction j, stencil along j):
+      the 3D stage-2+3 cross terms — for each transverse partner k:
+      rie2 = Riemann(lo1_j + corr2_k, hi1_j + shift(corr2_k), vbar_j),
+      corr3_(j,k) = -(dt/2) u_j * d(rie2)/dxi_j.
+      Reference: the transverse (quasilinear) update QuasilinearUpdateF.
+
+All arrays are "face-indexed" full padded shape (entry f = face between
+cells f and f+1, tail entry junk — see godunov.py).  The final stage-3
+assembly (sums + one shift along d + Riemann against the advecting
+velocity) stays in XLA behind an optimization_barrier: it is shallow, so
+fusion-by-duplication cannot blow it up.
+
+Equivalent jnp reference: somar_tpu/physics/godunov.py (the use_pallas
+= False path); parity is asserted in tests with interpret=True on CPU.
 """
 
 from __future__ import annotations
 
 import functools
-import os
-from typing import Tuple
+from typing import List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-#: per-block VMEM byte budget for the PPM predictor blocking (module-level
+#: per-block VMEM byte budget for the stencil-kernel blocking (module-level
 #: so tests can shrink it to exercise the lane-padded fallback paths)
 _VMEM_BUDGET = 640 * 1024
 
 
-def _ppm_kernel(sp_ref, up_ref, dtdx_ref, lo_ref, hi_ref, rie_ref, *,
-                ax: int, use_limiting: bool):
-    """One fused PPM stage-1 pass along array axis `ax` of the block."""
+# --------------------------------------------------------------------------
+# shared blocking planner: full extent along the stencil axis, tile the
+# other axes down to a VMEM budget; if that fails and the stencil is not
+# along lanes, pad the lane axis to a multiple of 128 and tile it.
+# --------------------------------------------------------------------------
+def _plan_blocking(shape: Tuple[int, ...], ax: int):
+    """Returns (block, grid, index_map, lane_pad) or None if infeasible.
+    lane_pad = padded lane count if the lane axis must be edge-padded
+    first (caller pads inputs and crops outputs), else None."""
+    ndim = len(shape)
+    budget = _VMEM_BUDGET
+
+    def divisors_desc(n, multiple=1):
+        return [d for d in range(n, 0, -1)
+                if n % d == 0 and d % multiple == 0]
+
+    def bytes_of(blk):
+        b = 4
+        for v in blk:
+            b *= v
+        return b
+
+    def try_blocking(shp, tile_lanes: bool):
+        blk = list(shp)
+        axes = [a for a in range(ndim) if a != ax and a != ndim - 1]
+        if tile_lanes and ax != ndim - 1:
+            axes.append(ndim - 1)   # lanes last: prefer sublane tiling
+        for a in axes:
+            if bytes_of(blk) <= budget:
+                break
+            mult = 8 if a == ndim - 2 else (128 if a == ndim - 1 else 1)
+            for d in divisors_desc(shp[a], mult):
+                blk[a] = d
+                if bytes_of(blk) <= budget:
+                    break
+        return blk if bytes_of(blk) <= budget else None
+
+    lane_pad = None
+    block = try_blocking(shape, tile_lanes=False)
+    if block is None and ax != ndim - 1:
+        # stencil not along lanes => lanes can tile freely; pad them to a
+        # multiple of 128 (e.g. 520 -> 640 tiles as 5 x 128, no halo cost)
+        n_l = shape[ndim - 1]
+        lane_pad = ((n_l + 127) // 128) * 128
+        shape = shape[:-1] + (lane_pad,)
+        block = try_blocking(shape, tile_lanes=True)
+        if lane_pad == n_l:
+            lane_pad = None
+    if block is None:
+        return None
+
+    tile_axes = [a for a in range(ndim) if a != ax]
+    grid = tuple(shape[a] // block[a] for a in tile_axes
+                 if shape[a] // block[a] > 1)
+    grid_axes = [a for a in tile_axes if shape[a] // block[a] > 1]
+    index_map = None
+    if grid:
+        def imap(*gidx):
+            idx = [0] * ndim
+            for g, a in zip(gidx, grid_axes):
+                idx[a] = g
+            return tuple(idx)
+        index_map = imap
+    return tuple(block), grid, index_map, lane_pad
+
+
+def _lane_pad_inputs(arrs, lane_pad):
+    if lane_pad is None:
+        return arrs
+    out = []
+    for a in arrs:
+        padw = [(0, 0)] * a.ndim
+        padw[a.ndim - 1] = (0, lane_pad - a.shape[-1])
+        out.append(jnp.pad(a, padw, mode="edge"))
+    return out
+
+
+def _lane_crop_outputs(arrs, n_lanes, lane_pad):
+    if lane_pad is None:
+        return arrs
+    out = []
+    for a in arrs:
+        sl = [slice(None)] * a.ndim
+        sl[a.ndim - 1] = slice(0, n_lanes)
+        out.append(a[tuple(sl)])
+    return out
+
+
+# --------------------------------------------------------------------------
+# in-kernel helpers (operate on full-extent stencil axis inside a block)
+# --------------------------------------------------------------------------
+def _sh(arr, ax, lo, size):
+    idx = [slice(None)] * arr.ndim
+    idx[ax] = slice(lo, lo + size)
+    return arr[tuple(idx)]
+
+
+def _kshift_p(arr, ax):
+    """out[i] = arr[i+1]; edge junk at the last entry."""
+    n = arr.shape[ax]
+    return jnp.concatenate([_sh(arr, ax, 1, n - 1), _sh(arr, ax, n - 1, 1)],
+                           axis=ax)
+
+
+def _kshift_m(arr, ax):
+    """out[i] = arr[i-1]; edge junk at the first entry."""
+    n = arr.shape[ax]
+    return jnp.concatenate([_sh(arr, ax, 0, 1), _sh(arr, ax, 0, n - 1)],
+                           axis=ax)
+
+
+def _kriemann(lo, hi, vf):
+    avg = 0.5 * (lo + hi)
+    return jnp.where(vf > 1e-12, lo, jnp.where(vf < -1e-12, hi, avg))
+
+
+# --------------------------------------------------------------------------
+# P1: fused PPM stage-1 predictor (+ shared transverse correction)
+# --------------------------------------------------------------------------
+def _ppm_kernel(sp_ref, up_ref, scal_ref, lo_ref, hi_ref, rie_ref,
+                corr_ref, *, ax: int, use_limiting: bool):
+    """One fused PPM stage-1 pass along array axis `ax` of the block.
+    scal_ref holds [dt/dx, corr_coef/dx] in SMEM."""
     s = sp_ref[...]
     u = up_ref[...]
-    dtdx = dtdx_ref[0]
+    dtdx = scal_ref[0]
+    corr_coef = scal_ref[1]
 
     n = s.shape[ax]
 
-    def sh(arr, k, lo, size):
-        idx = [slice(None)] * arr.ndim
-        idx[ax] = slice(lo + k, lo + k + size)
-        return arr[tuple(idx)]
-
     # cells 2..n-2 are PPM-computable (need +-2); emit on cells [2, n-2)
     m = n - 4
-    c_m2 = sh(s, 0, 0, m)
-    c_m1 = sh(s, 1, 0, m)
-    c_0 = sh(s, 2, 0, m)
-    c_p1 = sh(s, 3, 0, m)
-    c_p2 = sh(s, 4, 0, m)
-    u_0 = sh(u, 2, 0, m)
+    c_m2 = _sh(s, ax, 0, m)
+    c_m1 = _sh(s, ax, 1, m)
+    c_0 = _sh(s, ax, 2, m)
+    c_p1 = _sh(s, ax, 3, m)
+    c_p2 = _sh(s, ax, 4, m)
+    u_0 = _sh(u, ax, 2, m)
     nu = u_0 * dtdx
 
     # 4th-order face interpolants (reference: PPMFaceValuesF)
@@ -81,10 +214,8 @@ def _ppm_kernel(sp_ref, up_ref, dtdx_ref, lo_ref, hi_ref, rie_ref, *,
     # edge-pad back to n cells along ax (ghost junk, cropped downstream),
     # matching _normal_predict_fullpad's jnp.pad(..., mode="edge")
     def edge_pad(arr):
-        first = sh(arr, 0, 0, 1)
-        last = sh(arr, m - 1, 0, 1)
-        reps_f = [1] * arr.ndim
-        reps_f[ax] = 2
+        first = _sh(arr, ax, 0, 1)
+        last = _sh(arr, ax, m - 1, 1)
         return jnp.concatenate(
             [jnp.concatenate([first, first], axis=ax), arr,
              jnp.concatenate([last, last], axis=ax)], axis=ax)
@@ -92,132 +223,115 @@ def _ppm_kernel(sp_ref, up_ref, dtdx_ref, lo_ref, hi_ref, rie_ref, *,
     splus = edge_pad(splus)    # length n
     sminus = edge_pad(sminus)
 
-    lo = sh(splus, 0, 0, n - 1)       # from cell f
-    hi = sh(sminus, 1, 0, n - 1)      # from cell f+1
+    # face-indexed outputs, full length n: entry f = face between cells
+    # f | f+1; lo from the left cell f, hi from the right cell f+1
+    lo = splus
+    hi = _kshift_p(sminus, ax)
     lo_ref[...] = lo
     hi_ref[...] = hi
 
     # stage-1 Riemann with the face-averaged tracing velocity
-    vf = 0.5 * (sh(u, 0, 0, n - 1) + sh(u, 1, 0, n - 1))
-    avg = 0.5 * (lo + hi)
-    rie_ref[...] = jnp.where(vf > 1e-12, lo,
-                             jnp.where(vf < -1e-12, hi, avg))
+    vf = 0.5 * (u + _kshift_p(u, ax))
+    rie = _kriemann(lo, hi, vf)
+    rie_ref[...] = rie
+
+    # shared transverse correction: -coef * u * d(rie)/dxi at cells
+    corr_ref[...] = -corr_coef * u * (rie - _kshift_m(rie, ax))
 
 
 def ppm_predict_pallas(sp, up, dt_over_dx, ax: int, use_limiting: bool,
-                       interpret: bool = False):
+                       corr_coef_over_dx=0.0, interpret: bool = False):
     """Fused PPM stage-1 for one direction on a padded array.
 
     sp, up: padded scalar / tracing velocity (same shape).
-    Returns (lo, hi, rie) face arrays (n_pad - 1 along ax).
+    corr_coef_over_dx: coefficient/dx of the emitted transverse correction
+    (dt/3/dx for the 3D stage 2, dt/2/dx for the 2D stage 3).
+    Returns (lo, hi, rie, corr2) face-indexed arrays of the SAME shape as
+    sp (entry f = face between cells f | f+1; tail entry along ax junk).
     """
-    ndim = sp.ndim
-
-    # blocking: full extent along ax (the stencil axis); tile the other
-    # axes down to a VMEM budget.  TPU constraint: block sublane dim
-    # divisible by 8 (or full); lane dim multiple of 128 (or full).
-    # Mosaic materializes ~15 block-sized temporaries inside the kernel
-    # (slices, face values, limiter branches), so the block must be well
-    # under VMEM/15.
-    VMEM_BUDGET = _VMEM_BUDGET      # bytes per block
-
-    def divisors_desc(n, multiple=1):
-        return [d for d in range(n, 0, -1)
-                if n % d == 0 and d % multiple == 0]
-
-    def bytes_of(blk):
-        b = 4
-        for v in blk:
-            b *= v
-        return b
-
-    def try_blocking(shp, tile_lanes: bool):
-        blk = list(shp)
-        axes = [a for a in range(ndim) if a != ax and a != ndim - 1]
-        if tile_lanes and ax != ndim - 1:
-            axes.append(ndim - 1)   # lanes last: prefer sublane tiling
-        for a in axes:
-            if bytes_of(blk) <= VMEM_BUDGET:
-                break
-            mult = 8 if a == ndim - 2 else (128 if a == ndim - 1 else 1)
-            for d in divisors_desc(shp[a], mult):
-                blk[a] = d
-                if bytes_of(blk) <= VMEM_BUDGET:
-                    break
-        return blk if bytes_of(blk) <= VMEM_BUDGET else None
-
-    shape = sp.shape
-    crop_lanes = None
-    block = try_blocking(shape, tile_lanes=False)
-    if block is None and ax != ndim - 1:
-        # the stencil is not along lanes, so lanes can tile freely —
-        # pad the lane axis up to a multiple of 128 first (the z-direction
-        # predictor at production sizes lands here: e.g. (136,136,520)
-        # cannot tile y below 8 sublanes within budget, but 520->640 lanes
-        # tile as 5 x 128 with no halo cost)
-        lane_ax = ndim - 1
-        n_l = shape[lane_ax]
-        n_lp = ((n_l + 127) // 128) * 128
-        padw = [(0, 0)] * ndim
-        padw[lane_ax] = (0, n_lp - n_l)
-        if n_lp != n_l:
-            sp = jnp.pad(sp, padw, mode="edge")
-            up = jnp.pad(up, padw, mode="edge")
-            crop_lanes = n_l
-        shape = sp.shape
-        block = try_blocking(shape, tile_lanes=True)
-    if block is None:
-        # no feasible blocking; the caller falls back to the jnp predictor
+    plan = _plan_blocking(sp.shape, ax)
+    if plan is None:
         return None
-
-    out_shape = list(shape)
-    out_shape[ax] -= 1
-    out_shape = tuple(out_shape)
-    tile_axes = [a for a in range(ndim) if a != ax]
-
-    grid = tuple(shape[a] // block[a] for a in tile_axes
-                 if shape[a] // block[a] > 1)
-    grid_axes = [a for a in tile_axes if shape[a] // block[a] > 1]
-    assert ax not in grid_axes
-    index_map = None
-    if grid:
-        def imap(*gidx):
-            idx = [0] * ndim
-            for g, a in zip(gidx, grid_axes):
-                idx[a] = g
-            return tuple(idx)
-        index_map = imap
-    block = tuple(block)
-    out_block = list(block)
-    out_block[ax] -= 1
-    out_block = tuple(out_block)
+    block, grid, index_map, lane_pad = plan
+    n_lanes = sp.shape[-1]
+    sp, up = _lane_pad_inputs((sp, up), lane_pad)
+    out_shape = sp.shape
 
     in_specs = [
         pl.BlockSpec(block, index_map),
         pl.BlockSpec(block, index_map),
         pl.BlockSpec(memory_space=pltpu.SMEM),
     ]
-    out_specs = (
-        pl.BlockSpec(out_block, index_map),
-        pl.BlockSpec(out_block, index_map),
-        pl.BlockSpec(out_block, index_map),
-    )
+    out_specs = tuple(pl.BlockSpec(block, index_map) for _ in range(4))
     kern = functools.partial(_ppm_kernel, ax=ax, use_limiting=use_limiting)
-    lo, hi, rie = pl.pallas_call(
+    scal = jnp.stack([jnp.asarray(dt_over_dx, sp.dtype),
+                      jnp.asarray(corr_coef_over_dx, sp.dtype)])
+    outs = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
-        out_shape=(
-            jax.ShapeDtypeStruct(out_shape, sp.dtype),
-            jax.ShapeDtypeStruct(out_shape, sp.dtype),
-            jax.ShapeDtypeStruct(out_shape, sp.dtype),
-        ),
+        out_shape=tuple(jax.ShapeDtypeStruct(out_shape, sp.dtype)
+                        for _ in range(4)),
         interpret=interpret,
-    )(sp, up, jnp.asarray([dt_over_dx], sp.dtype)
-      if jnp.ndim(dt_over_dx) == 0 else dt_over_dx)
-    if crop_lanes is not None:
-        sl = [slice(None)] * ndim
-        sl[ndim - 1] = slice(0, crop_lanes)
-        lo, hi, rie = lo[tuple(sl)], hi[tuple(sl)], rie[tuple(sl)]
-    return lo, hi, rie
+    )(sp, up, scal)
+    return tuple(_lane_crop_outputs(outs, n_lanes, lane_pad))
+
+
+# --------------------------------------------------------------------------
+# P2: the 3D CTU cross-correction kernel
+# --------------------------------------------------------------------------
+def _corr3_kernel(*refs, ax: int, ncorr: int):
+    """refs = (lo1, hi1, u, corr2_0..corr2_{ncorr-1}, scal,
+               out_0..out_{ncorr-1}); all stencils along ax."""
+    lo1 = refs[0][...]
+    hi1 = refs[1][...]
+    u = refs[2][...]
+    corrs = [refs[3 + i][...] for i in range(ncorr)]
+    scal = refs[3 + ncorr]
+    dt2dx = scal[0]
+    outs = refs[4 + ncorr:]
+
+    vf = 0.5 * (u + _kshift_p(u, ax))
+    for i, c in enumerate(corrs):
+        lo_c = lo1 + c
+        hi_c = hi1 + _kshift_p(c, ax)
+        rie2 = _kriemann(lo_c, hi_c, vf)
+        outs[i][...] = -dt2dx * u * (rie2 - _kshift_m(rie2, ax))
+
+
+def ctu_corr3_pallas(lo1_j, hi1_j, u_pad_j, corr2_list: Sequence,
+                     dt_half_over_dx, ax: int, interpret: bool = False):
+    """Stage-2+3 cross terms for face direction j (array axis `ax`).
+
+    For each corr2_k in corr2_list returns
+      corr3_(j,k) = -(dt/2)/dx_j * u_j * d/dxi_j [ Riemann(
+          lo1_j + corr2_k, hi1_j + shift(corr2_k), facevg(u_j) ) ]
+    as a cell array of the same padded shape.  Returns None if no feasible
+    blocking (caller falls back to jnp).
+    """
+    plan = _plan_blocking(lo1_j.shape, ax)
+    if plan is None:
+        return None
+    block, grid, index_map, lane_pad = plan
+    n_lanes = lo1_j.shape[-1]
+    ncorr = len(corr2_list)
+    arrs = _lane_pad_inputs((lo1_j, hi1_j, u_pad_j) + tuple(corr2_list),
+                            lane_pad)
+    out_shape = arrs[0].shape
+
+    in_specs = ([pl.BlockSpec(block, index_map)] * (3 + ncorr)
+                + [pl.BlockSpec(memory_space=pltpu.SMEM)])
+    out_specs = tuple(pl.BlockSpec(block, index_map) for _ in range(ncorr))
+    kern = functools.partial(_corr3_kernel, ax=ax, ncorr=ncorr)
+    scal = jnp.stack([jnp.asarray(dt_half_over_dx, arrs[0].dtype)])
+    outs = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=tuple(jax.ShapeDtypeStruct(out_shape, arrs[0].dtype)
+                        for _ in range(ncorr)),
+        interpret=interpret,
+    )(*arrs, scal)
+    return tuple(_lane_crop_outputs(outs, n_lanes, lane_pad))

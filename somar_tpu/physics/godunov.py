@@ -28,6 +28,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from somar_tpu.core.bc import FieldBCs, fill_ghosts_cc
@@ -71,6 +72,32 @@ def _win(arr, ax: int, k: int, lo: int, n: int):
 
 
 # --------------------------------------------------------------------------
+# same-shape shifted copies.  Every intermediate of the predictor keeps the
+# FULL padded cell shape ("face-indexed" arrays: entry f = the face between
+# cells f and f+1, last entry junk).  Uniform shapes are a TPU perf
+# requirement: materialized arrays of length n-1 along the 128-lane axis
+# force whole-array lane relayouts (measured ~6x bandwidth on v5e), and
+# mixed 519/520/640-lane shapes defeat XLA fusion across the CTU stages.
+# The junk entries live in ghost space and are cropped before use
+# (ADVECT_GROW = 4 leaves margin).
+# --------------------------------------------------------------------------
+def shift_p(a, ax: int):
+    """out[i] = a[i+1]; edge junk at the last entry."""
+    return jnp.concatenate([slc(a, ax, 1, None), slc(a, ax, -1, None)],
+                           axis=ax)
+
+
+def shift_m(a, ax: int):
+    """out[i] = a[i-1]; edge junk at the first entry."""
+    return jnp.concatenate([slc(a, ax, 0, 1), slc(a, ax, 0, -1)], axis=ax)
+
+
+def face_avg(u, ax: int):
+    """Face value at f = 0.5 (u[f] + u[f+1]), same shape as u."""
+    return 0.5 * (u + shift_p(u, ax))
+
+
+# --------------------------------------------------------------------------
 # slope kernels (reference: MappedGodunovUtilities van Leer / 4th order)
 # --------------------------------------------------------------------------
 def _vanleer_slope(sm, s0, sp, limit: bool):
@@ -100,13 +127,9 @@ def _fourth_order_slope(smm, sm, s0, sp, spp, limit: bool):
 
 
 def _cc_deriv(face_arr, ax: int, dx: float):
-    """Cell-centered derivative from a padded-face array: diff then edge-pad
-    back to the full padded cell extent (the edge layers are ghost junk and
-    are cropped before use — ADVECT_GROW leaves margin)."""
-    d = diff_along(face_arr, ax) / dx
-    pad = [(0, 0)] * d.ndim
-    pad[ax] = (1, 1)
-    return jnp.pad(d, pad, mode="edge")
+    """Cell-centered derivative of a face-indexed array: the flux
+    difference across cell c is face[c] - face[c-1] (junk at c = 0)."""
+    return (face_arr - shift_m(face_arr, ax)) / dx
 
 
 # --------------------------------------------------------------------------
@@ -168,80 +191,89 @@ def trace_face_states(
                  for d in range(ndim)]
 
     # ------------------------------------------------ stage 1: 1D states
-    # (fused Pallas predictor on TPU: one VMEM pass per direction computes
-    # PPM faces + limiter + trace + stage-1 Riemann)
+    # (fused Pallas P1 kernel on TPU: one VMEM pass per direction computes
+    # PPM faces + limiter + trace + stage-1 Riemann + the shared
+    # transverse correction corr2 = -coef u d(rie)/dxi, coef = dt/3 in 3D
+    # CTU stage 2 / dt/2 in 2D where it IS the stage-3 correction)
     use_pallas = (params.normal_pred_order == 2
                   and _use_pallas_predictor())
-    lo1, hi1, rie1 = [], [], []
+    coef = dt / 3.0 if ndim == 3 else dt / 2.0
+    lo1, hi1, corr2 = [], [], []
     for d in range(ndim):
         ax = grid.axis(d)
         got = None
         if use_pallas:
             from somar_tpu.ops.pallas_kernels import ppm_predict_pallas
             got = ppm_predict_pallas(
-                sp, u_pad[d], dt / grid.dx[d], ax, params.use_limiting)
+                sp, u_pad[d], dt / grid.dx[d], ax, params.use_limiting,
+                corr_coef_over_dx=coef / grid.dx[d])
         if got is None:
             # jnp predictor (full padded tangential extent kept: the
             # transverse stages need ghost coverage)
             lo_d, hi_d = _normal_predict_fullpad(
                 sp, u_pad[d], ax, G, grid.dx[d], dt, params)
-            vf = avg_along(u_pad[d], ax)
-            rie_d = _riemann(lo_d, hi_d, vf)
+            rie_d = _riemann(lo_d, hi_d, face_avg(u_pad[d], ax))
+            c2_d = -coef * u_pad[d] * _cc_deriv(rie_d, ax, grid.dx[d])
         else:
-            lo_d, hi_d, rie_d = got
+            lo_d, hi_d, _, c2_d = got
         lo1.append(lo_d)
         hi1.append(hi_d)
-        rie1.append(rie_d)
+        corr2.append(c2_d)
 
-    # ---------------------------------------- stage 2: 3D cross-corrections
+    # -------------------------- stage 2+3 cross terms (3D; P2 kernels)
+    # corr3[(j, k)] = -(dt/2) u_j d/dxi_j [Riemann(lo1_j + corr2_k, ...)]
+    # — the final stage-3 correction along j for output direction
+    # d = 3-j-k.  out_dirs restricts which pairs are built (the advecting
+    # -velocity prediction consumes only the normal component per dir).
+    dirs = list(range(ndim)) if out_dirs is None else list(out_dirs)
+    corr3 = {}
     if ndim == 3:
-        need_dirs = range(ndim) if out_dirs is None else out_dirs
-        pairs = set()
-        for dd in need_dirs:
+        by_j = {}
+        for dd in dirs:
             for j in range(ndim):
                 if j != dd:
-                    pairs.add((j, 3 - dd - j))
-        rie2 = {}
-        for d, k in sorted(pairs):
-            if True:
-                if k == d:
-                    continue
-                axk = grid.axis(k)
-                # d ŝ_k / d xi_k at padded cells
-                dsk = _cc_deriv(rie1[k], axk, grid.dx[k])
-                corr = -(dt / 3.0) * u_pad[k] * dsk
-                lo_c = lo1[d] + _face_align(corr, grid.axis(d), side=0)
-                hi_c = hi1[d] + _face_align(corr, grid.axis(d), side=1)
-                vf = avg_along(u_pad[d], grid.axis(d))
-                rie2[(d, k)] = _riemann(lo_c, hi_c, vf)
+                    by_j.setdefault(j, []).append(3 - dd - j)
+        for j, ks in sorted(by_j.items()):
+            ks = sorted(set(ks))
+            axj = grid.axis(j)
+            got = None
+            if use_pallas:
+                from somar_tpu.ops.pallas_kernels import ctu_corr3_pallas
+                got = ctu_corr3_pallas(
+                    lo1[j], hi1[j], u_pad[j], [corr2[k] for k in ks],
+                    (dt / 2.0) / grid.dx[j], axj)
+            if got is None:
+                got = []
+                for k in ks:
+                    lo_c = lo1[j] + corr2[k]
+                    hi_c = hi1[j] + shift_p(corr2[k], axj)
+                    rie2 = _riemann(lo_c, hi_c, face_avg(u_pad[j], axj))
+                    got.append(-(dt / 2.0) * u_pad[j]
+                               * _cc_deriv(rie2, axj, grid.dx[j]))
+            for k, c3 in zip(ks, got):
+                corr3[(j, k)] = c3
+
     # ------------------------------------------- stage 3: final face states
-    # out_dirs restricts which directions' face states are produced (the
-    # advecting-velocity prediction on uniform maps consumes only the
-    # normal component per direction); stages 1-2 still run in full for
-    # the transverse corrections.
-    dirs = range(ndim) if out_dirs is None else out_dirs
+    src_pad = (fill_ghosts_cc(src, grid, bcs, G) if src is not None
+               else None)
     out = {}
     pre = {}
     for d in dirs:
         ax = grid.axis(d)
-        lo_f, hi_f = lo1[d], hi1[d]
-        for j in range(ndim):
-            if j == d:
-                continue
-            axj = grid.axis(j)
-            if ndim == 3:
-                k = 3 - d - j  # the remaining direction
-                shat = rie2[(j, k)]
-            else:
-                shat = rie1[j]
-            dsj = _cc_deriv(shat, axj, grid.dx[j])
-            corr = -(dt / 2.0) * u_pad[j] * dsj
-            lo_f = lo_f + _face_align(corr, ax, side=0)
-            hi_f = hi_f + _face_align(corr, ax, side=1)
-        if src is not None:
-            src_pad = fill_ghosts_cc(src, grid, bcs, G)
-            lo_f = lo_f + 0.5 * dt * _face_align(src_pad, ax, side=0)
-            hi_f = hi_f + 0.5 * dt * _face_align(src_pad, ax, side=1)
+        if ndim == 3:
+            csum = sum(corr3[(j, 3 - d - j)] for j in range(ndim) if j != d)
+        else:
+            csum = corr2[1 - d]
+        if src_pad is not None:
+            csum = csum + 0.5 * dt * src_pad
+        lo_f = lo1[d] + csum
+        hi_f = hi1[d] + shift_p(csum, ax)
+        # CRITICAL TPU perf barrier: without it XLA fuses the whole CTU
+        # DAG into each consumer BY DUPLICATION — every shift/identity
+        # diamond doubles the recompute, and the final flux divergence
+        # re-evaluates the predictor ~2^depth times (measured 15 ms/trace
+        # vs 0.2 ms with the barrier at 512x128x128 on v5e).
+        lo_f, hi_f = jax.lax.optimization_barrier((lo_f, hi_f))
         # crop to valid faces/cells and final Riemann with the advecting vel
         lo_v = _crop_faces(lo_f, grid, d, G)
         hi_v = _crop_faces(hi_f, grid, d, G)
@@ -320,32 +352,18 @@ def _normal_predict_fullpad(sp, u_pad, ax: int, G: int, dx: float, dt: float,
     pad[ax] = (need, need)
     splus = jnp.pad(splus, pad, mode="edge")
     sminus = jnp.pad(sminus, pad, mode="edge")
-    # face f (between cell f-1, f), padded-face index along ax in [1, n_pad]
-    lo_state = slc(splus, ax, 0, -1)     # from left cell:  cells 0..n_pad-2
-    hi_state = slc(sminus, ax, 1, None)  # from right cell: cells 1..n_pad-1
-    return lo_state, hi_state            # length n_pad-1 faces
-
-
-def _face_align(cc_corr, ax: int, side: int):
-    """Align a CC correction with the face arrays produced by
-    _normal_predict_fullpad along axis ax: the lo (left) state at face f
-    comes from cell f-1 => use cells 0..n-2; the hi state from cell f =>
-    cells 1..n-1."""
-    if side == 0:
-        return slc(cc_corr, ax, 0, -1)
-    return slc(cc_corr, ax, 1, None)
+    # face-indexed, full length n_pad: entry f = face between cells f|f+1;
+    # lo comes from the left cell f, hi from the right cell f+1
+    return splus, shift_p(sminus, ax)
 
 
 def _crop_faces(face_pad, grid: Grid, d: int, G: int):
-    """Crop padded face-state array to the valid faces of dir d and valid
-    cells of the other axes."""
+    """Crop a face-indexed padded array to the valid faces of dir d
+    (n+1 of them: entries G-1 .. G+n) and valid cells of the other axes."""
     out = face_pad
     for j in range(grid.ndim):
         ax = grid.axis(j)
         if j == d:
-            # padded faces along ax: index f corresponds to face between
-            # padded cells f-1|f; valid faces are G .. G+n; array currently
-            # holds faces 1..n_pad-1 => slice [G-1 : G+n]
             out = slc(out, ax, G - 1, G + grid.nx[d])
         else:
             out = slc(out, ax, G, -G)

@@ -284,11 +284,29 @@ class NSLevel:
         vel = state.vel
         u_mapped = geo.to_mapped(vel)
 
-        # provisional advecting velocity for upwinding: averaged J u^d
-        prov = tuple(
-            cc_to_fc(geo.mult_by_J(u_mapped[d]), d, grid,
-                     self.vel_bcs_trace[d])
-            for d in range(ndim))
+        # provisional advecting velocity for upwinding: averaged J u^d.
+        # Built from the shared ADVECT_GROW pads via same-shape face
+        # averages + one crop, NOT cc_to_fc: constructing the (n+1)-face
+        # arrays from 1-ghost shrinking slices poisons XLA's layout/fusion
+        # choices for every consumer (measured ~16 ms/trace vs ~0.2 ms at
+        # 512x128x128 on v5e).  The barrier keeps the pad graph from being
+        # re-fused (duplicated) into each downstream consumer.
+        from somar_tpu.core.bc import fill_ghosts_cc as _fill
+        from somar_tpu.physics.godunov import (
+            _crop_faces, face_avg)
+        u_pad = getattr(self, "_u_pad", None)
+        prov = []
+        for d in range(ndim):
+            if geo.is_uniform and u_pad is not None:
+                base = u_pad[d]
+                scale = geo.J  # scalar on uniform maps
+            else:
+                base = _fill(geo.mult_by_J(u_mapped[d]), grid,
+                             self.vel_bcs_trace[d], ADVECT_GROW)
+                scale = 1.0
+            fa = face_avg(base, grid.axis(d))
+            prov.append(scale * _crop_faces(fa, grid, d, ADVECT_GROW))
+        prov = jax.lax.optimization_barrier(tuple(prov))
 
         # predict each Cartesian component to faces.  The pre-Riemann face
         # states are stashed: getNewVelocity's momentum fluxes upwind the

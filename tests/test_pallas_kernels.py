@@ -1,18 +1,26 @@
 """Pallas kernel parity tests (interpret mode on CPU).
 
-On TPU the fused PPM predictor produced bitwise-identical 5-step NS
-trajectories vs the jnp path; here the kernel math is checked per
-direction against _normal_predict_fullpad under the Pallas interpreter.
+On TPU the fused CTU kernels produce bitwise-identical NS trajectories vs
+the jnp path; here the kernel math is checked per direction against the
+jnp reference implementations under the Pallas interpreter.
 """
 
 import numpy as np
 import jax.numpy as jnp
 import pytest
 
-from somar_tpu.ops.pallas_kernels import ppm_predict_pallas
-from somar_tpu.ops.stencil import avg_along
+from somar_tpu.ops.pallas_kernels import ctu_corr3_pallas, ppm_predict_pallas
 from somar_tpu.physics.godunov import (
-    AdvectionParams, _normal_predict_fullpad, _riemann)
+    AdvectionParams, _cc_deriv, _normal_predict_fullpad, _riemann, face_avg,
+    shift_p)
+
+
+def _jnp_p1(sp, up, ax, dtdx, coef_dx, limiting):
+    params = AdvectionParams(normal_pred_order=2, use_limiting=limiting)
+    lo, hi = _normal_predict_fullpad(sp, up, ax, 4, 1.0, dtdx, params)
+    rie = _riemann(lo, hi, face_avg(up, ax))
+    corr2 = -coef_dx * up * _cc_deriv(rie, ax, 1.0)
+    return lo, hi, rie, corr2
 
 
 @pytest.mark.parametrize("ax", [0, 1, 2])
@@ -23,20 +31,17 @@ def test_ppm_pallas_matches_jnp(ax, limiting):
     sp = jnp.asarray(rng.normal(size=shape).astype(np.float32))
     up = jnp.asarray(rng.normal(size=shape).astype(np.float32))
     dtdx = jnp.asarray(0.3, jnp.float32)
-    params = AdvectionParams(normal_pred_order=2, use_limiting=limiting)
 
-    lo_ref, hi_ref = _normal_predict_fullpad(sp, up, ax, 4, 1.0, dtdx, params)
-    rie_ref = _riemann(lo_ref, hi_ref, avg_along(up, ax))
-    lo, hi, rie = ppm_predict_pallas(sp, up, dtdx, ax, limiting,
-                                     interpret=True)
+    refs = _jnp_p1(sp, up, ax, dtdx, 0.1, limiting)
+    got = ppm_predict_pallas(sp, up, dtdx, ax, limiting,
+                             corr_coef_over_dx=0.1, interpret=True)
 
     def crop(a):
         sl = [slice(None)] * 3
         sl[ax] = slice(3, -3)
         return np.asarray(a[tuple(sl)])
 
-    for name, a, b in [("lo", lo, lo_ref), ("hi", hi, hi_ref),
-                       ("rie", rie, rie_ref)]:
+    for name, a, b in zip(("lo", "hi", "rie", "corr2"), got, refs):
         err = np.abs(crop(a) - crop(b)).max()
         assert err < 1e-5, (ax, name, err)
 
@@ -47,17 +52,16 @@ def test_ppm_pallas_2d():
     sp = jnp.asarray(rng.normal(size=shape).astype(np.float32))
     up = jnp.asarray(rng.normal(size=shape).astype(np.float32))
     dtdx = jnp.asarray(0.2, jnp.float32)
-    params = AdvectionParams(normal_pred_order=2, use_limiting=True)
     for ax in (0, 1):
-        lo_ref, hi_ref = _normal_predict_fullpad(sp, up, ax, 4, 1.0, dtdx,
-                                                 params)
-        lo, hi, rie = ppm_predict_pallas(sp, up, dtdx, ax, True,
-                                         interpret=True)
+        refs = _jnp_p1(sp, up, ax, dtdx, 0.15, True)
+        got = ppm_predict_pallas(sp, up, dtdx, ax, True,
+                                 corr_coef_over_dx=0.15, interpret=True)
         sl = [slice(None)] * 2
         sl[ax] = slice(3, -3)
-        err = np.abs(np.asarray(lo[tuple(sl)]) -
-                     np.asarray(lo_ref[tuple(sl)])).max()
-        assert err < 1e-5, (ax, err)
+        for name, a, b in zip(("lo", "hi", "rie", "corr2"), got, refs):
+            err = np.abs(np.asarray(a[tuple(sl)]) -
+                         np.asarray(b[tuple(sl)])).max()
+            assert err < 1e-5, (ax, name, err)
 
 
 def test_ppm_pallas_lane_padded_path(monkeypatch):
@@ -70,20 +74,49 @@ def test_ppm_pallas_lane_padded_path(monkeypatch):
     sp = jnp.asarray(rng.normal(size=shape).astype(np.float32))
     up = jnp.asarray(rng.normal(size=shape).astype(np.float32))
     dtdx = jnp.asarray(0.3, jnp.float32)
-    params = AdvectionParams(normal_pred_order=2, use_limiting=True)
     # force the budget below what sublane tiling alone can reach
     monkeypatch.setattr(pk, "_VMEM_BUDGET", 24 * 8 * 128 * 4)
-    got = pk.ppm_predict_pallas(sp, up, dtdx, 0, True, interpret=True)
+    got = pk.ppm_predict_pallas(sp, up, dtdx, 0, True,
+                                corr_coef_over_dx=0.1, interpret=True)
     assert got is not None, "lane-padded blocking should be feasible"
-    lo, hi, rie = got
-    assert lo.shape == (23, 16, 200)
-    lo_ref, hi_ref = _normal_predict_fullpad(sp, up, 0, 4, 1.0, dtdx, params)
-    rie_ref = _riemann(lo_ref, hi_ref, avg_along(up, 0))
+    assert got[0].shape == (24, 16, 200)
+    refs = _jnp_p1(sp, up, 0, dtdx, 0.1, True)
 
     def crop(a):
         return np.asarray(a[3:-3])
 
-    for name, a, b in [("lo", lo, lo_ref), ("hi", hi, hi_ref),
-                       ("rie", rie, rie_ref)]:
+    for name, a, b in zip(("lo", "hi", "rie", "corr2"), got, refs):
         err = np.abs(crop(a) - crop(b)).max()
         assert err < 1e-5, (name, err)
+
+
+@pytest.mark.parametrize("ax", [0, 1, 2])
+def test_corr3_pallas_matches_jnp(ax):
+    """P2 cross-correction kernel vs the jnp stage-2+3 formulas."""
+    rng = np.random.default_rng(10 + ax)
+    shape = (24, 16, 40)
+    lo1 = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+    hi1 = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+    up = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+    c2a = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+    c2b = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+    dt2dx = jnp.asarray(0.25, jnp.float32)
+
+    got = ctu_corr3_pallas(lo1, hi1, up, [c2a, c2b], dt2dx, ax,
+                           interpret=True)
+    assert got is not None
+
+    def ref(c2):
+        lo_c = lo1 + c2
+        hi_c = hi1 + shift_p(c2, ax)
+        rie2 = _riemann(lo_c, hi_c, face_avg(up, ax))
+        return -dt2dx * up * _cc_deriv(rie2, ax, 1.0)
+
+    def crop(a):
+        sl = [slice(None)] * 3
+        sl[ax] = slice(3, -3)
+        return np.asarray(a[tuple(sl)])
+
+    for name, a, b in zip(("c3a", "c3b"), got, (ref(c2a), ref(c2b))):
+        err = np.abs(crop(a) - crop(b)).max()
+        assert err < 1e-5, (ax, name, err)
