@@ -56,9 +56,13 @@ _VMEM_BUDGET = 640 * 1024
 # along lanes, pad the lane axis to a multiple of 128 and tile it.
 # --------------------------------------------------------------------------
 def _plan_blocking(shape: Tuple[int, ...], ax: int):
-    """Returns (block, grid, index_map, lane_pad) or None if infeasible.
-    lane_pad = padded lane count if the lane axis must be edge-padded
-    first (caller pads inputs and crops outputs), else None."""
+    """Returns (block, grid, index_map) or None if infeasible.
+
+    Full extent along the stencil axis ax; tile the other axes under the
+    VMEM budget.  When the stencil is not along lanes, the lane axis may
+    be tiled with a NON-DIVIDING block (grid = cdiv): Pallas masks the
+    partial tail block, so no edge-padding of the inputs is needed (the
+    pad/crop pairs cost ~8 ms/step at 512x128x128 before this)."""
     ndim = len(shape)
     budget = _VMEM_BUDGET
 
@@ -80,62 +84,55 @@ def _plan_blocking(shape: Tuple[int, ...], ax: int):
         for a in axes:
             if bytes_of(blk) <= budget:
                 break
-            mult = 8 if a == ndim - 2 else (128 if a == ndim - 1 else 1)
-            for d in divisors_desc(shp[a], mult):
-                blk[a] = d
-                if bytes_of(blk) <= budget:
-                    break
+            if a == ndim - 1:
+                # lanes: 128-multiple blocks, allow a masked partial tail
+                for d in range(((shp[a] + 127) // 128) * 128, 0, -128):
+                    blk[a] = d
+                    if bytes_of(blk) <= budget:
+                        break
+            else:
+                mult = 8 if a == ndim - 2 else 1
+                for d in divisors_desc(shp[a], mult):
+                    blk[a] = d
+                    if bytes_of(blk) <= budget:
+                        break
         return blk if bytes_of(blk) <= budget else None
 
-    lane_pad = None
     block = try_blocking(shape, tile_lanes=False)
     if block is None and ax != ndim - 1:
-        # stencil not along lanes => lanes can tile freely; pad them to a
-        # multiple of 128 (e.g. 520 -> 640 tiles as 5 x 128, no halo cost)
-        n_l = shape[ndim - 1]
-        lane_pad = ((n_l + 127) // 128) * 128
-        shape = shape[:-1] + (lane_pad,)
         block = try_blocking(shape, tile_lanes=True)
-        if lane_pad == n_l:
-            lane_pad = None
     if block is None:
         return None
 
+    def cdiv(a, b):
+        return -(-a // b)
+
     tile_axes = [a for a in range(ndim) if a != ax]
-    grid = tuple(shape[a] // block[a] for a in tile_axes
-                 if shape[a] // block[a] > 1)
-    grid_axes = [a for a in tile_axes if shape[a] // block[a] > 1]
-    index_map = None
-    if grid:
-        def imap(*gidx):
-            idx = [0] * ndim
-            for g, a in zip(gidx, grid_axes):
-                idx[a] = g
-            return tuple(idx)
-        index_map = imap
-    return tuple(block), grid, index_map, lane_pad
+    grid_axes = [a for a in tile_axes if cdiv(shape[a], block[a]) > 1]
+    grid = tuple(cdiv(shape[a], block[a]) for a in grid_axes)
+    return tuple(block), grid, tuple(grid_axes)
 
 
-def _lane_pad_inputs(arrs, lane_pad):
-    if lane_pad is None:
-        return arrs
-    out = []
-    for a in arrs:
-        padw = [(0, 0)] * a.ndim
-        padw[a.ndim - 1] = (0, lane_pad - a.shape[-1])
-        out.append(jnp.pad(a, padw, mode="edge"))
-    return out
+def _spec_for(arr_shape, block, grid_axes, ndim, full_shape=None):
+    """BlockSpec for an input/output of the planned blocking.  Arrays with
+    a length-1 LEADING axis narrower than the planned (batched) lead
+    extent are lead-broadcast (shared across the batch): they get a
+    lead-1 block PINNED to block index 0 — without the pin, a lead grid
+    axis would index past the length-1 array (runtime abort)."""
+    lead_full = full_shape[0] if full_shape is not None else block[0]
+    lead_bcast = (len(arr_shape) == ndim and arr_shape[0] == 1
+                  and lead_full != 1)
+    blk = (1,) + tuple(block[1:]) if lead_bcast else tuple(block)
 
+    def imap(*gidx):
+        idx = [0] * ndim
+        for g, a in zip(gidx, grid_axes):
+            idx[a] = g
+        if lead_bcast:
+            idx[0] = 0
+        return tuple(idx)
 
-def _lane_crop_outputs(arrs, n_lanes, lane_pad):
-    if lane_pad is None:
-        return arrs
-    out = []
-    for a in arrs:
-        sl = [slice(None)] * a.ndim
-        sl[a.ndim - 1] = slice(0, n_lanes)
-        out.append(a[tuple(sl)])
-    return out
+    return pl.BlockSpec(blk, imap if grid_axes else None)
 
 
 # --------------------------------------------------------------------------
@@ -252,21 +249,24 @@ def ppm_predict_pallas(sp, up, dt_over_dx, ax: int, use_limiting: bool,
     plan = _plan_blocking(sp.shape, ax)
     if plan is None:
         return None
-    block, grid, index_map, lane_pad = plan
-    n_lanes = sp.shape[-1]
-    sp, up = _lane_pad_inputs((sp, up), lane_pad)
+    block, grid, grid_axes = plan
+    ndim = sp.ndim
     out_shape = sp.shape
 
     in_specs = [
-        pl.BlockSpec(block, index_map),
-        pl.BlockSpec(block, index_map),
+        _spec_for(sp.shape, block, grid_axes, ndim,
+                  full_shape=sp.shape),
+        _spec_for(up.shape, block, grid_axes, ndim,
+                  full_shape=sp.shape),
         pl.BlockSpec(memory_space=pltpu.SMEM),
     ]
-    out_specs = tuple(pl.BlockSpec(block, index_map) for _ in range(4))
+    out_specs = tuple(_spec_for(out_shape, block, grid_axes, ndim,
+                                full_shape=sp.shape)
+                      for _ in range(4))
     kern = functools.partial(_ppm_kernel, ax=ax, use_limiting=use_limiting)
     scal = jnp.stack([jnp.asarray(dt_over_dx, sp.dtype),
                       jnp.asarray(corr_coef_over_dx, sp.dtype)])
-    outs = pl.pallas_call(
+    return pl.pallas_call(
         kern,
         grid=grid,
         in_specs=in_specs,
@@ -275,7 +275,6 @@ def ppm_predict_pallas(sp, up, dt_over_dx, ax: int, use_limiting: bool,
                         for _ in range(4)),
         interpret=interpret,
     )(sp, up, scal)
-    return tuple(_lane_crop_outputs(outs, n_lanes, lane_pad))
 
 
 # --------------------------------------------------------------------------
@@ -313,19 +312,21 @@ def ctu_corr3_pallas(lo1_j, hi1_j, u_pad_j, corr2_list: Sequence,
     plan = _plan_blocking(lo1_j.shape, ax)
     if plan is None:
         return None
-    block, grid, index_map, lane_pad = plan
-    n_lanes = lo1_j.shape[-1]
+    block, grid, grid_axes = plan
+    ndim = lo1_j.ndim
     ncorr = len(corr2_list)
-    arrs = _lane_pad_inputs((lo1_j, hi1_j, u_pad_j) + tuple(corr2_list),
-                            lane_pad)
+    arrs = (lo1_j, hi1_j, u_pad_j) + tuple(corr2_list)
     out_shape = arrs[0].shape
 
-    in_specs = ([pl.BlockSpec(block, index_map)] * (3 + ncorr)
+    in_specs = ([_spec_for(a.shape, block, grid_axes, ndim,
+                           full_shape=lo1_j.shape) for a in arrs]
                 + [pl.BlockSpec(memory_space=pltpu.SMEM)])
-    out_specs = tuple(pl.BlockSpec(block, index_map) for _ in range(ncorr))
+    out_specs = tuple(_spec_for(out_shape, block, grid_axes, ndim,
+                                full_shape=lo1_j.shape)
+                      for _ in range(ncorr))
     kern = functools.partial(_corr3_kernel, ax=ax, ncorr=ncorr)
     scal = jnp.stack([jnp.asarray(dt_half_over_dx, arrs[0].dtype)])
-    outs = pl.pallas_call(
+    return pl.pallas_call(
         kern,
         grid=grid,
         in_specs=in_specs,
@@ -334,4 +335,75 @@ def ctu_corr3_pallas(lo1_j, hi1_j, u_pad_j, corr2_list: Sequence,
                         for _ in range(ncorr)),
         interpret=interpret,
     )(*arrs, scal)
-    return tuple(_lane_crop_outputs(outs, n_lanes, lane_pad))
+
+
+# --------------------------------------------------------------------------
+# P3: stage-3 assembly + final Riemann against the advecting velocity
+# --------------------------------------------------------------------------
+def _final_kernel(*refs, ax: int, nc3: int, has_src: bool, want_pre: bool):
+    """refs = (lo1, hi1, adv, c3_0..c3_{nc3-1}[, src], scal,
+               rie[, lo_f, hi_f]); the only stencil is the shift of the
+    correction sum along ax (the face-normal direction)."""
+    lo1 = refs[0][...]
+    hi1 = refs[1][...]
+    adv = refs[2][...]
+    c3s = [refs[3 + i][...] for i in range(nc3)]
+    idx = 3 + nc3
+    src = refs[idx][...] if has_src else None
+    scal = refs[idx + (1 if has_src else 0)]
+    outs = refs[idx + (1 if has_src else 0) + 1:]
+
+    csum = c3s[0]
+    for c in c3s[1:]:
+        csum = csum + c
+    if src is not None:
+        csum = csum + scal[0] * src
+    lo_f = lo1 + csum
+    hi_f = hi1 + _kshift_p(csum, ax)
+    outs[0][...] = _kriemann(lo_f, hi_f, adv)
+    if want_pre:
+        outs[1][...] = lo_f
+        outs[2][...] = hi_f
+
+
+def ctu_final_pallas(lo1_d, hi1_d, adv_pad_d, c3_list: Sequence,
+                     src_pad, half_dt, ax: int, want_pre: bool = False,
+                     interpret: bool = False):
+    """Final face states of direction d (array axis `ax`), all padded
+    face-indexed shapes:
+      csum = sum(c3_list) + (dt/2) src
+      lo_f = lo1 + csum;  hi_f = hi1 + shift_p(csum, ax)
+      rie  = Riemann(lo_f, hi_f, adv_pad)
+    Returns (rie,) or (rie, lo_f, hi_f) when want_pre.  None if no
+    feasible blocking."""
+    plan = _plan_blocking(lo1_d.shape, ax)
+    if plan is None:
+        return None
+    block, grid, grid_axes = plan
+    ndim = lo1_d.ndim
+    has_src = src_pad is not None
+    nc3 = len(c3_list)
+    arrs = (lo1_d, hi1_d, adv_pad_d) + tuple(c3_list)
+    if has_src:
+        arrs = arrs + (src_pad,)
+    nout = 3 if want_pre else 1
+
+    in_specs = ([_spec_for(a.shape, block, grid_axes, ndim,
+                           full_shape=lo1_d.shape) for a in arrs]
+                + [pl.BlockSpec(memory_space=pltpu.SMEM)])
+    out_specs = tuple(_spec_for(lo1_d.shape, block, grid_axes, ndim,
+                                full_shape=lo1_d.shape)
+                      for _ in range(nout))
+    kern = functools.partial(_final_kernel, ax=ax, nc3=nc3,
+                             has_src=has_src, want_pre=want_pre)
+    scal = jnp.stack([jnp.asarray(half_dt, lo1_d.dtype)])
+    out = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=tuple(jax.ShapeDtypeStruct(lo1_d.shape, lo1_d.dtype)
+                        for _ in range(nout)),
+        interpret=interpret,
+    )(*arrs, scal)
+    return out if isinstance(out, tuple) else (out,)

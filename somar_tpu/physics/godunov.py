@@ -158,21 +158,28 @@ def trace_face_states(
     u_pad: Optional[Sequence] = None,
     out_dirs: Optional[Sequence[int]] = None,
     return_pre_riemann: bool = False,
+    padded: bool = False,
 ):
     """Predict time-centered upwind face states of `s` in every direction.
 
     u_pad: optional precomputed ADVECT_GROW-padded tracing velocities (one
     per direction) — the NS step traces 5+ fields per substep and shares
     one fill (the pads are identical across fields).
-    Returns a tuple of face-state arrays (fc_shape(d)) per logical dir d.
+    Returns a tuple of face-state arrays per logical dir d: fc_shape(d)
+    (valid faces) by default, or full padded face-indexed arrays with
+    `padded=True` — the TPU fast path, in which case `adv_vel` must also
+    be padded face-indexed (see pad_valid_faces) and the final assembly +
+    Riemann runs inside the P3 Pallas kernel; consumers crop once at the
+    very end (flux_divergence(..., padded=True)).
 
-    return_pre_riemann: also return the cropped (lo, hi) face-state pairs
-    per direction BEFORE the final Riemann upwinding.  The traced states
-    depend only on (s, u_pad, src, dt) — NOT on adv_vel, which enters only
-    through the final upwinding — so a caller that upwinds the same field
-    against a second advecting velocity (the NS step's momentum update
-    re-uses the advecting-velocity prediction's traces,
-    riemann_from_states below) skips the whole predictor.
+    return_pre_riemann: also return the (lo, hi) face-state pairs per
+    direction BEFORE the final Riemann upwinding (cropped, or padded with
+    `padded=True`).  The traced states depend only on (s, u_pad, src, dt)
+    — NOT on adv_vel, which enters only through the final upwinding — so
+    a caller that upwinds the same field against a second advecting
+    velocity (the NS step's momentum update re-uses the advecting
+    -velocity prediction's traces, riemann_from_states below) skips the
+    whole predictor.
     """
     grid = geo.grid
     ndim = grid.ndim
@@ -260,10 +267,22 @@ def trace_face_states(
     pre = {}
     for d in dirs:
         ax = grid.axis(d)
-        if ndim == 3:
-            csum = sum(corr3[(j, 3 - d - j)] for j in range(ndim) if j != d)
-        else:
-            csum = corr2[1 - d]
+        c3_list = ([corr3[(j, 3 - d - j)] for j in range(ndim) if j != d]
+                   if ndim == 3 else [corr2[1 - d]])
+        got = None
+        if use_pallas and padded:
+            from somar_tpu.ops.pallas_kernels import ctu_final_pallas
+            got = ctu_final_pallas(lo1[d], hi1[d], adv_vel[d], c3_list,
+                                   src_pad, 0.5 * dt, ax,
+                                   want_pre=return_pre_riemann)
+        if got is not None:
+            out[d] = got[0]
+            if return_pre_riemann:
+                pre[d] = (got[1], got[2])
+            continue
+        csum = c3_list[0]
+        for c in c3_list[1:]:
+            csum = csum + c
         if src_pad is not None:
             csum = csum + 0.5 * dt * src_pad
         lo_f = lo1[d] + csum
@@ -274,6 +293,10 @@ def trace_face_states(
         # re-evaluates the predictor ~2^depth times (measured 15 ms/trace
         # vs 0.2 ms with the barrier at 512x128x128 on v5e).
         lo_f, hi_f = jax.lax.optimization_barrier((lo_f, hi_f))
+        if padded:
+            pre[d] = (lo_f, hi_f)
+            out[d] = _riemann(lo_f, hi_f, adv_vel[d])
+            continue
         # crop to valid faces/cells and final Riemann with the advecting vel
         lo_v = _crop_faces(lo_f, grid, d, G)
         hi_v = _crop_faces(hi_f, grid, d, G)
@@ -357,12 +380,13 @@ def _normal_predict_fullpad(sp, u_pad, ax: int, G: int, dx: float, dt: float,
     return splus, shift_p(sminus, ax)
 
 
-def _crop_faces(face_pad, grid: Grid, d: int, G: int):
+def _crop_faces(face_pad, grid: Grid, d: int, G: int, lead: int = 0):
     """Crop a face-indexed padded array to the valid faces of dir d
-    (n+1 of them: entries G-1 .. G+n) and valid cells of the other axes."""
+    (n+1 of them: entries G-1 .. G+n) and valid cells of the other axes
+    (`lead` extra leading batch axes are kept whole)."""
     out = face_pad
     for j in range(grid.ndim):
-        ax = grid.axis(j)
+        ax = grid.axis(j) + lead
         if j == d:
             out = slc(out, ax, G - 1, G + grid.nx[d])
         else:
@@ -370,18 +394,50 @@ def _crop_faces(face_pad, grid: Grid, d: int, G: int):
     return out
 
 
+def _crop_cells(cc_pad, grid: Grid, G: int, lead: int = 0):
+    """Crop a padded cell array to the valid region (`lead` extra leading
+    batch axes are kept whole)."""
+    out = cc_pad
+    for j in range(grid.ndim):
+        out = slc(out, grid.axis(j) + lead, G, G + grid.nx[j])
+    return out
+
+
+def pad_valid_faces(valid, grid: Grid, d: int, G: int = ADVECT_GROW):
+    """Embed a valid (n+1)-face array of dir d into the padded
+    face-indexed shape (zeros at ghost entries) — entry f = face between
+    padded cells f | f+1, so valid face i lands at padded index G-1+i."""
+    pad = [(0, 0)] * valid.ndim
+    for j in range(grid.ndim):
+        ax = grid.axis(j)
+        pad[ax] = (G - 1, G) if j == d else (G, G)
+    return jnp.pad(valid, pad)
+
+
 # --------------------------------------------------------------------------
 # flux divergence updates
 # --------------------------------------------------------------------------
 def flux_divergence(face_states: Sequence, adv_vel: Sequence,
-                    geo: LevelGeometry):
+                    geo: LevelGeometry, padded: bool = False):
     """Conservative update term  (1/J) d_d (J u^d s)  (nonlinear
-    differencing form 0, reference getNewVelocity:886+)."""
+    differencing form 0, reference getNewVelocity:886+).
+
+    padded=True: face_states and adv_vel are padded face-indexed arrays;
+    the divergence is computed with same-shape shifts and cropped ONCE to
+    the valid cells (the TPU fast path — shape-changing lane slices feed
+    no further computation)."""
     grid = geo.grid
     out = None
     for d in range(grid.ndim):
-        term = diff_along(face_states[d] * adv_vel[d], grid.axis(d)) / grid.dx[d]
+        ax = grid.axis(d)
+        F = face_states[d] * adv_vel[d]
+        if padded:
+            term = (F - shift_m(F, ax)) / grid.dx[d]
+        else:
+            term = diff_along(F, ax) / grid.dx[d]
         out = term if out is None else out + term
+    if padded:
+        out = _crop_cells(out, grid, ADVECT_GROW)
     return out * geo.Jinv
 
 
@@ -403,3 +459,146 @@ def advective_form(face_states: Sequence, adv_vel: Sequence,
     # order) — callers wanting exact advective form pass the CC s instead.
     s_cc = avg_along(face_states[0], grid.axis(0))
     return (div_us - s_cc * div_u) * geo.Jinv
+
+
+# --------------------------------------------------------------------------
+# batched padded-path predictor: trace B fields at once
+# --------------------------------------------------------------------------
+def trace_face_states_batched(
+    fields: Sequence,          # B cell-centered fields
+    srcs,                      # per-field CC source or None (or None)
+    bcs_list: Sequence[FieldBCs],
+    adv_vel: Sequence,         # per-dir PADDED face-indexed advecting vel
+    dt: float,
+    geo: LevelGeometry,
+    params: AdvectionParams,
+    u_pad: Sequence,           # per-dir padded tracing velocity (shared)
+    out_dirs: Optional[Sequence[int]] = None,
+    return_pre_riemann: bool = False,
+):
+    """Batched `trace_face_states(padded=True)`: the B fields ride a
+    leading batch axis through the P1/P2/P3 kernels (one launch per
+    direction per round instead of per field — the launch count, not the
+    math, is what changes; the shared tracing/advecting velocities are
+    lead-broadcast into the kernels).  Returns a tuple over d of
+    (B,)+padded face arrays (+ the (lo, hi) pre-Riemann pairs)."""
+    grid = geo.grid
+    ndim = grid.ndim
+    G = ADVECT_GROW
+
+    sp = jnp.stack([fill_ghosts_cc(f, grid, b, G)
+                    for f, b in zip(fields, bcs_list)])
+    src_stack = None
+    if srcs is not None and any(s is not None for s in srcs):
+        zero = jnp.zeros(sp.shape[1:], sp.dtype)
+        src_stack = jnp.stack([
+            zero if s is None else fill_ghosts_cc(s, grid, b, G)
+            for s, b in zip(srcs, bcs_list)])
+    upl = [u_pad[d][None] for d in range(ndim)]
+    advl = [adv_vel[d][None] for d in range(ndim)]
+
+    use_pallas = (params.normal_pred_order == 2
+                  and _use_pallas_predictor())
+    coef = dt / 3.0 if ndim == 3 else dt / 2.0
+    lo1, hi1, corr2 = [], [], []
+    for d in range(ndim):
+        ax = grid.axis(d) + 1
+        got = None
+        if use_pallas:
+            from somar_tpu.ops.pallas_kernels import ppm_predict_pallas
+            got = ppm_predict_pallas(
+                sp, upl[d], dt / grid.dx[d], ax, params.use_limiting,
+                corr_coef_over_dx=coef / grid.dx[d])
+        if got is None:
+            lo_d, hi_d = _normal_predict_fullpad(
+                sp, upl[d], ax, G, grid.dx[d], dt, params)
+            rie_d = _riemann(lo_d, hi_d, face_avg(upl[d], ax))
+            got = (lo_d, hi_d, rie_d,
+                   -coef * upl[d] * _cc_deriv(rie_d, ax, grid.dx[d]))
+        lo1.append(got[0])
+        hi1.append(got[1])
+        corr2.append(got[3])
+
+    dirs = list(range(ndim)) if out_dirs is None else list(out_dirs)
+    corr3 = {}
+    if ndim == 3:
+        by_j = {}
+        for dd in dirs:
+            for j in range(ndim):
+                if j != dd:
+                    by_j.setdefault(j, []).append(3 - dd - j)
+        for j, ks in sorted(by_j.items()):
+            ks = sorted(set(ks))
+            axj = grid.axis(j) + 1
+            got = None
+            if use_pallas:
+                from somar_tpu.ops.pallas_kernels import ctu_corr3_pallas
+                got = ctu_corr3_pallas(
+                    lo1[j], hi1[j], upl[j], [corr2[k] for k in ks],
+                    (dt / 2.0) / grid.dx[j], axj)
+            if got is None:
+                got = []
+                for k in ks:
+                    lo_c = lo1[j] + corr2[k]
+                    hi_c = hi1[j] + shift_p(corr2[k], axj)
+                    rie2 = _riemann(lo_c, hi_c, face_avg(upl[j], axj))
+                    got.append(-(dt / 2.0) * upl[j]
+                               * _cc_deriv(rie2, axj, grid.dx[j]))
+            for k, c3 in zip(ks, got):
+                corr3[(j, k)] = c3
+
+    out = {}
+    pre = {}
+    for d in dirs:
+        ax = grid.axis(d) + 1
+        c3_list = ([corr3[(j, 3 - d - j)] for j in range(ndim) if j != d]
+                   if ndim == 3 else [corr2[1 - d]])
+        got = None
+        if use_pallas:
+            from somar_tpu.ops.pallas_kernels import ctu_final_pallas
+            got = ctu_final_pallas(lo1[d], hi1[d], advl[d], c3_list,
+                                   src_stack, 0.5 * dt, ax,
+                                   want_pre=return_pre_riemann)
+        if got is not None:
+            out[d] = got[0]
+            if return_pre_riemann:
+                pre[d] = (got[1], got[2])
+            continue
+        csum = c3_list[0]
+        for c in c3_list[1:]:
+            csum = csum + c
+        if src_stack is not None:
+            csum = csum + 0.5 * dt * src_stack
+        lo_f = lo1[d] + csum
+        hi_f = hi1[d] + shift_p(csum, ax)
+        lo_f, hi_f = jax.lax.optimization_barrier((lo_f, hi_f))
+        pre[d] = (lo_f, hi_f)
+        out[d] = _riemann(lo_f, hi_f, advl[d])
+    faces = tuple(out.get(d) for d in range(ndim))
+    if return_pre_riemann:
+        return faces, tuple(pre.get(d) for d in range(ndim))
+    return faces
+
+
+def flux_divergence_batched(face_states: Sequence, adv_vel: Sequence,
+                            geo: LevelGeometry):
+    """Conservative update for a batch: face_states[d] is (B,)+padded
+    face-indexed; adv_vel[d] is the unbatched padded advecting velocity.
+    Returns (B,)+valid cells."""
+    grid = geo.grid
+    out = None
+    for d in range(grid.ndim):
+        ax = grid.axis(d) + 1
+        F = face_states[d] * adv_vel[d][None]
+        term = (F - shift_m(F, ax)) / grid.dx[d]
+        out = term if out is None else out + term
+    out = _crop_cells(out, grid, ADVECT_GROW, lead=1)
+    return out * geo.Jinv
+
+
+def riemann_batched(pre_states, adv_vel):
+    """Final Riemann upwinding of batched padded (lo, hi) pre-states
+    against the (unbatched padded) advecting velocity."""
+    return tuple(
+        _riemann(lo, hi, adv_vel[d][None])
+        for d, (lo, hi) in enumerate(pre_states))

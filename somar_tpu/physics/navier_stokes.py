@@ -284,18 +284,17 @@ class NSLevel:
         vel = state.vel
         u_mapped = geo.to_mapped(vel)
 
-        # provisional advecting velocity for upwinding: averaged J u^d.
-        # Built from the shared ADVECT_GROW pads via same-shape face
-        # averages + one crop, NOT cc_to_fc: constructing the (n+1)-face
+        # provisional advecting velocity for upwinding: averaged J u^d,
+        # built PADDED (face-indexed) from the shared ADVECT_GROW pads via
+        # same-shape face averages, NOT cc_to_fc: constructing (n+1)-face
         # arrays from 1-ghost shrinking slices poisons XLA's layout/fusion
         # choices for every consumer (measured ~16 ms/trace vs ~0.2 ms at
         # 512x128x128 on v5e).  The barrier keeps the pad graph from being
         # re-fused (duplicated) into each downstream consumer.
         from somar_tpu.core.bc import fill_ghosts_cc as _fill
-        from somar_tpu.physics.godunov import (
-            _crop_faces, face_avg)
+        from somar_tpu.physics.godunov import _crop_faces, face_avg
         u_pad = getattr(self, "_u_pad", None)
-        prov = []
+        prov_pad = []
         for d in range(ndim):
             if geo.is_uniform and u_pad is not None:
                 base = u_pad[d]
@@ -304,38 +303,47 @@ class NSLevel:
                 base = _fill(geo.mult_by_J(u_mapped[d]), grid,
                              self.vel_bcs_trace[d], ADVECT_GROW)
                 scale = 1.0
-            fa = face_avg(base, grid.axis(d))
-            prov.append(scale * _crop_faces(fa, grid, d, ADVECT_GROW))
-        prov = jax.lax.optimization_barrier(tuple(prov))
+            prov_pad.append(scale * face_avg(base, grid.axis(d)))
+        prov_pad = jax.lax.optimization_barrier(tuple(prov_pad))
 
-        # predict each Cartesian component to faces.  The pre-Riemann face
-        # states are stashed: getNewVelocity's momentum fluxes upwind the
-        # SAME traced states against the projected advecting velocity, so
-        # the predictor runs once per component per step instead of twice
-        # (the reference re-traces, AMRNavierStokesAdvancePPM.cpp:1354 vs
-        # :791 — identical math, twice the kernel work).
+        # predict each Cartesian component to faces (padded face-indexed).
+        # The pre-Riemann face states are stashed: getNewVelocity's
+        # momentum fluxes upwind the SAME traced states against the
+        # projected advecting velocity, so the predictor runs once per
+        # component per step instead of twice (the reference re-traces,
+        # AMRNavierStokesAdvancePPM.cpp:1354 vs :791 — identical math,
+        # twice the kernel work).  Per-field (unbatched) kernel sets: the
+        # batched variant (trace_face_states_batched) moves the same HBM
+        # bytes through 3x fewer launches but pays extra stack copies —
+        # measured slightly slower at the 512 bench.
+        if u_pad is None:
+            u_pad = [_fill(u_mapped[d], grid, self.vel_bcs_trace[d],
+                           ADVECT_GROW) for d in range(ndim)]
         predicted = []
         self._vel_pre_states = []
         for m in range(ndim):
             src_m = src_vel[m] if src_vel is not None else None
             faces, pre = trace_face_states(
-                vel[m], u_mapped, prov, src_m, dt, geo,
+                vel[m], u_mapped, prov_pad, src_m, dt, geo,
                 self.vel_bcs_trace[m], self.params.advection_vel,
                 vel_bcs=self.vel_bcs_trace,
-                u_pad=getattr(self, "_u_pad", None),
-                return_pre_riemann=True)
+                u_pad=u_pad, return_pre_riemann=True, padded=True)
             predicted.append(faces)
             self._vel_pre_states.append(pre)
 
-        # normal contravariant flux on d-faces: J * einv[d,m] * u_m
+        # normal contravariant flux on d-faces: J * einv[d,m] * u_m,
+        # cropped to valid faces for the MAC projection
         adv = []
+        G = ADVECT_GROW
         for d in range(ndim):
             einv = self._einv_fc(d)
             Jf = self._J_fc(d)
             if einv is None:
-                flux = predicted[d][d]
+                flux = _crop_faces(predicted[d][d], grid, d, G)
             else:
-                flux = sum(einv[d, m] * predicted[m][d] for m in range(ndim))
+                flux = sum(einv[d, m]
+                           * _crop_faces(predicted[m][d], grid, d, G)
+                           for m in range(ndim))
             flux = Jf * flux if not geo.is_uniform else flux
             flux = apply_fc_bc(flux, d, grid, self.vel_bcs_trace[d])
             adv.append(flux)
@@ -357,42 +365,53 @@ class NSLevel:
         return tuple(adv), mac_phi
 
     # ------------------------------------------------------------ scalars
-    def _advect_update(self, s, u_mapped, adv_vel, src, dt, bcs, params,
+    def _advect_update(self, s, u_mapped, src, dt, bcs, params,
                        return_fluxes: bool = False, pre_states=None):
+        """One field's advection term via the padded fast path: trace,
+        Riemann, and flux products stay same-shape padded face-indexed
+        against self._adv_pad (the projected advecting velocities embedded
+        once per step), with one final crop in flux_divergence."""
+        from somar_tpu.physics.godunov import (
+            _crop_faces, riemann_from_states)
+        adv_pad = self._adv_pad
         if pre_states is not None:
-            from somar_tpu.physics.godunov import riemann_from_states
-            faces = riemann_from_states(pre_states, adv_vel)
+            faces = riemann_from_states(pre_states, adv_pad)
         else:
-            faces = trace_face_states(s, u_mapped, adv_vel, src, dt,
+            faces = trace_face_states(s, u_mapped, adv_pad, src, dt,
                                       self.geo, bcs, params,
                                       vel_bcs=self.vel_bcs_trace,
-                                      u_pad=getattr(self, "_u_pad", None))
+                                      u_pad=self._u_pad, padded=True)
         if self.params.nonlinear_differencing_form == 1:
             # advective form: div(u s) - s div(u)
-            div_us = flux_divergence(faces, adv_vel, self.geo)
-            div_u = mac_divergence(adv_vel, self.geo)
+            div_us = flux_divergence(faces, adv_pad, self.geo, padded=True)
+            div_u = mac_divergence(self._adv_valid, self.geo)
             out = div_us - s * div_u
         else:
-            out = flux_divergence(faces, adv_vel, self.geo)
+            out = flux_divergence(faces, adv_pad, self.geo, padded=True)
         if return_fluxes:
             # the physical interface fluxes J u^d s consumed by the
             # divergence — what the AMR flux registers accumulate
             # (reference: incrementCoarse/incrementFine operands)
-            fluxes = tuple(faces[d] * adv_vel[d]
-                           for d in range(self.grid.ndim))
+            fluxes = tuple(
+                _crop_faces(faces[d], self.grid, d, ADVECT_GROW)
+                * self._adv_valid[d]
+                for d in range(self.grid.ndim))
             return out, fluxes
         return out
 
-    def get_new_scalars(self, state: NSState, u_mapped, adv_vel, dt,
-                        collect: Optional[dict] = None):
-        """Advect + diffuse each scalar (reference: getNewScalar,
-        AMRNavierStokesAdvancePPM.cpp:379-789).  With `collect` (a dict),
-        the per-component interface fluxes are stored under
-        collect["scalars"] for AMR refluxing."""
+    def get_new_scalars_and_lambda(self, state: NSState, dt,
+                                   collect: Optional[dict] = None):
+        """Advect + diffuse the scalars and the freestream tracer lambda
+        (reference: getNewScalar / getNewLambda,
+        AMRNavierStokesAdvancePPM.cpp:379-789, :306-377).  With `collect`
+        (a dict), the per-component interface fluxes are stored under
+        collect["scalars"] / collect["lam"] for AMR refluxing."""
+        u_mapped = None  # traces use the shared self._u_pad fills
+        nscal = self.problem.num_scalars
+        _, sponge_s = self._sponge_source(state.vel, state.scalars, dt)
         out = []
         fluxes_out = []
-        _, sponge_s = self._sponge_source(state.vel, state.scalars, dt)
-        for c in range(self.problem.num_scalars):
+        for c in range(nscal):
             s = state.scalars[c]
             src = None
             if c == 0:
@@ -401,12 +420,11 @@ class NSLevel:
                     # background advection: db'/dt += w * N^2 (explicit
                     # mode; the IG scheme applies it semi-implicitly)
                     parts.append(state.vel[self.grid.ndim - 1] * self._nsq_cc)
-                if sponge_s is not None and c == 0:
+                if sponge_s is not None:
                     parts.append(sponge_s)
                 if parts:
                     src = sum(parts)
-            adv = self._advect_update(s, u_mapped, adv_vel, src, dt,
-                                      self.scal_bcs,
+            adv = self._advect_update(s, u_mapped, src, dt, self.scal_bcs,
                                       self.params.advection_scal,
                                       return_fluxes=collect is not None)
             if collect is not None:
@@ -420,19 +438,15 @@ class NSLevel:
             out.append(s_new)
         if collect is not None:
             collect["scalars"] = tuple(fluxes_out)
-        return jnp.stack(out)
-
-    def get_new_lambda(self, state: NSState, u_mapped, adv_vel, dt,
-                       collect: Optional[dict] = None):
-        """Advect the freestream tracer conservatively (reference:
-        getNewLambda, AMRNavierStokesAdvancePPM.cpp:306-377)."""
-        adv = self._advect_update(state.lam, u_mapped, adv_vel, None, dt,
+        # the freestream tracer (conservative, no diffusion)
+        adv = self._advect_update(state.lam, u_mapped, None, dt,
                                   self.lam_bcs, self.params.advection_scal,
                                   return_fluxes=collect is not None)
         if collect is not None:
             adv, fl = adv
             collect["lam"] = fl
-        return state.lam - dt * adv
+        lam = state.lam - dt * adv
+        return jnp.stack(out), lam
 
     # ----------------------------------------------------------- velocity
     def get_new_velocity(self, state: NSState, u_mapped, adv_vel, src_vel,
@@ -440,7 +454,8 @@ class NSLevel:
                          collect: Optional[dict] = None):
         """Conservative momentum advection + forcing + implicit viscosity
         (reference: getNewVelocity, AMRNavierStokesAdvancePPM.cpp:791-1352).
-        """
+        The momentum fluxes re-upwind the advecting-velocity prediction's
+        pre-Riemann states against the projected velocity."""
         grid = self.grid
         ndim = grid.ndim
         new_vel = []
@@ -448,8 +463,8 @@ class NSLevel:
         pre = getattr(self, "_vel_pre_states", None)
         for m in range(ndim):
             src_m = src_vel[m] if src_vel is not None else None
-            adv = self._advect_update(state.vel[m], u_mapped, adv_vel, src_m,
-                                      dt, self.vel_bcs_trace[m],
+            adv = self._advect_update(state.vel[m], u_mapped, src_m, dt,
+                                      self.vel_bcs_trace[m],
                                       self.params.advection_vel,
                                       return_fluxes=collect is not None,
                                       pre_states=(pre[m] if pre is not None
@@ -528,15 +543,23 @@ class NSLevel:
                        for d in range(grid.ndim)]
         adv_vel, mac_phi = self.compute_advecting_velocities(
             state, src_vel, dt, ring_mac=ring_mac)
+        # padded face-indexed embedding of the projected advecting
+        # velocities: all downstream traces/Riemanns/flux products stay
+        # same-shape (one crop per field update) — see _advect_update
+        from somar_tpu.physics.godunov import pad_valid_faces
+        self._adv_valid = adv_vel
+        self._adv_pad = tuple(pad_valid_faces(adv_vel[d], grid, d)
+                              for d in range(grid.ndim))
 
         collect = {} if collect_fluxes else None
-        scalars = self.get_new_scalars(state, u_mapped, adv_vel, dt, collect)
-        lam = self.get_new_lambda(state, u_mapped, adv_vel, dt, collect)
+        scalars, lam = self.get_new_scalars_and_lambda(state, dt, collect)
         vel = self.get_new_velocity(state, u_mapped, adv_vel, src_vel,
                                     grav, tidal, sponge_v, grad_p, dt,
                                     collect)
         self._u_pad = None
         self._vel_pre_states = None
+        self._adv_pad = None
+        self._adv_valid = None
 
         cc_phi = state.cc_phi
         pressure = state.pressure

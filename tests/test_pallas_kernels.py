@@ -66,8 +66,9 @@ def test_ppm_pallas_2d():
 
 def test_ppm_pallas_lane_padded_path(monkeypatch):
     """z-direction predictor at production sizes: lanes not a multiple of
-    128 and sublane tiling alone cannot fit the VMEM budget -> the kernel
-    pads the lane axis to 128k and tiles it (no stencil along lanes)."""
+    128 and sublane tiling alone cannot fit the VMEM budget -> the lane
+    axis is tiled with a masked partial tail block (no stencil along
+    lanes, no input padding)."""
     import somar_tpu.ops.pallas_kernels as pk
     rng = np.random.default_rng(3)
     shape = (24, 16, 200)   # lanes 200: not a multiple of 128
@@ -78,7 +79,7 @@ def test_ppm_pallas_lane_padded_path(monkeypatch):
     monkeypatch.setattr(pk, "_VMEM_BUDGET", 24 * 8 * 128 * 4)
     got = pk.ppm_predict_pallas(sp, up, dtdx, 0, True,
                                 corr_coef_over_dx=0.1, interpret=True)
-    assert got is not None, "lane-padded blocking should be feasible"
+    assert got is not None, "lane-tiled blocking should be feasible"
     assert got[0].shape == (24, 16, 200)
     refs = _jnp_p1(sp, up, 0, dtdx, 0.1, True)
 
