@@ -48,6 +48,29 @@ def avg_along(arr, ax: int):
 
 
 # --------------------------------------------------------------------------
+# same-shape shifted copies (TPU fast path).  Materialized shape-changing
+# slices along the 128-lane axis relayout the whole array and defeat XLA
+# fusion; stencils expressed as same-shape shifts with junk edge entries
+# (cropped once, at the very end of a pipeline) run at bandwidth.  See
+# physics/godunov.py for the face-indexed array convention built on these.
+# --------------------------------------------------------------------------
+def shift_p(a, ax: int):
+    """out[i] = a[i+1]; edge junk at the last entry."""
+    return jnp.concatenate([slc(a, ax, 1, None), slc(a, ax, -1, None)],
+                           axis=ax)
+
+
+def shift_m(a, ax: int):
+    """out[i] = a[i-1]; edge junk at the first entry."""
+    return jnp.concatenate([slc(a, ax, 0, 1), slc(a, ax, 0, -1)], axis=ax)
+
+
+def face_avg(u, ax: int):
+    """Face value at f = 0.5 (u[f] + u[f+1]), same shape as u."""
+    return 0.5 * (u + shift_p(u, ax))
+
+
+# --------------------------------------------------------------------------
 # cell <-> face interpolation (reference: ConvertFAB / CellToEdge)
 # --------------------------------------------------------------------------
 def cc_to_fc(field, d: int, grid: Grid, bcs: FieldBCs):

@@ -34,7 +34,8 @@ import jax.numpy as jnp
 from somar_tpu.core.bc import FieldBCs, fill_ghosts_cc
 from somar_tpu.core.grid import Grid
 from somar_tpu.geometry.level_geometry import LevelGeometry
-from somar_tpu.ops.stencil import slc, avg_along, diff_along
+from somar_tpu.ops.stencil import (slc, avg_along, diff_along,
+                                   face_avg, shift_m, shift_p)
 
 ADVECT_GROW = 4
 
@@ -81,20 +82,8 @@ def _win(arr, ax: int, k: int, lo: int, n: int):
 # The junk entries live in ghost space and are cropped before use
 # (ADVECT_GROW = 4 leaves margin).
 # --------------------------------------------------------------------------
-def shift_p(a, ax: int):
-    """out[i] = a[i+1]; edge junk at the last entry."""
-    return jnp.concatenate([slc(a, ax, 1, None), slc(a, ax, -1, None)],
-                           axis=ax)
-
-
-def shift_m(a, ax: int):
-    """out[i] = a[i-1]; edge junk at the first entry."""
-    return jnp.concatenate([slc(a, ax, 0, 1), slc(a, ax, 0, -1)], axis=ax)
-
-
-def face_avg(u, ax: int):
-    """Face value at f = 0.5 (u[f] + u[f+1]), same shape as u."""
-    return 0.5 * (u + shift_p(u, ax))
+# shift_p / shift_m / face_avg now live in ops/stencil.py (re-exported
+# here for the face-indexed convention users).
 
 
 # --------------------------------------------------------------------------
