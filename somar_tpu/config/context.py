@@ -286,6 +286,9 @@ class ProblemContext:
             mg=mg,
             is_incompressible=bool(
                 pp.get_int("projection.isIncompressible", 1)),
+            pressure_solver={0: "auto", 1: "mg", 2: "leptic",
+                             3: "bicgstab", 4: "fft"}.get(
+                pp.get_int("projection.solver", 0), "auto"),
         )
 
         plot = PlotConfig(

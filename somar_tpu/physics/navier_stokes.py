@@ -73,6 +73,11 @@ class NSParams:
     advection_scal: AdvectionParams = AdvectionParams(use_limiting=True)
     mg: MGParams = MGParams()
     is_incompressible: bool = True        # projection.isIncompressible
+    #: pressure solver mux (reference AMRPressureSolver's static
+    #: s_useAMRLepticSolver / s_useAMRMGSolver flags, AMRPressureSolver
+    #: .cpp:39-40): "auto" (spectral fast path else MG), "mg", "leptic",
+    #: "bicgstab", "fft"
+    pressure_solver: str = "auto"
     dtype: object = jnp.float32
 
 
@@ -126,6 +131,7 @@ class NSLevel:
 
         # projection machinery (shared MG hierarchy)
         self.projector = LevelProjector(geo, mg_params=params.mg,
+                                        method=params.pressure_solver,
                                         dtype=params.dtype)
 
         # implicit viscous / diffusive solvers

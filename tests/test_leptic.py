@@ -89,3 +89,40 @@ def test_leptic_first_order_is_good_on_extreme_aspect():
     # horizontal-only rhs: few outer orders (each runs a loose inner
     # horizontal MG, so "few" is <= 5 rather than 1)
     assert int(iters) <= 5, int(iters)
+
+
+def test_ns_step_with_leptic_pressure_solver():
+    """The projection.solver=2 knob routes the pressure solves through the
+    leptic solver (reference: AMRPressureSolver's s_useAMRLepticSolver
+    mux); one NS step on a flat domain must stay finite and projected."""
+    from somar_tpu.config.parmparse import ParmParse
+    from somar_tpu.config.context import ProblemContext
+    from somar_tpu.driver import RunDriver
+
+    cfg = """
+    amr.nx = 48 8
+    amr.nx_offset = -24 0
+    amr.length = 15.0 1.0
+    amr.isPeriodic = 0 0
+    ibc.problem = 1
+    amr.gravityMethod = 1
+    amr.fixed_dt = 0.02
+    amr.maxsteps = 2
+    amr.final = 10.0
+    amr.maxlevel = 0
+    projection.solver = 2
+    AMRMG.eps = 1e-5
+    amr.verbosity = 0
+    """
+    ctx = ProblemContext.from_parmparse(ParmParse.from_string(cfg))
+    assert ctx.ns.pressure_solver == "leptic"
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        driver = RunDriver(ctx, out_dir=td)
+        assert driver.level.projector.method == "leptic"
+        state, steps = driver.run(verbose=False)
+    assert steps == 2
+    assert np.all(np.isfinite(np.asarray(state.vel)))
+    # approximate CC projection + loose leptic tolerance: bounded, not 0
+    div = float(driver.level.max_divergence(state))
+    assert div < 0.1, div
