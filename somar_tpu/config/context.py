@@ -365,7 +365,16 @@ class ProblemContext:
         if self.coord_map == CoordMap.CYLINDRICAL:
             return CylindricalMap()
         if self.coord_map == CoordMap.LEDGE:
-            return LedgeMap(vert, hl=self.ledge_hl, hr=self.ledge_hr,
+            # the reference's ledgeMapHl/Hr are BED ELEVATIONS: its
+            # vertical map is z = elev + (H - elev) * phi(zeta/H)
+            # (FILL_BATHYVERTMAP, maps/BathymetricBaseMapF.ChF:84-111 —
+            # the column spans [elev, H] with a flat top), while LedgeMap
+            # here takes water THICKNESSES D = H - elev (the shipped
+            # inputs.LockExchange_Ledge2D Hl=1 Hr=0 with H=2 is a 1-deep
+            # shelf dropping to the 2-deep basin)
+            H = a.length[-1]
+            return LedgeMap(vert, hl=H - self.ledge_hl,
+                            hr=H - self.ledge_hr,
                             xl=self.ledge_xl, xr=self.ledge_xr,
                             transition_order=self.ledge_transition_order)
         if self.coord_map == CoordMap.BEAMGENERATOR:

@@ -51,3 +51,43 @@ def test_lock_exchange_2d_amr_config(tmp_path):
                   "amr.fixed_dt=0.02"], tmp_path, 3)
     b = np.asarray(state.scalars[0])
     assert b.min() > -0.05 and b.max() < 1.05
+
+
+def test_lock_exchange_3d_config(tmp_path):
+    # the 3D Cartesian config, shrunk to a tiny single-level grid
+    state = _run(f"{REF}/inputs.LockExchange_Cartesian3D.machine",
+                 ["amr.maxsteps=2", "plot.plot_interval=-1",
+                  "plot.checkpoint_interval=-1", "amr.verbosity=0",
+                  "amr.nx=16 8 8", "amr.nx_offset=-8 0 0",
+                  "amr.maxlevel=0", "AMRMG.eps=1e-5",
+                  "amr.fixed_dt=0.02"], tmp_path, 2)
+    b = np.asarray(state.scalars[0])
+    assert b.min() > -0.05 and b.max() < 1.05
+
+
+def test_lock_exchange_ledge2d_config(tmp_path):
+    # shelf-break (LedgeMap) bathymetry: mapped-geometry solve path
+    state = _run(f"{REF}/inputs.LockExchange_Ledge2D.machine",
+                 ["amr.maxsteps=2", "plot.plot_interval=-1",
+                  "plot.checkpoint_interval=-1", "amr.verbosity=0",
+                  "amr.nx=32 16", "amr.nx_offset=-30 0",
+                  "amr.maxlevel=0", "AMRMG.eps=1e-4",
+                  "amr.fixed_dt=0.01"], tmp_path, 2)
+    b = np.asarray(state.scalars[0])
+    assert b.min() > -0.05 and b.max() < 1.05
+
+
+def test_lock_exchange_dem2d_config(tmp_path):
+    # real-bathymetry DEM map (reads the reference's shipped HDF5 data)
+    import os
+    if not os.path.exists(
+            "/root/reference/src/geometry/maps/DEMMaps/DEM_test_2d.hdf5"):
+        pytest.skip("reference DEM data not present")
+    state = _run(f"{REF}/inputs.LockExchange_DEM_2D.machine",
+                 ["amr.maxsteps=2", "plot.plot_interval=-1",
+                  "plot.checkpoint_interval=-1", "amr.verbosity=0",
+                  "amr.nx=32 16", "amr.nx_offset=-16 0",
+                  "amr.maxlevel=0", "AMRMG.eps=1e-4",
+                  "amr.fixed_dt=0.005"], tmp_path, 2)
+    b = np.asarray(state.scalars[0])
+    assert np.isfinite(b).all()
