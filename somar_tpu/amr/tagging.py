@@ -30,6 +30,7 @@ class TagParams:
     buoyancy_tag_tol: float = 0.0
     vel_tag_tol: float = 0.0
     magvort_tag_quota: float = 0.0
+    pressure_tag_tol: float = 0.0   # amr.pressure_tag_tol
     ri_tag_tol: float = 0.0
     tags_grow: int = 0
     vert_extrude: bool = True
@@ -62,6 +63,12 @@ def compute_tags(state, level, params: TagParams) -> np.ndarray:
         for m in range(grid.ndim):
             u = np.asarray(state.vel[m])
             tags |= _undivided_diff_mag(u) > params.vel_tag_tol
+
+    if params.pressure_tag_tol > 0.0:
+        # undivided differences of the lagged CC pressure (reference:
+        # AMRNavierStokesRegrid.cpp:527-585)
+        pres = np.asarray(state.pressure)
+        tags |= _undivided_diff_mag(pres) > params.pressure_tag_tol
 
     if params.magvort_tag_quota > 0.0:
         from somar_tpu.ops.stencil import vorticity

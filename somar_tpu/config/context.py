@@ -28,6 +28,18 @@ from somar_tpu.physics.navier_stokes import NSParams
 from somar_tpu.solvers.multigrid import MGParams
 
 
+def _sponge_widths(pp, side: str, ndim: int, length):
+    """Per-direction sponge width FRACTIONS from the ibc.* namespace:
+    spongeWidthFrac{side} directly, or spongeWidth{side} / length."""
+    frac = pp.get_real_vect(f"ibc.spongeWidthFrac{side}", ndim, None)
+    if frac is not None:
+        return tuple(frac)
+    w = pp.get_real_vect(f"ibc.spongeWidth{side}", ndim, None)
+    if w is not None:
+        return tuple(wi / L for wi, L in zip(w, length))
+    return (0.0,) * ndim
+
+
 class CoordMap:
     CARTESIAN = 0
     TWISTED = 1
@@ -86,6 +98,7 @@ class AMRConfig:
     vel_tag_tol: float = 0.0
     buoyancy_tag_tol: float = 0.0
     magvort_tag_quota: float = 0.0
+    pressure_tag_tol: float = 0.0
     vert_extrude_tags: bool = False
     final_time: float = 1.0
     max_steps: int = 100
@@ -138,6 +151,7 @@ class ProblemContext:
     bg_profile: int = 0
     tidal_u0: Tuple[float, ...] = (0.0, 0.0)
     tidal_omega: float = 0.0
+    use_sponge_layer: bool = False
     sponge_widths_lo: Tuple[float, ...] = (0.0, 0.0, 0.0)
     sponge_widths_hi: Tuple[float, ...] = (0.0, 0.0, 0.0)
     sponge_time_coeff: float = 15.0
@@ -194,6 +208,7 @@ class ProblemContext:
             vel_tag_tol=pp.get_real("amr.vel_tag_tol", 0.0),
             buoyancy_tag_tol=pp.get_real("amr.buoyancy_tag_tol", 0.0),
             magvort_tag_quota=pp.get_real("amr.magvort_tag_quota", 0.0),
+            pressure_tag_tol=pp.get_real("amr.pressure_tag_tol", 0.0),
             vert_extrude_tags=bool(pp.get_int("amr.vert_extrude_tags", 0)),
             final_time=pp.get_real("amr.final", 1.0),
             max_steps=pp.get_int("amr.maxsteps", 100),
@@ -256,6 +271,9 @@ class ProblemContext:
             max_depth=pp.get_int("AMRMG.maxDepth", -1),
             relax_mode=relax_modes[pp.get_int("AMRMG.relax_mode", 1)],
             verbosity=pp.get_int("AMRMG.verbosity", 0),
+            bottom_eps=pp.get_real("bottom.eps", 1e-6),
+            bottom_imax=pp.get_int("bottom.imax", 80),
+            bottom_hang=pp.get_real("bottom.hang", 1e-8),
         )
 
         ns = NSParams(
@@ -264,6 +282,7 @@ class ProblemContext:
             viscous_solver_type=pp.get_int("amr.viscous_solver_type", 1),
             diffusive_solver_type=pp.get_int("amr.diffusive_solver_type", 1),
             gravity_method=pp.get_int("amr.gravityMethod", 1),
+            gravity_theta=pp.get_real("amr.gravityTheta", 0.6),
             cfl=pp.get_real("amr.cfl", 0.8),
             max_dt=pp.get_real("amr.max_dt", 1e8),
             max_dt_grow=pp.get_real("amr.max_dt_grow", 1.5),
@@ -337,8 +356,26 @@ class ProblemContext:
             bg_profile=pp.get_int("ibc.bgScalarProfile", 1),
             tidal_u0=tidal_u0,
             tidal_omega=pp.get_real("ibc.tidalOmega", 0.0),
-            sponge_time_coeff=pp.get_real("ibc.spongeTimeCoeff", 15.0),
+            use_sponge_layer=bool(pp.get_int("ibc.useSpongeLayer", 0)),
+            sponge_widths_lo=_sponge_widths(pp, "Lo", ndim, length),
+            sponge_widths_hi=_sponge_widths(pp, "Hi", ndim, length),
+            sponge_time_coeff=(
+                pp.get_real("ibc.spongeTimeCoeff", 0.0)
+                or next((v for v in (
+                    pp.get_real_vect("ibc.spongeDtMultLo", ndim, None)
+                    or ()) if v > 0), 15.0)),
         )
+
+    def sponge_spec(self):
+        """SpongeSpec from the ibc.* sponge namespace (reference:
+        ProblemContext.cpp:899-975: widths via spongeWidth[Frac]{Lo,Hi},
+        strength via spongeDtMult{Lo,Hi})."""
+        if not self.use_sponge_layer:
+            return None
+        from somar_tpu.problems.base import SpongeSpec
+        return SpongeSpec(width_lo=self.sponge_widths_lo,
+                          width_hi=self.sponge_widths_hi,
+                          time_coeff=self.sponge_time_coeff)
 
     # -------------------------------------------------------------- grids
     def base_grid(self) -> Grid:

@@ -47,6 +47,7 @@ class RunDriver:
                 buoyancy_tag_tol=ctx.amr.buoyancy_tag_tol,
                 vel_tag_tol=ctx.amr.vel_tag_tol,
                 magvort_tag_quota=ctx.amr.magvort_tag_quota,
+                pressure_tag_tol=ctx.amr.pressure_tag_tol,
                 tags_grow=ctx.amr.tags_grow,
                 vert_extrude=True)
             reflux = tuple(

@@ -28,22 +28,27 @@ def make_problem(ctx):
     bg = profiles.get(ctx.bg_profile, LinearProfile()) \
         if ctx.use_background_scalar else NoBackground()
 
+    sponge = ctx.sponge_spec()
+
     t = ctx.problem
     if t == ProblemType.ADVECTION_TEST:
         return AdvectionTest()
     if t == ProblemType.LOCK_EXCHANGE:
         return LockExchange()
     if t == ProblemType.BEAM_GENERATION:
-        return BeamGeneration(background=bg, tidal_u0=ctx.tidal_u0[0],
+        prob = BeamGeneration(background=bg, tidal_u0=ctx.tidal_u0[0],
                               tidal_omega=ctx.tidal_omega,
                               ndim=ctx.amr.ndim,
                               sponge_time_coeff=ctx.sponge_time_coeff)
+        if sponge is not None:
+            prob.sponge = sponge   # ibc.spongeWidth* override
+        return prob
     if t == ProblemType.INTERNAL_WAVE:
         return InternalWave(background=bg)
     if t == ProblemType.TAYLOR_GREEN:
         return TaylorGreen(lengths=ctx.amr.length, nu=ctx.ns.nu)
     if t == ProblemType.VORTEX_STREET:
-        return VortexStreet()
+        return VortexStreet(sponge=sponge)
     if t == ProblemType.HORIZ_CONV:
         return HorizConv()
     if t == ProblemType.SOLITARY_WAVE:

@@ -101,9 +101,12 @@ class LevelProjector:
             return phi, (it, rr)
         if self.method == "bicgstab":
             jd0 = jgup_deltas[0] if jgup_deltas is not None else None
+            bp = BiCGStabParams(eps=self._mg_params.bottom_eps,
+                                imax=self._mg_params.bottom_imax,
+                                hang=self._mg_params.bottom_hang)
             return bicgstab(
                 lambda v: self.op.apply(v, jgup_delta=jd0), rhs, x0=phi0,
-                remove_mean=self.singular)
+                params=bp, remove_mean=self.singular)
         return self.mg.solve(rhs, phi0=phi0, singular=self.singular,
                              jgup_deltas=jgup_deltas)
 

@@ -123,6 +123,11 @@ class MGParams:
     max_depth: int = -1          # AMRMG.maxDepth
     relax_mode: str = "gsrb"     # -1 none / 0 jacobi / 1 gsrb / 3 line
     verbosity: int = 0
+    # Krylov (BiCGStab) bottom/fallback solver knobs (reference: the
+    # bottom.* input namespace, ProblemContext.cpp:1353+)
+    bottom_eps: float = 1e-6     # bottom.eps
+    bottom_imax: int = 80        # bottom.imax
+    bottom_hang: float = 1e-8    # bottom.hang
 
 
 class LevelMultigrid:
