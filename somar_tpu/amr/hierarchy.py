@@ -135,6 +135,7 @@ class PatchCoupling:
 
     def __init__(self, parent_geo, parent_halo_axes: Tuple[int, ...],
                  problem: Problem, params: NSParams, ratio: Tuple[int, ...],
+                 use_subcycling: bool = True, max_grid_size: int = 0,
                  patch_frac: float = 0.5, root_geo_source=None,
                  num_patches: int = 1):
         """root_geo_source: the domain's true coordinate map (the parent
@@ -153,7 +154,10 @@ class PatchCoupling:
                            else parent_geo.geo)
         self.is_mapped = not self.geo_source.is_uniform
         self.ratio = tuple(int(r) for r in ratio)
-        self.nt = max(self.ratio)           # time refinement (subcycles)
+        # time refinement: nt subcycles per coarse step, or lock-stepped
+        # fine advances with the coarse dt (reference: amr.useSubcycling,
+        # LepticAMR's non-subcycled branch)
+        self.nt = max(self.ratio) if use_subcycling else 1
         self.K = int(num_patches)
         if self.K > 1:
             assert not self.is_mapped, \
@@ -185,6 +189,10 @@ class PatchCoupling:
             else:
                 n_f = pvalid[d] * r
                 want = int(round(patch_frac * n_f))
+                if max_grid_size > 0:
+                    # reference amr.max_grid_size caps box extents; here
+                    # it caps the static patch interior (fine cells)
+                    want = min(want, max_grid_size)
                 want = max(4 * H, (want // (2 * r)) * (2 * r))
                 cap = n_f - 2 * max(H * r, H + r)
                 interior.append(min(want, cap))
@@ -523,7 +531,8 @@ class AMRHierarchy:
                  reflux: Sequence[str] = (),
                  implicit_reflux: bool = False,
                  regrid_smoothing_coeff: float = 0.0,
-                 num_patches: int = 1):
+                 num_patches: int = 1, use_subcycling: bool = True,
+                 max_grid_size: int = 0):
         """reflux: which advective fluxes get CF conservation corrections
         — any of "vel", "scalars", "lam" (reference knobs
         amr.advective_momentum/scalar/lambda_reflux; the shipped
@@ -571,6 +580,8 @@ class AMRHierarchy:
             K = self.num_patches if ilev == len(self.ratios) - 1 else 1
             c = PatchCoupling(parent_geo, parent_halo, problem, params,
                               rr, patch_frac=patch_frac,
+                              use_subcycling=use_subcycling,
+                              max_grid_size=max_grid_size,
                               root_geo_source=geo0.geo, num_patches=K)
             c._parent_level = parent_level
             if self.reflux_fields:

@@ -78,6 +78,8 @@ class PlotConfig:
     write_displacement: bool = True
     write_geometry: bool = False
     write_proc_ids: bool = False
+    write_level_ids: bool = False
+    write_grids: bool = False
     write_streamfunction: bool = False
     write_grad_e_lambda: bool = False
     write_ri: bool = False
@@ -126,6 +128,10 @@ class AMRConfig:
     # etaLambda, ProblemContext.cpp:1384-1401)
     apply_vd_correction: bool = False
     eta_lambda: float = 0.0
+    # reference: amr.useSubcycling (time refinement on/off) and
+    # amr.max_grid_size (box-extent cap -> static patch-interior cap)
+    use_subcycling: bool = True
+    max_grid_size: int = 0
 
 
 @dataclasses.dataclass
@@ -232,6 +238,8 @@ class ProblemContext:
                 pp.get_int("projection.applyVDCorrection", 0)),
             eta_lambda=pp.get_real("projection.etaLambda",
                                    pp.get_real("projection.eta", 0.0)),
+            use_subcycling=bool(pp.get_int("amr.useSubcycling", 1)),
+            max_grid_size=pp.get_int("amr.max_grid_size", 0),
         )
 
         kappa_raw = pp.get_real("amr.scal_diffusion_coeffs", 0.0)
@@ -327,7 +335,11 @@ class ProblemContext:
             write_displacement=bool(pp.get_int("plot.writeDisplacement", 1)),
             write_geometry=bool(pp.get_int("plot.writeGeometry", 0)),
             write_streamfunction=bool(
-                pp.get_int("plot.writeStreamFunction", 0)),
+                pp.get_int("plot.writeStreamFunction", 0)
+                or pp.get_int("plot.writeStreamfunction", 0)),
+            write_proc_ids=bool(pp.get_int("plot.writeProcIDs", 0)),
+            write_level_ids=bool(pp.get_int("plot.writeLevelIDs", 0)),
+            write_grids=bool(pp.get_int("plot.writeGrids", 0)),
             write_grad_e_lambda=bool(
                 pp.get_int("plot.writeGradELambda", 0)),
             write_ri=bool(pp.get_int("plot.writeRi", 0)),

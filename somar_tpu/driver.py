@@ -63,6 +63,8 @@ class RunDriver:
                                  or ctx.amr.implicit_momentum_reflux),
                 regrid_smoothing_coeff=ctx.amr.regrid_smoothing_coeff,
                 num_patches=ctx.amr.max_patches,
+                use_subcycling=ctx.amr.use_subcycling,
+                max_grid_size=ctx.amr.max_grid_size,
                 eta_lambda=(ctx.amr.eta_lambda
                             if ctx.amr.apply_vd_correction else 0.0))
             self.level = self.hierarchy.level0

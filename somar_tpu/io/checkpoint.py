@@ -198,6 +198,15 @@ def write_plotfile(path: str, state, level, step: int, plot_cfg=None):
         fields["Ri"] = np.asarray(compute_ri_number(level, state))
     if plot_cfg is not None and getattr(plot_cfg, "write_scalars_minus_background", False):
         fields["buoyancy_pert"] = np.asarray(state.scalars[0])
+    if plot_cfg is not None and getattr(plot_cfg, "write_level_ids", False):
+        # level id per cell (reference: writeLevelIDs); refined-level
+        # groups carry their own id via the group name
+        fields["levelIDs"] = np.zeros(grid.shape, np.float32)
+    if plot_cfg is not None and getattr(plot_cfg, "write_proc_ids", False):
+        # single-program SPMD: the "rank" of every cell is device 0 on the
+        # host side (shard ownership is a compiler decision, not a data
+        # layout; reference: writeProcIDs)
+        fields["procIDs"] = np.zeros(grid.shape, np.float32)
 
     with h5py.File(path, "w") as f:
         f.attrs["iteration"] = step

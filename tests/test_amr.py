@@ -471,3 +471,39 @@ def test_multipatch_two_blobs_activates_two_patches():
     assert np.all(np.isfinite(bf)) and bf.min() > -0.15 and bf.max() < 1.2
     s0, f = step(s0, fines2[0], origins2[0], dt, None, weights2)
     assert np.all(np.isfinite(np.asarray(f.vel)))
+
+
+def test_no_subcycling_mode():
+    """amr.useSubcycling=0: the fine level advances once per coarse step
+    with the coarse dt (reference: LepticAMR's non-subcycled branch)."""
+    from somar_tpu.config.parmparse import ParmParse
+    from somar_tpu.config.context import ProblemContext
+    from somar_tpu.driver import RunDriver
+    import tempfile
+
+    cfg = """
+    amr.nx = 48 16
+    amr.nx_offset = -24 0
+    amr.length = 15.0 2.0
+    amr.isPeriodic = 0 0
+    ibc.problem = 1
+    amr.gravityMethod = 1
+    amr.fixed_dt = 0.01
+    amr.maxsteps = 2
+    amr.final = 10.0
+    amr.maxlevel = 1
+    amr.refratio = 4 1
+    amr.useSubcycling = 0
+    amr.regrid_intervals = 10 10
+    amr.buoyancy_tag_tol = 0.2
+    AMRMG.eps = 1e-5
+    amr.verbosity = 0
+    """
+    ctx = ProblemContext.from_parmparse(ParmParse.from_string(cfg))
+    assert not ctx.amr.use_subcycling
+    with tempfile.TemporaryDirectory() as td:
+        driver = RunDriver(ctx, out_dir=td)
+        assert driver.hierarchy.couplings[0].nt == 1
+        state, steps = driver.run(verbose=False)
+    assert steps == 2
+    assert np.all(np.isfinite(np.asarray(state.vel)))
