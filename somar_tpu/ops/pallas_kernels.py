@@ -71,8 +71,17 @@ def _plan_blocking(shape: Tuple[int, ...], ax: int):
                 if n % d == 0 and d % multiple == 0]
 
     def bytes_of(blk):
+        # budget with the TILE-PADDED footprint: Mosaic rounds the lane
+        # dim up to 128 and the sublane dim up to 8 (e.g. a 264-lane
+        # block occupies 384 lanes of VMEM — 1.45x the logical bytes;
+        # budgeting logical bytes OOMs the 16 MB scoped vmem at odd
+        # domain sizes)
         b = 4
-        for v in blk:
+        for i, v in enumerate(blk):
+            if i == ndim - 1:
+                v = ((v + 127) // 128) * 128
+            elif i == ndim - 2:
+                v = ((v + 7) // 8) * 8
             b *= v
         return b
 

@@ -55,6 +55,25 @@ def _dst2_matrix(n: int) -> Tuple[np.ndarray, np.ndarray]:
     return t[:, None] * Q, np.arange(n) + 1
 
 
+def _axis_eigenbasis(n: int, lo_type: BCType,
+                     hi_type: BCType) -> Tuple[np.ndarray, np.ndarray]:
+    """Numerically diagonalize the 1D 3-point operator for any mix of
+    non-periodic homogeneous end conditions.  Ghost formulas per end:
+    NEUMANN mirror (g = c0), DIRICHLET anti-mirror (g = -c0), CF ghost
+    cells hold external data -> 0 in the homogeneous operator (the AMR
+    patch case; inhomogeneous CF data is folded into the RHS by the ring
+    machinery, projector._rhs_ring_correction).  The matrix is symmetric
+    tridiagonal, so eigh returns an orthonormal eigenbasis; for same-type
+    ends this reproduces the DCT-II / DST-II / DST-I families."""
+    A = np.diag(np.full(n, -2.0)) + np.diag(np.ones(n - 1), 1) \
+        + np.diag(np.ones(n - 1), -1)
+    end = {BCType.NEUMANN: -1.0, BCType.DIRICHLET: -3.0, BCType.CF: -2.0}
+    A[0, 0] = end[lo_type]
+    A[n - 1, n - 1] = end[hi_type]
+    lam, V = np.linalg.eigh(A)
+    return V.T, lam   # rows = eigenvectors; lam in units of 1/dx^2-free
+
+
 def _fourier_matrix(n: int) -> Tuple[np.ndarray, np.ndarray]:
     """Real orthonormal Fourier rows + per-row wavenumber m (periodic)."""
     j = np.arange(n)
@@ -89,12 +108,17 @@ class FFTPoissonSolver:
             if blo.type == BCType.PERIODIC:
                 Qm, modes = _fourier_matrix(n)
                 lam = (2.0 * np.cos(2.0 * np.pi * modes / n) - 2.0) / dx**2
-            elif blo.type == BCType.NEUMANN:
+            elif blo.type == BCType.NEUMANN and bhi.type == BCType.NEUMANN:
                 Qm, modes = _dct2_matrix(n)
                 lam = (2.0 * np.cos(np.pi * modes / n) - 2.0) / dx**2
-            else:  # hom Dirichlet
+            elif blo.type == BCType.DIRICHLET \
+                    and bhi.type == BCType.DIRICHLET:
                 Qm, modes = _dst2_matrix(n)
                 lam = (2.0 * np.cos(np.pi * modes / n) - 2.0) / dx**2
+            else:
+                # mixed ends and/or CF ghost-zero (AMR patch levels)
+                Qm, lam = _axis_eigenbasis(n, blo.type, bhi.type)
+                lam = lam / dx**2
             # orthonormality sanity (float64 build)
             err = np.abs(Qm @ Qm.T - np.eye(n)).max()
             assert err < 1e-10, f"transform not orthonormal: {err}"
@@ -104,20 +128,27 @@ class FFTPoissonSolver:
             lam_total = lam_total + jnp.asarray(
                 lam.reshape(shape).astype(np.float32))
         self.lam = lam_total
-        self.singular = True
+        # the constant mode exists only when every axis is pure
+        # Neumann/periodic; any Dirichlet or CF end pins the solution
+        self.singular = all(
+            bcs.lo[d].type in (BCType.PERIODIC, BCType.NEUMANN)
+            and bcs.hi[d].type in (BCType.PERIODIC, BCType.NEUMANN)
+            for d in range(grid.ndim))
 
     @staticmethod
     def supports(geo: LevelGeometry, bcs: FieldBCs) -> bool:
         if not geo.is_uniform:
             return False
+
+        def hom_end(b):
+            return (b.type in (BCType.NEUMANN, BCType.DIRICHLET, BCType.CF)
+                    and np.ndim(b.value) == 0 and float(b.value) == 0.0)
+
         for d in range(geo.grid.ndim):
             lo, hi = bcs.lo[d], bcs.hi[d]
-            ok = (lo.type == BCType.PERIODIC and hi.type == BCType.PERIODIC) \
-                or (lo.type == BCType.NEUMANN and hi.type == BCType.NEUMANN
-                    and lo.value == 0.0 and hi.value == 0.0) \
-                or (lo.type == BCType.DIRICHLET
-                    and hi.type == BCType.DIRICHLET
-                    and lo.value == 0.0 and hi.value == 0.0)
+            ok = (lo.type == BCType.PERIODIC
+                  and hi.type == BCType.PERIODIC) \
+                or (hom_end(lo) and hom_end(hi))
             if not ok:
                 return False
         return True

@@ -68,3 +68,64 @@ def test_fft_rejects_mapped_and_inhomogeneous():
     assert not FFTPoissonSolver.supports(lg, bad)
     ext = FieldBCs.uniform(BC.extrap(1), 2)
     assert not FFTPoissonSolver.supports(lg, ext)
+
+
+def test_spectral_cf_ghost_zero_matches_mg():
+    """AMR-patch operator: CF ghost-zero ends diagonalize in the DST-I
+    family; the spectral solve must agree with multigrid."""
+    import numpy as np
+    from somar_tpu.core.bc import BC, BCType, FieldBCs
+    from somar_tpu.core.grid import Grid
+    from somar_tpu.geometry.geo_source import CartesianMap
+    from somar_tpu.geometry.level_geometry import build_level_geometry
+    from somar_tpu.solvers.fft_poisson import FFTPoissonSolver
+    from somar_tpu.solvers.multigrid import LevelMultigrid, MGParams
+
+    g = Grid(nx=(48, 16), dx=(1.0 / 48, 1.0 / 16), periodic=(False, False))
+    lg = build_level_geometry(g, CartesianMap())
+    # x: CF both sides (patch interior), z: Neumann walls
+    bcs = FieldBCs(lo=(BC.cf(0.0), BC.neumann(0.0)),
+                   hi=(BC.cf(0.0), BC.neumann(0.0)))
+    assert FFTPoissonSolver.supports(lg, bcs)
+    fft = FFTPoissonSolver(lg, bcs)
+    assert not fft.singular
+    from somar_tpu.solvers.poisson_op import PoissonOp
+    op = PoissonOp(lg, bcs)
+
+    rng = np.random.default_rng(0)
+    rhs = jnp.asarray(rng.normal(size=g.shape).astype(np.float32))
+    p_fft = fft.solve(rhs)
+    resid = op.apply(p_fft, 0.0, 1.0, homogeneous=True) - rhs
+    rel = float(jnp.max(jnp.abs(resid))) / float(jnp.max(jnp.abs(rhs)))
+    assert rel < 1e-4, rel
+    # and it beats a few MG V-cycles on the same operator
+    mg = LevelMultigrid(lg, bcs, params=MGParams(eps=1e-8, imax=60))
+    p_mg, _ = mg.solve(rhs)
+    resid_mg = op.apply(p_mg, 0.0, 1.0, homogeneous=True) - rhs
+    assert float(jnp.max(jnp.abs(resid))) <=         float(jnp.max(jnp.abs(resid_mg))) + 1e-6
+
+
+def test_spectral_mixed_end_axis():
+    """Mixed Neumann-lo / Dirichlet-hi axis via the numeric eigenbasis."""
+    import numpy as np
+    from somar_tpu.core.bc import BC, FieldBCs
+    from somar_tpu.core.grid import Grid
+    from somar_tpu.geometry.geo_source import CartesianMap
+    from somar_tpu.geometry.level_geometry import build_level_geometry
+    from somar_tpu.solvers.fft_poisson import FFTPoissonSolver
+    from somar_tpu.solvers.poisson_op import PoissonOp
+
+    g = Grid(nx=(32, 16), dx=(1.0 / 32, 1.0 / 16), periodic=(False, False))
+    lg = build_level_geometry(g, CartesianMap())
+    bcs = FieldBCs(lo=(BC.neumann(0.0), BC.dirichlet(0.0)),
+                   hi=(BC.dirichlet(0.0), BC.neumann(0.0)))
+    assert FFTPoissonSolver.supports(lg, bcs)
+    fft = FFTPoissonSolver(lg, bcs)
+    op = PoissonOp(lg, bcs)
+
+    rng = np.random.default_rng(1)
+    rhs = jnp.asarray(rng.normal(size=g.shape).astype(np.float32))
+    phi = fft.solve(rhs)
+    resid = op.apply(phi, 0.0, 1.0, homogeneous=True) - rhs
+    rel = float(jnp.max(jnp.abs(resid))) / float(jnp.max(jnp.abs(rhs)))
+    assert rel < 1e-3, rel
