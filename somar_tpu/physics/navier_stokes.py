@@ -405,20 +405,12 @@ class NSLevel:
             return out, fluxes
         return out
 
-    def get_new_scalars_and_lambda(self, state: NSState, dt,
-                                   collect: Optional[dict] = None):
-        """Advect + diffuse the scalars and the freestream tracer lambda
-        (reference: getNewScalar / getNewLambda,
-        AMRNavierStokesAdvancePPM.cpp:379-789, :306-377).  With `collect`
-        (a dict), the per-component interface fluxes are stored under
-        collect["scalars"] / collect["lam"] for AMR refluxing."""
-        u_mapped = None  # traces use the shared self._u_pad fills
-        nscal = self.problem.num_scalars
+    def _scalar_sources(self, state: NSState, dt):
+        """Per-component CC source terms for the scalar traces (background
+        advection w N^2 in explicit-gravity mode + sponge damping)."""
         _, sponge_s = self._sponge_source(state.vel, state.scalars, dt)
-        out = []
-        fluxes_out = []
-        for c in range(nscal):
-            s = state.scalars[c]
+        srcs = []
+        for c in range(self.problem.num_scalars):
             src = None
             if c == 0:
                 parts = []
@@ -430,9 +422,37 @@ class NSLevel:
                     parts.append(sponge_s)
                 if parts:
                     src = sum(parts)
-            adv = self._advect_update(s, u_mapped, src, dt, self.scal_bcs,
-                                      self.params.advection_scal,
-                                      return_fluxes=collect is not None)
+            srcs.append(src)
+        return srcs
+
+    def get_new_scalars_and_lambda(self, state: NSState, dt,
+                                   collect: Optional[dict] = None,
+                                   adv_terms=None):
+        """Advect + diffuse the scalars and the freestream tracer lambda
+        (reference: getNewScalar / getNewLambda,
+        AMRNavierStokesAdvancePPM.cpp:379-789, :306-377).  With `collect`
+        (a dict), the per-component interface fluxes are stored under
+        collect["scalars"] / collect["lam"] for AMR refluxing.
+
+        adv_terms: optional precomputed advection terms
+        (scal_terms, lam_term) — the sharded step's shard_map islands
+        compute them with explicit halo exchange (parallel/sharded_step)."""
+        assert adv_terms is None or collect is None
+        u_mapped = None  # traces use the shared self._u_pad fills
+        nscal = self.problem.num_scalars
+        srcs = self._scalar_sources(state, dt)
+        out = []
+        fluxes_out = []
+        for c in range(nscal):
+            s = state.scalars[c]
+            src = srcs[c]
+            if adv_terms is not None:
+                adv = adv_terms[0][c]
+            else:
+                adv = self._advect_update(s, u_mapped, src, dt,
+                                          self.scal_bcs,
+                                          self.params.advection_scal,
+                                          return_fluxes=collect is not None)
             if collect is not None:
                 adv, fl = adv
                 fluxes_out.append(fl)
@@ -445,9 +465,13 @@ class NSLevel:
         if collect is not None:
             collect["scalars"] = tuple(fluxes_out)
         # the freestream tracer (conservative, no diffusion)
-        adv = self._advect_update(state.lam, u_mapped, None, dt,
-                                  self.lam_bcs, self.params.advection_scal,
-                                  return_fluxes=collect is not None)
+        if adv_terms is not None:
+            adv = adv_terms[1]
+        else:
+            adv = self._advect_update(state.lam, u_mapped, None, dt,
+                                      self.lam_bcs,
+                                      self.params.advection_scal,
+                                      return_fluxes=collect is not None)
         if collect is not None:
             adv, fl = adv
             collect["lam"] = fl
@@ -457,11 +481,15 @@ class NSLevel:
     # ----------------------------------------------------------- velocity
     def get_new_velocity(self, state: NSState, u_mapped, adv_vel, src_vel,
                          grav, tidal, sponge_v, grad_p, dt,
-                         collect: Optional[dict] = None):
+                         collect: Optional[dict] = None, adv_terms=None):
         """Conservative momentum advection + forcing + implicit viscosity
         (reference: getNewVelocity, AMRNavierStokesAdvancePPM.cpp:791-1352).
         The momentum fluxes re-upwind the advecting-velocity prediction's
-        pre-Riemann states against the projected velocity."""
+        pre-Riemann states against the projected velocity.
+
+        adv_terms: optional precomputed per-component advection terms
+        (the sharded step's shard_map islands)."""
+        assert adv_terms is None or collect is None
         grid = self.grid
         ndim = grid.ndim
         new_vel = []
@@ -469,12 +497,16 @@ class NSLevel:
         pre = getattr(self, "_vel_pre_states", None)
         for m in range(ndim):
             src_m = src_vel[m] if src_vel is not None else None
-            adv = self._advect_update(state.vel[m], u_mapped, src_m, dt,
-                                      self.vel_bcs_trace[m],
-                                      self.params.advection_vel,
-                                      return_fluxes=collect is not None,
-                                      pre_states=(pre[m] if pre is not None
-                                                  else None))
+            if adv_terms is not None:
+                adv = adv_terms[m]
+            else:
+                adv = self._advect_update(state.vel[m], u_mapped, src_m, dt,
+                                          self.vel_bcs_trace[m],
+                                          self.params.advection_vel,
+                                          return_fluxes=collect is not None,
+                                          pre_states=(pre[m]
+                                                      if pre is not None
+                                                      else None))
             if collect is not None:
                 adv, fl = adv
                 fluxes_out.append(fl)

@@ -95,3 +95,93 @@ import __graft_entry__ as ge
 ge.dryrun_multichip(8)
 """)
     assert "ok" in out
+
+
+def test_sharded_step_parity_2dev():
+    """ShardedNSStep (shard_map advection islands + GSPMD solves) must
+    reproduce the single-device step to f32 roundoff — walls along the
+    sharded direction (lock exchange) AND a periodic sharded direction
+    (Taylor-Green)."""
+    env = dict(_ENV)
+    env["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=2").strip()
+    r = subprocess.run([sys.executable, "-c", """
+import numpy as np, jax, jax.numpy as jnp
+from somar_tpu.parallel.mesh import make_mesh, shard_ns_state
+from somar_tpu.parallel.sharded_step import ShardedNSStep
+from somar_tpu.core.grid import Grid
+from somar_tpu.geometry.geo_source import CartesianMap
+from somar_tpu.geometry.level_geometry import build_level_geometry
+from somar_tpu.physics.navier_stokes import NSLevel, NSParams
+from somar_tpu.solvers.multigrid import MGParams
+from somar_tpu.problems.taylor_green import TaylorGreen
+import __graft_entry__ as ge
+
+dt = jnp.asarray(0.005, jnp.float32)
+mesh = make_mesh(2, axes=("x",))
+
+# 3-step 3D lock exchange: viscosity + diffusion + explicit gravity,
+# solid walls along the sharded x direction
+level, grid = ge._build_level(nx=32, nz=8, ny=8, mg_eps=1e-6)
+state0 = level.initial_state()
+step = jax.jit(lambda s, d: level.advance(s, d))
+ref = state0
+for _ in range(3):
+    ref = step(ref, dt)
+ss = ShardedNSStep(level, mesh)
+sstep = jax.jit(lambda s, d: ss.advance(s, d))
+out = shard_ns_state(state0, grid, mesh)
+for _ in range(3):
+    out = sstep(out, dt)
+for f in ("vel", "scalars", "lam", "mac_phi", "pressure"):
+    a, b = getattr(out, f), getattr(ref, f)
+    err = float(jnp.max(jnp.abs(a - b)))
+    scale = float(jnp.max(jnp.abs(b))) + 1e-12
+    # the projection potentials solve a SINGULAR Poisson problem: their
+    # null-space component amplifies roundoff differences; the physical
+    # fields see only the gradient
+    tol = 1e-2 if f in ("mac_phi",) else 2e-5
+    assert err / scale < tol, (f, err / scale)
+
+# 2D Taylor-Green: periodic sharded direction (ppermute wrap halos)
+g2 = Grid(nx=(32, 16), dx=(2 * np.pi / 32, 2 * np.pi / 16),
+          periodic=(True, True))
+geo2 = build_level_geometry(g2, CartesianMap())
+lev2 = NSLevel(geo2, TaylorGreen(),
+               NSParams(nu=1e-2, kappa=(0.0,), gravity_method=0,
+                        mg=MGParams(eps=1e-6)))
+s2 = lev2.initial_state()
+r2 = jax.jit(lambda s, d: lev2.advance(s, d))(s2, dt)
+ss2 = ShardedNSStep(lev2, mesh)
+o2 = jax.jit(lambda s, d: ss2.advance(s, d))(shard_ns_state(s2, g2, mesh), dt)
+err2 = float(jnp.max(jnp.abs(o2.vel - r2.vel)))
+scale2 = float(jnp.max(jnp.abs(r2.vel))) + 1e-12
+assert err2 / scale2 < 2e-5, err2 / scale2
+print("sharded-step parity ok")
+"""], env=env, capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, r.stdout + "\n" + r.stderr
+    assert "sharded-step parity ok" in r.stdout
+
+
+@_SKIP_SLOW
+def test_sharded_step_parity_8dev():
+    out = _run("""
+import numpy as np, jax, jax.numpy as jnp
+from somar_tpu.parallel.mesh import make_mesh, shard_ns_state
+from somar_tpu.parallel.sharded_step import ShardedNSStep
+import __graft_entry__ as ge
+
+level, grid = ge._build_level(nx=64, nz=8, ny=8, mg_eps=1e-5)
+state = level.initial_state()
+dt = jnp.asarray(0.005, jnp.float32)
+ref = jax.jit(lambda s, d: level.advance(s, d))(state, dt)
+mesh = make_mesh(8, axes=("x",))
+ss = ShardedNSStep(level, mesh)
+out = jax.jit(lambda s, d: ss.advance(s, d))(
+    shard_ns_state(state, grid, mesh), dt)
+err = float(jnp.max(jnp.abs(out.vel - ref.vel)))
+scale = float(jnp.max(jnp.abs(ref.vel))) + 1e-12
+assert err / scale < 2e-5, err / scale
+print("8dev sharded ok")
+""")
+    assert "8dev sharded ok" in out
