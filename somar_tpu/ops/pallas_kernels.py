@@ -175,7 +175,7 @@ def _kriemann(lo, hi, vf):
 # --------------------------------------------------------------------------
 # P1: fused PPM stage-1 predictor (+ shared transverse correction)
 # --------------------------------------------------------------------------
-def _ppm_kernel(sp_ref, up_ref, scal_ref, lo_ref, hi_ref, rie_ref,
+def _ppm_kernel(sp_ref, up_ref, scal_ref, lo_ref, hi_ref,
                 corr_ref, *, ax: int, use_limiting: bool):
     """One fused PPM stage-1 pass along array axis `ax` of the block.
     scal_ref holds [dt/dx, corr_coef/dx] in SMEM."""
@@ -236,10 +236,12 @@ def _ppm_kernel(sp_ref, up_ref, scal_ref, lo_ref, hi_ref, rie_ref,
     lo_ref[...] = lo
     hi_ref[...] = hi
 
-    # stage-1 Riemann with the face-averaged tracing velocity
+    # stage-1 Riemann with the face-averaged tracing velocity (internal
+    # only — the rie states feed the shared transverse correction and are
+    # never consumed downstream, so emitting them would waste a full
+    # padded-array HBM write per trace direction)
     vf = 0.5 * (u + _kshift_p(u, ax))
     rie = _kriemann(lo, hi, vf)
-    rie_ref[...] = rie
 
     # shared transverse correction: -coef * u * d(rie)/dxi at cells
     corr_ref[...] = -corr_coef * u * (rie - _kshift_m(rie, ax))
@@ -252,7 +254,7 @@ def ppm_predict_pallas(sp, up, dt_over_dx, ax: int, use_limiting: bool,
     sp, up: padded scalar / tracing velocity (same shape).
     corr_coef_over_dx: coefficient/dx of the emitted transverse correction
     (dt/3/dx for the 3D stage 2, dt/2/dx for the 2D stage 3).
-    Returns (lo, hi, rie, corr2) face-indexed arrays of the SAME shape as
+    Returns (lo, hi, corr2) face-indexed arrays of the SAME shape as
     sp (entry f = face between cells f | f+1; tail entry along ax junk).
     """
     plan = _plan_blocking(sp.shape, ax)
@@ -271,7 +273,7 @@ def ppm_predict_pallas(sp, up, dt_over_dx, ax: int, use_limiting: bool,
     ]
     out_specs = tuple(_spec_for(out_shape, block, grid_axes, ndim,
                                 full_shape=sp.shape)
-                      for _ in range(4))
+                      for _ in range(3))
     kern = functools.partial(_ppm_kernel, ax=ax, use_limiting=use_limiting)
     scal = jnp.stack([jnp.asarray(dt_over_dx, sp.dtype),
                       jnp.asarray(corr_coef_over_dx, sp.dtype)])
@@ -281,7 +283,7 @@ def ppm_predict_pallas(sp, up, dt_over_dx, ax: int, use_limiting: bool,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=tuple(jax.ShapeDtypeStruct(out_shape, sp.dtype)
-                        for _ in range(4)),
+                        for _ in range(3)),
         interpret=interpret,
     )(sp, up, scal)
 
@@ -349,15 +351,20 @@ def ctu_corr3_pallas(lo1_j, hi1_j, u_pad_j, corr2_list: Sequence,
 # --------------------------------------------------------------------------
 # P3: stage-3 assembly + final Riemann against the advecting velocity
 # --------------------------------------------------------------------------
-def _final_kernel(*refs, ax: int, nc3: int, has_src: bool, want_pre: bool):
-    """refs = (lo1, hi1, adv, c3_0..c3_{nc3-1}[, src], scal,
-               rie[, lo_f, hi_f]); the only stencil is the shift of the
+def _final_kernel(*refs, ax: int, nc3: int, has_src: bool, want_pre: bool,
+                  want_rie: bool):
+    """refs = (lo1, hi1[, adv], c3_0..c3_{nc3-1}[, src], scal,
+               [rie][, lo_f, hi_f]); the only stencil is the shift of the
     correction sum along ax (the face-normal direction)."""
     lo1 = refs[0][...]
     hi1 = refs[1][...]
-    adv = refs[2][...]
-    c3s = [refs[3 + i][...] for i in range(nc3)]
-    idx = 3 + nc3
+    idx = 2
+    adv = None
+    if want_rie:
+        adv = refs[idx][...]
+        idx += 1
+    c3s = [refs[idx + i][...] for i in range(nc3)]
+    idx += nc3
     src = refs[idx][...] if has_src else None
     scal = refs[idx + (1 if has_src else 0)]
     outs = refs[idx + (1 if has_src else 0) + 1:]
@@ -369,22 +376,28 @@ def _final_kernel(*refs, ax: int, nc3: int, has_src: bool, want_pre: bool):
         csum = csum + scal[0] * src
     lo_f = lo1 + csum
     hi_f = hi1 + _kshift_p(csum, ax)
-    outs[0][...] = _kriemann(lo_f, hi_f, adv)
+    o = 0
+    if want_rie:
+        outs[o][...] = _kriemann(lo_f, hi_f, adv)
+        o += 1
     if want_pre:
-        outs[1][...] = lo_f
-        outs[2][...] = hi_f
+        outs[o][...] = lo_f
+        outs[o + 1][...] = hi_f
 
 
 def ctu_final_pallas(lo1_d, hi1_d, adv_pad_d, c3_list: Sequence,
                      src_pad, half_dt, ax: int, want_pre: bool = False,
-                     interpret: bool = False):
+                     want_rie: bool = True, interpret: bool = False):
     """Final face states of direction d (array axis `ax`), all padded
     face-indexed shapes:
       csum = sum(c3_list) + (dt/2) src
       lo_f = lo1 + csum;  hi_f = hi1 + shift_p(csum, ax)
       rie  = Riemann(lo_f, hi_f, adv_pad)
-    Returns (rie,) or (rie, lo_f, hi_f) when want_pre.  None if no
-    feasible blocking."""
+    Returns (rie,[ lo_f, hi_f]) per the want_rie/want_pre flags (callers
+    that re-upwind the pre-Riemann states against a later advecting
+    velocity skip the rie write — a full padded-array HBM store).  None
+    if no feasible blocking."""
+    assert want_rie or want_pre
     plan = _plan_blocking(lo1_d.shape, ax)
     if plan is None:
         return None
@@ -392,10 +405,13 @@ def ctu_final_pallas(lo1_d, hi1_d, adv_pad_d, c3_list: Sequence,
     ndim = lo1_d.ndim
     has_src = src_pad is not None
     nc3 = len(c3_list)
-    arrs = (lo1_d, hi1_d, adv_pad_d) + tuple(c3_list)
+    arrs = (lo1_d, hi1_d)
+    if want_rie:
+        arrs = arrs + (adv_pad_d,)
+    arrs = arrs + tuple(c3_list)
     if has_src:
         arrs = arrs + (src_pad,)
-    nout = 3 if want_pre else 1
+    nout = (1 if want_rie else 0) + (2 if want_pre else 0)
 
     in_specs = ([_spec_for(a.shape, block, grid_axes, ndim,
                            full_shape=lo1_d.shape) for a in arrs]
@@ -404,7 +420,8 @@ def ctu_final_pallas(lo1_d, hi1_d, adv_pad_d, c3_list: Sequence,
                                 full_shape=lo1_d.shape)
                       for _ in range(nout))
     kern = functools.partial(_final_kernel, ax=ax, nc3=nc3,
-                             has_src=has_src, want_pre=want_pre)
+                             has_src=has_src, want_pre=want_pre,
+                             want_rie=want_rie)
     scal = jnp.stack([jnp.asarray(half_dt, lo1_d.dtype)])
     out = pl.pallas_call(
         kern,

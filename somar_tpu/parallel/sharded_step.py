@@ -226,11 +226,13 @@ class ShardedNSStep:
         pre_vel = []
         for m in range(ndim):
             src_m = self._extend(src_vel[m], lev.vel_bcs_trace[m])
+            # uniform metric: only the normal component's Riemann output
+            # feeds the MAC flux; skip the other dirs' P3 stores
             faces, pre = trace_face_states(
                 velx[m], u_mapped, prov_pad, src_m, dt, geo,
                 self.vel_bcs[m], lev.params.advection_vel,
                 vel_bcs=self.vel_bcs, u_pad=u_pad,
-                return_pre_riemann=True, padded=True)
+                return_pre_riemann=True, padded=True, rie_dirs=[m])
             predicted.append(faces)
             pre_vel.append(pre)
 
@@ -248,13 +250,15 @@ class ShardedNSStep:
             _, pre = trace_face_states(
                 s_ext, None, prov_pad, src_c, dt, geo, self.scal_bcs,
                 lev.params.advection_scal, vel_bcs=self.vel_bcs,
-                u_pad=u_pad, return_pre_riemann=True, padded=True)
+                u_pad=u_pad, return_pre_riemann=True, padded=True,
+                rie_dirs=[])   # upwinding deferred to island B
             pre_scal.append(pre)
         lam_ext = self._extend(lam, lev.lam_bcs)
         _, pre_lam = trace_face_states(
             lam_ext, None, prov_pad, None, dt, geo, self.lam_bcs,
             lev.params.advection_scal, vel_bcs=self.vel_bcs,
-            u_pad=u_pad, return_pre_riemann=True, padded=True)
+            u_pad=u_pad, return_pre_riemann=True, padded=True,
+            rie_dirs=[])
 
         return rhs, tuple(adv), tuple(pre_vel), tuple(pre_scal), pre_lam
 

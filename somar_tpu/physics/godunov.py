@@ -148,6 +148,7 @@ def trace_face_states(
     out_dirs: Optional[Sequence[int]] = None,
     return_pre_riemann: bool = False,
     padded: bool = False,
+    rie_dirs: Optional[Sequence[int]] = None,
 ):
     """Predict time-centered upwind face states of `s` in every direction.
 
@@ -169,6 +170,13 @@ def trace_face_states(
     velocity (the NS step's momentum update re-uses the advecting
     -velocity prediction's traces, riemann_from_states below) skips the
     whole predictor.
+
+    rie_dirs: restrict which directions' FINAL Riemann outputs are wanted
+    (requires return_pre_riemann for the others to be meaningful).  With
+    the P3 Pallas kernel this skips a full padded-array HBM store per
+    excluded direction — XLA DCEs unused jnp outputs on its own, but a
+    kernel's outputs are explicit writes.  Excluded entries of the
+    returned faces tuple are None.
     """
     grid = geo.grid
     ndim = grid.ndim
@@ -211,7 +219,7 @@ def trace_face_states(
             rie_d = _riemann(lo_d, hi_d, face_avg(u_pad[d], ax))
             c2_d = -coef * u_pad[d] * _cc_deriv(rie_d, ax, grid.dx[d])
         else:
-            lo_d, hi_d, _, c2_d = got
+            lo_d, hi_d, c2_d = got
         lo1.append(lo_d)
         hi1.append(hi_d)
         corr2.append(c2_d)
@@ -256,18 +264,23 @@ def trace_face_states(
     pre = {}
     for d in dirs:
         ax = grid.axis(d)
+        want_rie_d = rie_dirs is None or d in rie_dirs
         c3_list = ([corr3[(j, 3 - d - j)] for j in range(ndim) if j != d]
                    if ndim == 3 else [corr2[1 - d]])
         got = None
-        if use_pallas and padded:
+        if use_pallas and padded and (want_rie_d or return_pre_riemann):
             from somar_tpu.ops.pallas_kernels import ctu_final_pallas
             got = ctu_final_pallas(lo1[d], hi1[d], adv_vel[d], c3_list,
                                    src_pad, 0.5 * dt, ax,
-                                   want_pre=return_pre_riemann)
+                                   want_pre=return_pre_riemann,
+                                   want_rie=want_rie_d)
         if got is not None:
-            out[d] = got[0]
+            i = 0
+            if want_rie_d:
+                out[d] = got[0]
+                i = 1
             if return_pre_riemann:
-                pre[d] = (got[1], got[2])
+                pre[d] = (got[i], got[i + 1])
             continue
         csum = c3_list[0]
         for c in c3_list[1:]:
@@ -502,11 +515,11 @@ def trace_face_states_batched(
             lo_d, hi_d = _normal_predict_fullpad(
                 sp, upl[d], ax, G, grid.dx[d], dt, params)
             rie_d = _riemann(lo_d, hi_d, face_avg(upl[d], ax))
-            got = (lo_d, hi_d, rie_d,
+            got = (lo_d, hi_d,
                    -coef * upl[d] * _cc_deriv(rie_d, ax, grid.dx[d]))
         lo1.append(got[0])
         hi1.append(got[1])
-        corr2.append(got[3])
+        corr2.append(got[2])
 
     dirs = list(range(ndim)) if out_dirs is None else list(out_dirs)
     corr3 = {}

@@ -329,11 +329,18 @@ class NSLevel:
         self._vel_pre_states = []
         for m in range(ndim):
             src_m = src_vel[m] if src_vel is not None else None
+            # identity einv (uniform/Cartesian): the advecting flux on
+            # d-faces reads only component m=d's Riemann output, so the
+            # other directions' P3 kernels skip that padded-array store
+            # (the pre-Riemann states are still emitted for the momentum
+            # update's re-upwinding)
+            rie_dirs = [m] if geo.einv_cc is None else None
             faces, pre = trace_face_states(
                 vel[m], u_mapped, prov_pad, src_m, dt, geo,
                 self.vel_bcs_trace[m], self.params.advection_vel,
                 vel_bcs=self.vel_bcs_trace,
-                u_pad=u_pad, return_pre_riemann=True, padded=True)
+                u_pad=u_pad, return_pre_riemann=True, padded=True,
+                rie_dirs=rie_dirs)
             predicted.append(faces)
             self._vel_pre_states.append(pre)
 
