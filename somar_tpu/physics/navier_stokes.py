@@ -141,6 +141,11 @@ class NSLevel:
                                  self.vel_bcs_visc[m], params.nu,
                                  params.mg, params.dtype)
                 for m in range(ndim)]
+            from somar_tpu.solvers.parabolic import BatchedSpectralHeat
+            self._visc_batched = (
+                BatchedSpectralHeat(self.visc_solvers)
+                if BatchedSpectralHeat.supports(self.visc_solvers)
+                else None)
         self.diff_solvers = []
         # diffusive TGA/CN solves use no-flux (adiabatic Neumann) walls,
         # not the tracing extrapolation fills (reference: the separate
@@ -525,14 +530,20 @@ class NSLevel:
             if sponge_v is not None:
                 force = force + sponge_v[m]
             total_src = -adv + force
-            if self.is_viscous:
+            if self.is_viscous and self._visc_batched is not None:
+                new_vel.append(total_src)   # stacked + solved below
+            elif self.is_viscous:
                 u_new, _ = self.visc_solvers[m].update(state.vel[m],
                                                        total_src, dt)
+                new_vel.append(u_new)
             else:
-                u_new = state.vel[m] + dt * total_src
-            new_vel.append(u_new)
+                new_vel.append(state.vel[m] + dt * total_src)
         if collect is not None:
             collect["vel"] = tuple(fluxes_out)
+        if self.is_viscous and self._visc_batched is not None:
+            # one batched spectral round-trip for all components
+            return self._visc_batched.update(state.vel,
+                                             jnp.stack(new_vel), dt)
         return jnp.stack(new_vel)
 
     # ------------------------------------------------------------ advance
@@ -582,6 +593,9 @@ class NSLevel:
 
         u_mapped = self.geo.to_mapped(state.vel)
         # one shared ghost fill of the tracing velocities for all traces
+        # (NO barrier: a pad duplicated into each consumer is only a
+        # re-read of the unpadded source — forcing materialization here
+        # measured ~7 ms SLOWER at the 512 bench)
         from somar_tpu.core.bc import fill_ghosts_cc
         self._u_pad = [fill_ghosts_cc(u_mapped[d], grid,
                                       self.vel_bcs_trace[d], ADVECT_GROW)

@@ -153,6 +153,16 @@ class FFTPoissonSolver:
                 return False
         return True
 
+    def fwd(self, x):
+        """Forward transform to the eigenbasis (public for callers that
+        combine several diagonal operations per round-trip, e.g. the
+        parabolic schemes' fused updates)."""
+        return self._apply(x.astype(self.dtype), transpose=False)
+
+    def inv(self, x):
+        """Inverse (transpose) transform from the eigenbasis."""
+        return self._apply(x, transpose=True).astype(self.dtype)
+
     def _apply(self, x, transpose: bool):
         """Multiply every axis by its transform matrix (MXU einsums).
 

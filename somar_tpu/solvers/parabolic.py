@@ -86,9 +86,20 @@ class BackwardEuler(BaseHeatSolver):
 
 class CrankNicolson(BaseHeatSolver):
     """(I - dt/2 kappa L) s^{n+1} = (I + dt/2 kappa L) s^n + dt S
-    (reference: MappedLevelCrankNicolson)."""
+    (reference: MappedLevelCrankNicolson).
+
+    Spectral fast path: both the explicit (I + h L) application and the
+    implicit solve are diagonal in the same eigenbasis, so the whole
+    update is ONE forward + ONE inverse transform round-trip."""
 
     def update(self, s, src, dt):
+        if self._fft is not None:
+            f = self._fft
+            h = 0.5 * dt * self.kappa
+            num = (1.0 + h * f.lam) * f.fwd(s)
+            if src is not None:
+                num = num + dt * f.fwd(src)
+            return f.inv(num / (1.0 - h * f.lam)), (1, 0.0)
         half = 0.5 * dt * self.kappa
         rhs = s + half * self._apply_lap(s) + (dt * src if src is not None else 0.0)
         return self._helmholtz_solve(rhs, 0.5, dt, s)
@@ -119,6 +130,19 @@ class TGA(BaseHeatSolver):
 
     def update(self, s, src, dt):
         kdt = self.kappa * dt
+        if self._fft is not None:
+            # every factor — the two explicit (I + mu*kdt L) applications
+            # and the two implicit inverses — is diagonal in the SAME
+            # eigenbasis, so the full two-stage update collapses to one
+            # forward + one inverse transform with a combined diagonal
+            # (lam <= 0 and mu1,mu2 > 0 keep the denominator >= 1).
+            f = self._fft
+            lam = f.lam
+            num = (1.0 + self.mu3 * kdt * lam) * f.fwd(s)
+            if src is not None:
+                num = num + dt * (1.0 + self.mu4 * kdt * lam) * f.fwd(src)
+            den = (1.0 - self.mu1 * kdt * lam) * (1.0 - self.mu2 * kdt * lam)
+            return f.inv(num / den), (1, 0.0)
         rhs = s + self.mu3 * kdt * self._apply_lap(s)
         if src is not None:
             rhs = rhs + dt * (src + self.mu4 * kdt * self._apply_lap(src))
@@ -132,3 +156,77 @@ def make_heat_solver(scheme: int, geo, bcs, kappa, mg_params=MGParams(),
     HeatSolverScheme, ProblemContext.H:141)."""
     cls = {0: BackwardEuler, 1: CrankNicolson, 2: TGA}[scheme]
     return cls(geo, bcs, kappa, mg_params, dtype)
+
+
+class BatchedSpectralHeat:
+    """Fused implicit update for C same-scheme, same-kappa heat solvers
+    whose spectral fast paths all exist (the NS step's per-velocity
+    -component viscous solves: same nu, different per-component BCs and
+    hence different eigenbases).
+
+    The C per-axis transform matrices stack into (C, n, n) batched MXU
+    matmuls, so the whole vector update is ONE batched forward + inverse
+    round-trip instead of C independent einsum chains (the reference
+    solves per component too — AMRNavierStokesAdvancePPM.cpp:1260-1300 —
+    because its MG has no batching concept)."""
+
+    def __init__(self, solvers):
+        s0 = solvers[0]
+        self.scheme = type(s0)
+        self.kappa = s0.kappa
+        ffts = [s._fft for s in solvers]
+        grid = s0.geo.grid
+        # per array axis: stacked (C, n, n) transform matrices
+        self.Qstacks = [
+            (ax, jnp.stack([f.Q[i][1] for f in ffts]))
+            for i, (ax, _) in enumerate(ffts[0].Q)]
+        self.lam = jnp.stack([f.lam for f in ffts])   # (C,)+grid.shape
+        self.dtype = s0._dtype
+        # TGA constants when applicable
+        if isinstance(s0, TGA):
+            self.mus = (s0.mu1, s0.mu2, s0.mu3, s0.mu4)
+
+    @staticmethod
+    def supports(solvers) -> bool:
+        if not solvers or any(s is None for s in solvers):
+            return False
+        s0 = solvers[0]
+        if not all(type(s) is type(s0) and s.kappa == s0.kappa
+                   and s._fft is not None for s in solvers):
+            return False
+        return type(s0) in (BackwardEuler, CrankNicolson, TGA)
+
+    def _apply(self, x, transpose: bool):
+        """x: (C,)+grid.shape; batched per-axis transform einsums."""
+        letters = "abcdefgh"[:x.ndim - 1]
+        for ax, Qs in self.Qstacks:
+            M = jnp.swapaxes(Qs, 1, 2) if transpose else Qs
+            sub = (f"zK{letters[ax]},z{letters}->"
+                   f"z{letters[:ax]}K{letters[ax + 1:]}")
+            x = jnp.einsum(sub, M, x)
+        return x
+
+    def update(self, fields, srcs, dt):
+        """fields/srcs: stacked (C,)+grid.shape (srcs may be None).
+        Returns the stacked updated fields."""
+        kdt = self.kappa * dt
+        lam = self.lam
+        s_hat = self._apply(fields.astype(self.dtype), False)
+        f_hat = (self._apply(srcs.astype(self.dtype), False)
+                 if srcs is not None else None)
+        if self.scheme is TGA:
+            mu1, mu2, mu3, mu4 = self.mus
+            num = (1.0 + mu3 * kdt * lam) * s_hat
+            if f_hat is not None:
+                num = num + dt * (1.0 + mu4 * kdt * lam) * f_hat
+            den = (1.0 - mu1 * kdt * lam) * (1.0 - mu2 * kdt * lam)
+        elif self.scheme is CrankNicolson:
+            h = 0.5 * kdt
+            num = (1.0 + h * lam) * s_hat
+            if f_hat is not None:
+                num = num + dt * f_hat
+            den = 1.0 - h * lam
+        else:   # BackwardEuler
+            num = s_hat if f_hat is None else s_hat + dt * f_hat
+            den = 1.0 - kdt * lam
+        return self._apply(num / den, True).astype(self.dtype)

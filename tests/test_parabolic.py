@@ -78,3 +78,54 @@ def test_traced_dt_no_recompile():
     assert step._cache_size() == 1
     assert np.all(np.isfinite(np.asarray(out1)))
     assert np.all(np.isfinite(np.asarray(out2)))
+
+
+@pytest.mark.parametrize("scheme", [0, 1, 2])
+def test_spectral_fast_path_matches_mg(scheme):
+    """The fused one-round-trip spectral update (solvers/parabolic.py)
+    must match the explicit rhs-assembly + MG-solve path."""
+    n = 16
+    g = Grid(nx=(n, n), dx=(1.0 / n,) * 2, periodic=(True, False))
+    lg = build_level_geometry(g, CartesianMap())
+    bcs = FieldBCs(lo=(BC.periodic(), BC.neumann(0.0)),
+                   hi=(BC.periodic(), BC.neumann(0.0)))
+    fast = make_heat_solver(scheme, lg, bcs, 0.3,
+                            MGParams(eps=1e-11, imax=60))
+    slow = make_heat_solver(scheme, lg, bcs, 0.3,
+                            MGParams(eps=1e-11, imax=60))
+    assert fast._fft is not None
+    slow._fft = None   # force the rhs-assembly + MG path
+    rng = np.random.default_rng(3)
+    s = jnp.asarray(rng.standard_normal(g.shape), jnp.float32)
+    src = jnp.asarray(rng.standard_normal(g.shape), jnp.float32)
+    a, _ = fast.update(s, src, 0.05)
+    b, _ = slow.update(s, src, 0.05)
+    err = np.max(np.abs(np.asarray(a) - np.asarray(b)))
+    assert err < 2e-4, (scheme, err)
+
+
+@pytest.mark.parametrize("scheme", [0, 1, 2])
+def test_batched_spectral_heat_matches_per_component(scheme):
+    """BatchedSpectralHeat (stacked per-component eigenbases) must match
+    the per-component spectral updates for components with different
+    BCs (the NS viscous-solve configuration)."""
+    from somar_tpu.solvers.parabolic import BatchedSpectralHeat
+    n = 16
+    g = Grid(nx=(n, n), dx=(1.0 / n,) * 2)
+    lg = build_level_geometry(g, CartesianMap())
+    bcs_u = FieldBCs(lo=(BC.dirichlet(0.0), BC.neumann(0.0)),
+                     hi=(BC.dirichlet(0.0), BC.neumann(0.0)))
+    bcs_w = FieldBCs(lo=(BC.neumann(0.0), BC.dirichlet(0.0)),
+                     hi=(BC.neumann(0.0), BC.dirichlet(0.0)))
+    solvers = [make_heat_solver(scheme, lg, b, 0.7)
+               for b in (bcs_u, bcs_w)]
+    assert BatchedSpectralHeat.supports(solvers)
+    batched = BatchedSpectralHeat(solvers)
+    rng = np.random.default_rng(7)
+    fields = jnp.asarray(rng.standard_normal((2,) + g.shape), jnp.float32)
+    srcs = jnp.asarray(rng.standard_normal((2,) + g.shape), jnp.float32)
+    got = np.asarray(batched.update(fields, srcs, 0.04))
+    for c in range(2):
+        want, _ = solvers[c].update(fields[c], srcs[c], 0.04)
+        err = np.max(np.abs(got[c] - np.asarray(want)))
+        assert err < 1e-5, (scheme, c, err)
