@@ -46,8 +46,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 #: per-block VMEM byte budget for the stencil-kernel blocking (module-level
-#: so tests can shrink it to exercise the lane-padded fallback paths)
-_VMEM_BUDGET = 640 * 1024
+#: so tests can shrink it to exercise the lane-padded fallback paths;
+#: SOMAR_VMEM_BUDGET overrides for per-chip tuning)
+import os as _os
+_VMEM_BUDGET = int(_os.environ.get("SOMAR_VMEM_BUDGET", 640 * 1024))
 
 
 # --------------------------------------------------------------------------
@@ -352,15 +354,15 @@ def ctu_corr3_pallas(lo1_j, hi1_j, u_pad_j, corr2_list: Sequence,
 # P3: stage-3 assembly + final Riemann against the advecting velocity
 # --------------------------------------------------------------------------
 def _final_kernel(*refs, ax: int, nc3: int, has_src: bool, want_pre: bool,
-                  want_rie: bool):
+                  want_rie: bool, want_div: bool):
     """refs = (lo1, hi1[, adv], c3_0..c3_{nc3-1}[, src], scal,
-               [rie][, lo_f, hi_f]); the only stencil is the shift of the
-    correction sum along ax (the face-normal direction)."""
+               [rie|div][, lo_f, hi_f]); stencils (the correction-sum
+    shift, and the flux difference for want_div) are along ax only."""
     lo1 = refs[0][...]
     hi1 = refs[1][...]
     idx = 2
     adv = None
-    if want_rie:
+    if want_rie or want_div:
         adv = refs[idx][...]
         idx += 1
     c3s = [refs[idx + i][...] for i in range(nc3)]
@@ -377,7 +379,15 @@ def _final_kernel(*refs, ax: int, nc3: int, has_src: bool, want_pre: bool,
     lo_f = lo1 + csum
     hi_f = hi1 + _kshift_p(csum, ax)
     o = 0
-    if want_rie:
+    if want_div:
+        # undivided flux difference at cells: F[c] - F[c-1] with
+        # F = Riemann(lo_f, hi_f, adv) * adv — emitting this instead of
+        # the Riemann state saves the separate XLA flux-product +
+        # difference passes (the profiled pad_multiply/sub fusions)
+        F = _kriemann(lo_f, hi_f, adv) * adv
+        outs[o][...] = F - _kshift_m(F, ax)
+        o += 1
+    elif want_rie:
         outs[o][...] = _kriemann(lo_f, hi_f, adv)
         o += 1
     if want_pre:
@@ -387,7 +397,8 @@ def _final_kernel(*refs, ax: int, nc3: int, has_src: bool, want_pre: bool,
 
 def ctu_final_pallas(lo1_d, hi1_d, adv_pad_d, c3_list: Sequence,
                      src_pad, half_dt, ax: int, want_pre: bool = False,
-                     want_rie: bool = True, interpret: bool = False):
+                     want_rie: bool = True, want_div: bool = False,
+                     interpret: bool = False):
     """Final face states of direction d (array axis `ax`), all padded
     face-indexed shapes:
       csum = sum(c3_list) + (dt/2) src
@@ -395,9 +406,11 @@ def ctu_final_pallas(lo1_d, hi1_d, adv_pad_d, c3_list: Sequence,
       rie  = Riemann(lo_f, hi_f, adv_pad)
     Returns (rie,[ lo_f, hi_f]) per the want_rie/want_pre flags (callers
     that re-upwind the pre-Riemann states against a later advecting
-    velocity skip the rie write — a full padded-array HBM store).  None
+    velocity skip the rie write — a full padded-array HBM store).  With
+    want_div the first output is instead the cell-indexed undivided flux
+    difference  (rie*adv)[c] - (rie*adv)[c-1]  (want_rie ignored).  None
     if no feasible blocking."""
-    assert want_rie or want_pre
+    assert want_rie or want_pre or want_div
     plan = _plan_blocking(lo1_d.shape, ax)
     if plan is None:
         return None
@@ -405,13 +418,15 @@ def ctu_final_pallas(lo1_d, hi1_d, adv_pad_d, c3_list: Sequence,
     ndim = lo1_d.ndim
     has_src = src_pad is not None
     nc3 = len(c3_list)
+    if want_div:
+        want_rie = False
     arrs = (lo1_d, hi1_d)
-    if want_rie:
+    if want_rie or want_div:
         arrs = arrs + (adv_pad_d,)
     arrs = arrs + tuple(c3_list)
     if has_src:
         arrs = arrs + (src_pad,)
-    nout = (1 if want_rie else 0) + (2 if want_pre else 0)
+    nout = (1 if (want_rie or want_div) else 0) + (2 if want_pre else 0)
 
     in_specs = ([_spec_for(a.shape, block, grid_axes, ndim,
                            full_shape=lo1_d.shape) for a in arrs]
@@ -421,7 +436,7 @@ def ctu_final_pallas(lo1_d, hi1_d, adv_pad_d, c3_list: Sequence,
                       for _ in range(nout))
     kern = functools.partial(_final_kernel, ax=ax, nc3=nc3,
                              has_src=has_src, want_pre=want_pre,
-                             want_rie=want_rie)
+                             want_rie=want_rie, want_div=want_div)
     scal = jnp.stack([jnp.asarray(half_dt, lo1_d.dtype)])
     out = pl.pallas_call(
         kern,
@@ -433,3 +448,53 @@ def ctu_final_pallas(lo1_d, hi1_d, adv_pad_d, c3_list: Sequence,
         interpret=interpret,
     )(*arrs, scal)
     return out if isinstance(out, tuple) else (out,)
+
+
+# --------------------------------------------------------------------------
+# P4: deferred re-upwinding + flux difference (the momentum path)
+# --------------------------------------------------------------------------
+def _reflux_kernel(*refs, ax: int, nf: int):
+    """refs = (adv, lo_0, hi_0, .., lo_{nf-1}, hi_{nf-1},
+               out_0..out_{nf-1}); stencil along ax only."""
+    adv = refs[0][...]
+    outs = refs[1 + 2 * nf:]
+    for i in range(nf):
+        lo = refs[1 + 2 * i][...]
+        hi = refs[2 + 2 * i][...]
+        F = _kriemann(lo, hi, adv) * adv
+        outs[i][...] = F - _kshift_m(F, ax)
+
+
+def riemann_fluxdiv_pallas(pre_pairs: Sequence, adv_pad_d, ax: int,
+                           interpret: bool = False):
+    """Fused final Riemann + flux difference for direction d (array axis
+    `ax`): for each stashed (lo_f, hi_f) pair (one per field, all padded
+    face-indexed) returns the cell-indexed undivided difference
+      (rie*adv)[c] - (rie*adv)[c-1],   rie = Riemann(lo_f, hi_f, adv).
+    This replaces the XLA pad_multiply + sub fusion pair per (field,
+    direction) that the profiler shows re-materializing the flux products
+    (the NS momentum update's re-upwinding of the stashed traces).
+    Returns a list per field, or None if no feasible blocking."""
+    shape = adv_pad_d.shape
+    plan = _plan_blocking(shape, ax)
+    if plan is None:
+        return None
+    block, grid, grid_axes = plan
+    ndim = adv_pad_d.ndim
+    nf = len(pre_pairs)
+    arrs = (adv_pad_d,) + tuple(x for pair in pre_pairs for x in pair)
+    in_specs = [_spec_for(a.shape, block, grid_axes, ndim,
+                          full_shape=shape) for a in arrs]
+    out_specs = tuple(_spec_for(shape, block, grid_axes, ndim,
+                                full_shape=shape) for _ in range(nf))
+    kern = functools.partial(_reflux_kernel, ax=ax, nf=nf)
+    out = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=tuple(jax.ShapeDtypeStruct(shape, adv_pad_d.dtype)
+                        for _ in range(nf)),
+        interpret=interpret,
+    )(*arrs)
+    return list(out) if isinstance(out, tuple) else [out]

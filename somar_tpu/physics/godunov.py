@@ -149,6 +149,7 @@ def trace_face_states(
     return_pre_riemann: bool = False,
     padded: bool = False,
     rie_dirs: Optional[Sequence[int]] = None,
+    want_div: bool = False,
 ):
     """Predict time-centered upwind face states of `s` in every direction.
 
@@ -177,6 +178,12 @@ def trace_face_states(
     excluded direction — XLA DCEs unused jnp outputs on its own, but a
     kernel's outputs are explicit writes.  Excluded entries of the
     returned faces tuple are None.
+
+    want_div (padded only): each returned entry is the cell-indexed
+    UNDIVIDED flux difference  (rie*adv)[c] - (rie*adv)[c-1]  instead of
+    the Riemann face state — the P3 kernel folds the flux product and
+    difference in (see divergence_from_partials), skipping the XLA
+    flux-product materialization passes.
     """
     grid = geo.grid
     ndim = grid.ndim
@@ -268,15 +275,17 @@ def trace_face_states(
         c3_list = ([corr3[(j, 3 - d - j)] for j in range(ndim) if j != d]
                    if ndim == 3 else [corr2[1 - d]])
         got = None
-        if use_pallas and padded and (want_rie_d or return_pre_riemann):
+        if use_pallas and padded and (want_rie_d or return_pre_riemann
+                                      or want_div):
             from somar_tpu.ops.pallas_kernels import ctu_final_pallas
             got = ctu_final_pallas(lo1[d], hi1[d], adv_vel[d], c3_list,
                                    src_pad, 0.5 * dt, ax,
                                    want_pre=return_pre_riemann,
-                                   want_rie=want_rie_d)
+                                   want_rie=want_rie_d,
+                                   want_div=want_div)
         if got is not None:
             i = 0
-            if want_rie_d:
+            if want_rie_d or want_div:
                 out[d] = got[0]
                 i = 1
             if return_pre_riemann:
@@ -297,7 +306,11 @@ def trace_face_states(
         lo_f, hi_f = jax.lax.optimization_barrier((lo_f, hi_f))
         if padded:
             pre[d] = (lo_f, hi_f)
-            out[d] = _riemann(lo_f, hi_f, adv_vel[d])
+            if want_div:
+                F = _riemann(lo_f, hi_f, adv_vel[d]) * adv_vel[d]
+                out[d] = F - shift_m(F, ax)
+            else:
+                out[d] = _riemann(lo_f, hi_f, adv_vel[d])
             continue
         # crop to valid faces/cells and final Riemann with the advecting vel
         lo_v = _crop_faces(lo_f, grid, d, G)
@@ -441,6 +454,47 @@ def flux_divergence(face_states: Sequence, adv_vel: Sequence,
     if padded:
         out = _crop_cells(out, grid, ADVECT_GROW)
     return out * geo.Jinv
+
+
+def divergence_from_partials(partials: Sequence, geo: LevelGeometry):
+    """Conservative update term from per-direction UNDIVIDED flux
+    differences (the want_div trace outputs / riemann_fluxdiv_pallas):
+      out = (1/J) sum_d dF_d / dx_d,  cropped once to valid cells."""
+    grid = geo.grid
+    out = None
+    for d in range(grid.ndim):
+        term = partials[d] / grid.dx[d]
+        out = term if out is None else out + term
+    return _crop_cells(out, grid, ADVECT_GROW) * geo.Jinv
+
+
+def momentum_flux_divergence(pre_list: Sequence, adv_pad: Sequence,
+                             geo: LevelGeometry):
+    """Deferred momentum update: re-upwind each field's stashed
+    (lo_f, hi_f) pairs against the projected advecting velocity and form
+    the conservative flux divergence, via ONE fused P4 kernel per
+    direction batched over the fields (ops/pallas_kernels.py
+    riemann_fluxdiv_pallas).  pre_list: per field, per dir (lo, hi)
+    padded pairs.  Returns one valid-cell divergence per field."""
+    grid = geo.grid
+    nf = len(pre_list)
+    use_pallas = _use_pallas_predictor()
+    partials = [[None] * grid.ndim for _ in range(nf)]
+    for d in range(grid.ndim):
+        ax = grid.axis(d)
+        pairs = [pre_list[f][d] for f in range(nf)]
+        got = None
+        if use_pallas:
+            from somar_tpu.ops.pallas_kernels import riemann_fluxdiv_pallas
+            got = riemann_fluxdiv_pallas(pairs, adv_pad[d], ax)
+        if got is None:
+            got = []
+            for lo, hi in pairs:
+                F = _riemann(lo, hi, adv_pad[d]) * adv_pad[d]
+                got.append(F - shift_m(F, ax))
+        for f in range(nf):
+            partials[f][d] = got[f]
+    return [divergence_from_partials(p, geo) for p in partials]
 
 
 def advective_form(face_states: Sequence, adv_vel: Sequence,

@@ -390,8 +390,17 @@ class NSLevel:
         against self._adv_pad (the projected advecting velocities embedded
         once per step), with one final crop in flux_divergence."""
         from somar_tpu.physics.godunov import (
-            _crop_faces, riemann_from_states)
+            _crop_faces, divergence_from_partials, riemann_from_states)
         adv_pad = self._adv_pad
+        if (pre_states is None and not return_fluxes
+                and self.params.nonlinear_differencing_form == 0):
+            # fully-fused fast path: the P3 kernels emit the per-direction
+            # undivided flux differences directly (want_div)
+            partials = trace_face_states(
+                s, u_mapped, adv_pad, src, dt, self.geo, bcs, params,
+                vel_bcs=self.vel_bcs_trace, u_pad=self._u_pad,
+                padded=True, want_div=True)
+            return divergence_from_partials(partials, self.geo)
         if pre_states is not None:
             faces = riemann_from_states(pre_states, adv_pad)
         else:
@@ -507,9 +516,19 @@ class NSLevel:
         new_vel = []
         fluxes_out = []
         pre = getattr(self, "_vel_pre_states", None)
+        batched_adv = None
+        if (adv_terms is None and collect is None and pre is not None
+                and self.params.nonlinear_differencing_form == 0):
+            # one fused P4 re-upwinding + flux-difference kernel per
+            # direction for ALL components (godunov.py)
+            from somar_tpu.physics.godunov import momentum_flux_divergence
+            batched_adv = momentum_flux_divergence(pre, self._adv_pad,
+                                                   self.geo)
         for m in range(ndim):
             src_m = src_vel[m] if src_vel is not None else None
-            if adv_terms is not None:
+            if batched_adv is not None:
+                adv = batched_adv[m]
+            elif adv_terms is not None:
                 adv = adv_terms[m]
             else:
                 adv = self._advect_update(state.vel[m], u_mapped, src_m, dt,
@@ -583,13 +602,16 @@ class NSLevel:
         grad_p = (self.projector.cc_grad_cart(state.pressure)
                   if p.is_incompressible else None)
 
-        src_vel = jnp.stack([
+        # tuple, NOT jnp.stack: each component is consumed once (the
+        # m-trace's source ghost fill) and stacking materializes a
+        # (ndim,)+shape copy (~1.2 ms at the 512 bench, per profile)
+        src_vel = tuple(
             (visc_src[m] if visc_src is not None else jnp.zeros(grid.shape, p.dtype))
             + grav[m]
             - (grad_p[m] if grad_p is not None else 0.0)
             + (tidal[m] if tidal is not None else 0.0)
             + (sponge_v[m] if sponge_v is not None else 0.0)
-            for m in range(grid.ndim)])
+            for m in range(grid.ndim))
 
         u_mapped = self.geo.to_mapped(state.vel)
         # one shared ghost fill of the tracing velocities for all traces

@@ -99,7 +99,7 @@ class FFTPoissonSolver:
         self.grid = grid
         self.dtype = dtype
         self.Q: List = []        # per array axis: (axis, Q matrix)
-        lam_total = jnp.zeros(grid.shape)
+        self.lam_axes: List = []  # per array axis: broadcastable 1D lam
         for d in range(grid.ndim):
             ax = grid.axis(d)
             n = grid.nx[d]
@@ -125,15 +125,25 @@ class FFTPoissonSolver:
             self.Q.append((ax, jnp.asarray(Qm, dtype)))
             shape = [1] * grid.ndim
             shape[ax] = n
-            lam_total = lam_total + jnp.asarray(
-                lam.reshape(shape).astype(np.float32))
-        self.lam = lam_total
+            self.lam_axes.append(
+                jnp.asarray(lam.reshape(shape).astype(np.float32)))
         # the constant mode exists only when every axis is pure
         # Neumann/periodic; any Dirichlet or CF end pins the solution
+        # (lam is exposed as a lazy broadcast-sum property: a materialized
+        # full-shape eigenvalue array costs a 33 MB HBM read per use at
+        # the 512 bench — the broadcasts fuse in-register instead)
         self.singular = all(
             bcs.lo[d].type in (BCType.PERIODIC, BCType.NEUMANN)
             and bcs.hi[d].type in (BCType.PERIODIC, BCType.NEUMANN)
             for d in range(grid.ndim))
+
+    @property
+    def lam(self):
+        """Total eigenvalue field as a lazy broadcast sum (full shape)."""
+        out = self.lam_axes[0]
+        for l in self.lam_axes[1:]:
+            out = out + l
+        return out
 
     @staticmethod
     def supports(geo: LevelGeometry, bcs: FieldBCs) -> bool:

@@ -180,11 +180,22 @@ class BatchedSpectralHeat:
         self.Qstacks = [
             (ax, jnp.stack([f.Q[i][1] for f in ffts]))
             for i, (ax, _) in enumerate(ffts[0].Q)]
-        self.lam = jnp.stack([f.lam for f in ffts])   # (C,)+grid.shape
+        # per-axis (C,1,..,n,..,1) eigenvalue stacks; the full (C,)+shape
+        # field is exposed lazily (see FFTPoissonSolver.lam)
+        self.lam_axes = [
+            jnp.stack([f.lam_axes[i] for f in ffts])
+            for i in range(len(ffts[0].lam_axes))]
         self.dtype = s0._dtype
         # TGA constants when applicable
         if isinstance(s0, TGA):
             self.mus = (s0.mu1, s0.mu2, s0.mu3, s0.mu4)
+
+    @property
+    def lam(self):
+        out = self.lam_axes[0]
+        for l in self.lam_axes[1:]:
+            out = out + l
+        return out
 
     @staticmethod
     def supports(solvers) -> bool:

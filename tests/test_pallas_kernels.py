@@ -121,3 +121,50 @@ def test_corr3_pallas_matches_jnp(ax):
     for name, a, b in zip(("c3a", "c3b"), got, (ref(c2a), ref(c2b))):
         err = np.abs(crop(a) - crop(b)).max()
         assert err < 1e-5, (ax, name, err)
+
+
+def test_ctu_final_want_div():
+    """P3 want_div output == (rie*adv)[c] - (rie*adv)[c-1] of the
+    want_rie output."""
+    from somar_tpu.ops.pallas_kernels import ctu_final_pallas
+    from somar_tpu.ops.stencil import shift_m
+    rng = np.random.default_rng(11)
+    shape = (24, 16, 32)
+    lo1, hi1, adv, c3a, c3b, src = (
+        jnp.asarray(rng.standard_normal(shape), jnp.float32)
+        for _ in range(6))
+    for ax in range(3):
+        rie, = ctu_final_pallas(lo1, hi1, adv, [c3a, c3b], src, 0.05,
+                                ax, interpret=True)
+        div, = ctu_final_pallas(lo1, hi1, adv, [c3a, c3b], src, 0.05,
+                                ax, want_div=True, interpret=True)
+        F = np.asarray(rie) * np.asarray(adv)
+        want = F - np.asarray(shift_m(jnp.asarray(F), ax))
+        got = np.asarray(div)
+        sl = [slice(None)] * 3
+        sl[ax] = slice(1, None)   # first entry along ax is junk
+        err = np.abs(got[tuple(sl)] - want[tuple(sl)]).max()
+        assert err < 1e-5, (ax, err)
+
+
+def test_riemann_fluxdiv_pallas():
+    """P4 fused re-upwinding + flux difference vs the jnp reference."""
+    from somar_tpu.ops.pallas_kernels import riemann_fluxdiv_pallas
+    from somar_tpu.physics.godunov import _riemann
+    from somar_tpu.ops.stencil import shift_m
+    rng = np.random.default_rng(12)
+    shape = (24, 16, 32)
+    adv = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    pairs = [tuple(jnp.asarray(rng.standard_normal(shape), jnp.float32)
+                   for _ in range(2)) for _ in range(3)]
+    for ax in range(3):
+        got = riemann_fluxdiv_pallas(pairs, adv, ax, interpret=True)
+        assert got is not None and len(got) == 3
+        for (lo, hi), g in zip(pairs, got):
+            F = _riemann(lo, hi, adv) * adv
+            want = np.asarray(F - shift_m(F, ax))
+            arr = np.asarray(g)
+            sl = [slice(None)] * 3
+            sl[ax] = slice(1, None)
+            err = np.abs(arr[tuple(sl)] - want[tuple(sl)]).max()
+            assert err < 1e-5, (ax, err)
