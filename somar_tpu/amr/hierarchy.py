@@ -108,7 +108,8 @@ class PatchNSLevel(NSLevel):
             self.visc_solvers = [
                 make_heat_solver(params.viscous_solver_type, geo,
                                  self.vel_bcs_visc[m], params.nu,
-                                 params.mg, params.dtype)
+                                 params.mg_viscous or params.mg,
+                                 params.dtype)
                 for m in range(grid.ndim)]
         self.diff_solvers = []
         diff_bcs = _replace_cf_sides(self.scal_bcs, cf_dirs, BC.cf(0.0))
@@ -116,7 +117,9 @@ class PatchNSLevel(NSLevel):
             kap = params.kappa[comp] if comp < len(params.kappa) else 0.0
             self.diff_solvers.append(
                 make_heat_solver(params.diffusive_solver_type, geo,
-                                 diff_bcs, kap, params.mg, params.dtype)
+                                 diff_bcs, kap,
+                                 params.mg_diffusive or params.mg,
+                                 params.dtype)
                 if kap > 0.0 else None)
         self._visc_ops = [PoissonOp(geo, self.vel_bcs_visc[m])
                           for m in range(grid.ndim)]
@@ -468,7 +471,9 @@ class PatchCoupling:
                               * self._axis_ratio(ax) for ax in range(ndim))
         got = patch_origins_from_tags(tags, pgrid, self.ratio,
                                       interior_axes, halo_axes, self.K,
-                                      lo_pad_f=parent_halo_f)
+                                      lo_pad_f=parent_halo_f,
+                                      fill_ratio=tag_params.fill_ratio,
+                                      block_factor=tag_params.block_factor)
         if got is None:
             origins = np.tile(self._centered_origin(), (self.K, 1))
             weights = np.zeros(self.K, np.float32)
@@ -532,7 +537,9 @@ class AMRHierarchy:
                  implicit_reflux: bool = False,
                  regrid_smoothing_coeff: float = 0.0,
                  num_patches: int = 1, use_subcycling: bool = True,
-                 max_grid_size: int = 0):
+                 max_grid_size: int = 0,
+                 do_sync_projection: bool = True,
+                 sync_projection_iters: int = 1):
         """reflux: which advective fluxes get CF conservation corrections
         — any of "vel", "scalars", "lam" (reference knobs
         amr.advective_momentum/scalar/lambda_reflux; the shipped
@@ -552,6 +559,9 @@ class AMRHierarchy:
         self.ratios = [tuple(int(r) for r in rr) for rr in ratios]
         self.level0 = NSLevel(geo0, problem, params)
         self.eta_lambda = float(eta_lambda)
+        # reference: projection.doSyncProjection / sync_projection_iters
+        self.do_sync_projection = bool(do_sync_projection)
+        self.sync_projection_iters = max(1, int(sync_projection_iters))
         if self.eta_lambda > 0.0:
             self.level0.use_vd_correction = True
         self.grid0: Grid = geo0.grid
@@ -872,9 +882,12 @@ class AMRHierarchy:
                                          parent_level=level0,
                                          weights=weights)
         # sync projection (reference: AMRNavierStokesSync.cpp:249-295)
-        if self.params.is_incompressible:
-            vel, cc_phi, _ = level0.projector.project_cc(
-                s0_new.vel, level0.vel_bcs_trace, phi0=s0_new.cc_phi)
+        if self.params.is_incompressible and self.do_sync_projection:
+            vel = s0_new.vel
+            for _ in range(self.sync_projection_iters):
+                vel, cc_phi, _ = level0.projector.project_cc(
+                    vel, level0.vel_bcs_trace, phi0=s0_new.cc_phi,
+                    purpose="sync")
             s0_new = dataclasses.replace(s0_new, vel=vel)
         # volume-discrepancy (freestream) correction: eLambda potential
         # from the lambda drift (reference: computeVDCorrection,
@@ -882,7 +895,8 @@ class AMRHierarchy:
         # grad eLambda added to the advecting velocity next step)
         if self.eta_lambda > 0.0:
             rhs = self.eta_lambda * (s0_new.lam - 1.0) / dt
-            e_lam, _ = level0.projector._solve(rhs - jnp.mean(rhs))
+            e_lam, _ = level0.projector._solve(rhs - jnp.mean(rhs),
+                                               purpose="vd")
             s0_new = dataclasses.replace(s0_new, e_lambda=e_lam)
         if single:
             return s0_new, fine_states[0]

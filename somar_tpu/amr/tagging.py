@@ -32,8 +32,14 @@ class TagParams:
     magvort_tag_quota: float = 0.0
     pressure_tag_tol: float = 0.0   # amr.pressure_tag_tol
     ri_tag_tol: float = 0.0
+    #: per-component absolute |vorticity| thresholds (amr.vort_tag_tol;
+    #: 2D uses component z = index 2, Regrid.cpp:334-373)
+    vort_tag_tol: tuple = (0.0, 0.0, 0.0)
     tags_grow: int = 0
     vert_extrude: bool = True
+    #: Berger-Rigoutsos knobs (amr.fill_ratio / amr.block_factor)
+    fill_ratio: float = 0.8
+    block_factor: int = 8
 
 
 def _undivided_diff_mag(f: np.ndarray) -> np.ndarray:
@@ -70,15 +76,28 @@ def compute_tags(state, level, params: TagParams) -> np.ndarray:
         pres = np.asarray(state.pressure)
         tags |= _undivided_diff_mag(pres) > params.pressure_tag_tol
 
-    if params.magvort_tag_quota > 0.0:
+    use_vort_tol = any(t > 0.0 for t in params.vort_tag_tol)
+    if params.magvort_tag_quota > 0.0 or use_vort_tol:
         from somar_tpu.ops.stencil import vorticity
         w = np.asarray(vorticity(
             state.vel, level.geo,
             [level.vel_bcs_trace[m] for m in range(grid.ndim)]))
         mag = np.abs(w) if grid.ndim == 2 else np.sqrt((w**2).sum(axis=0))
-        mmax = mag.max()
-        if mmax > 0:
-            tags |= mag > params.magvort_tag_quota * mmax
+        if params.magvort_tag_quota > 0.0:
+            mmax = mag.max()
+            if mmax > 0:
+                tags |= mag > params.magvort_tag_quota * mmax
+        if use_vort_tol:
+            # absolute per-component thresholds (reference: vort_tag_tol;
+            # the 2D scalar vorticity is the z component)
+            tol = params.vort_tag_tol
+            if grid.ndim == 2:
+                if tol[2] > 0.0:
+                    tags |= np.abs(w) >= tol[2]
+            else:
+                for c in range(3):
+                    if tol[c] > 0.0:
+                        tags |= np.abs(w[c]) >= tol[c]
 
     if params.tags_grow > 0 and tags.any():
         g = params.tags_grow
@@ -99,7 +118,8 @@ def compute_tags(state, level, params: TagParams) -> np.ndarray:
 
 def patch_origins_from_tags(tags: np.ndarray, grid: Grid, ratio,
                             interior_shape_f, halo_axes, num_patches: int,
-                            lo_pad_f=None):
+                            lo_pad_f=None, fill_ratio: float = 0.8,
+                            block_factor: int = 8):
     """Choose up to `num_patches` well-separated patch origins covering
     the tag clusters (multi-box levels; reference: LepticMeshRefine
     returns Berger-Rigoutsos box lists, `LepticMeshRefine.H:63-80`).
@@ -118,7 +138,9 @@ def patch_origins_from_tags(tags: np.ndarray, grid: Grid, ratio,
     if lo_pad_f is None:
         lo_pad_f = (0,) * grid.ndim
     K = int(num_patches)
-    boxes = np.asarray(berger_rigoutsos(tags))   # (n, 2, ndim), hi incl.
+    boxes = np.asarray(berger_rigoutsos(
+        tags, fill_ratio=fill_ratio,
+        min_side=max(1, int(block_factor) // 2)))  # (n, 2, ndim), hi incl.
     if boxes.ndim != 3 or len(boxes) == 0:
         boxes = np.stack([np.stack([np.zeros(grid.ndim, np.int64),
                                     np.asarray(tags.shape) - 1])])

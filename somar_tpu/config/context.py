@@ -132,6 +132,26 @@ class AMRConfig:
     # amr.max_grid_size (box-extent cap -> static patch-interior cap)
     use_subcycling: bool = True
     max_grid_size: int = 0
+    # per-component |vorticity| thresholds (amr.vort_tag_tol, 3-vector;
+    # 2D uses component z, AMRNavierStokesRegrid.cpp:334-373)
+    vort_tag_tol: Tuple[float, ...] = (0.0, 0.0, 0.0)
+    # Berger-Rigoutsos clustering knobs (reference: ProblemContext.cpp:
+    # 237-309 — block_factor = min box side, fill_ratio = tagged/total
+    # efficiency target, grid_buffer_size = proper-nesting buffer,
+    # splitDirs = directions the clusterer may chop, max_base_grid_size =
+    # level-0 box cap for load balance; the dense TPU levels consume the
+    # first two directly and keep the rest for the sharding planner)
+    block_factor: int = 8
+    fill_ratio: float = 0.8
+    grid_buffer_size: int = 1
+    split_dirs: Tuple[int, ...] = (1, 1, 1)
+    max_base_grid_size: Tuple[int, ...] = (0, 0, 0)
+    # projection.* iteration/gate knobs (ProblemContext.cpp:1360-1401)
+    init_projection_iters: int = 1
+    init_pressure_iters: int = 1
+    do_sync_projection: bool = True
+    sync_projection_iters: int = 1
+    apply_sync_correction: bool = True
 
 
 @dataclasses.dataclass
@@ -152,6 +172,9 @@ class ProblemContext:
     beam_gen_alpha: float = 0.0
     # DEM map
     dem_file: str = ""
+    #: geometry.Interpolation_Order: 0 = bilinear, > 0 = Hermite/spline
+    #: (DEMMap node sampling, reference DEMMap.cpp:178-302)
+    dem_interp_order: int = 0
     # ibc extras
     use_background_scalar: bool = False
     bg_profile: int = 0
@@ -213,8 +236,24 @@ class ProblemContext:
             tags_grow=pp.get_int("amr.tags_grow", 0),
             vel_tag_tol=pp.get_real("amr.vel_tag_tol", 0.0),
             buoyancy_tag_tol=pp.get_real("amr.buoyancy_tag_tol", 0.0),
-            magvort_tag_quota=pp.get_real("amr.magvort_tag_quota", 0.0),
+            magvort_tag_quota=pp.get_real(
+                "amr.magvort_tag_quota",
+                # deprecated alias (ProblemContext.cpp:396-402)
+                pp.get_real("amr.vorticity_tag_factor",
+                            pp.get_real("amr.vort_tag_factor", 0.0))),
             pressure_tag_tol=pp.get_real("amr.pressure_tag_tol", 0.0),
+            vort_tag_tol=tuple(
+                pp.get_real_vect("amr.vort_tag_tol", 3, (0.0,) * 3)
+                or (0.0,) * 3),
+            block_factor=pp.get_int("amr.block_factor", 8),
+            fill_ratio=pp.get_real("amr.fill_ratio", 0.8),
+            grid_buffer_size=pp.get_int("amr.grid_buffer_size", 1),
+            split_dirs=tuple(
+                pp.get_int_vect("amr.splitDirs", ndim, (1,) * ndim)
+                or (1,) * ndim),
+            max_base_grid_size=tuple(
+                pp.get_int_vect("amr.max_base_grid_size", ndim,
+                                (0,) * ndim) or (0,) * ndim),
             vert_extrude_tags=bool(pp.get_int("amr.vert_extrude_tags", 0)),
             final_time=pp.get_real("amr.final", 1.0),
             max_steps=pp.get_int("amr.maxsteps", 100),
@@ -240,6 +279,16 @@ class ProblemContext:
                                    pp.get_real("projection.eta", 0.0)),
             use_subcycling=bool(pp.get_int("amr.useSubcycling", 1)),
             max_grid_size=pp.get_int("amr.max_grid_size", 0),
+            init_projection_iters=pp.get_int(
+                "projection.initial_projection_iters", 1),
+            init_pressure_iters=pp.get_int(
+                "projection.initial_pressure_iters", 1),
+            do_sync_projection=bool(
+                pp.get_int("projection.doSyncProjection", 1)),
+            sync_projection_iters=pp.get_int(
+                "projection.sync_projection_iters", 1),
+            apply_sync_correction=bool(
+                pp.get_int("projection.applySyncCorrection", 1)),
         )
 
         kappa_raw = pp.get_real("amr.scal_diffusion_coeffs", 0.0)
@@ -253,6 +302,7 @@ class ProblemContext:
             use_limiting=bool(pp.get_int("advection.useLimitingVel", 0)),
             use_high_order_limiter=bool(
                 pp.get_int("advection.useHighOrderLimiterVel", 0)),
+            use_upwinding=bool(pp.get_int("advection.useUpwindingVel", 1)),
         )
         adv_scal = AdvectionParams(
             normal_pred_order=pp.get_int("advection.normalPredOrderScal", 2),
@@ -261,28 +311,57 @@ class ProblemContext:
             use_limiting=bool(pp.get_int("advection.useLimitingScal", 1)),
             use_high_order_limiter=bool(
                 pp.get_int("advection.useHighOrderLimiterScal", 0)),
+            use_upwinding=bool(pp.get_int("advection.useUpwindingScal", 1)),
         )
 
         relax_modes = {-1: "none", 0: "jacobi", 1: "gsrb", 2: "gsrb",
                        3: "line"}
-        mg = MGParams(
-            eps=pp.get_real("AMRMG.eps", 1e-6),
-            imin=pp.get_int("AMRMG.imin", 5),
-            imax=pp.get_int("AMRMG.imax", 20),
-            hang=pp.get_real("AMRMG.hang", 1e-15),
-            norm_thresh=pp.get_real("AMRMG.normThresh", 1e-30),
-            num_smooth_down=pp.get_int("AMRMG.num_smooth_down", 2),
-            num_smooth_up=pp.get_int("AMRMG.num_smooth_up", 2),
-            num_smooth_bottom=max(
-                4 * pp.get_int("AMRMG.num_smooth_bottom", 2), 8),
-            num_mg=pp.get_int("AMRMG.numMG", 1),
-            max_depth=pp.get_int("AMRMG.maxDepth", -1),
-            relax_mode=relax_modes[pp.get_int("AMRMG.relax_mode", 1)],
-            verbosity=pp.get_int("AMRMG.verbosity", 0),
-            bottom_eps=pp.get_real("bottom.eps", 1e-6),
-            bottom_imax=pp.get_int("bottom.imax", 80),
-            bottom_hang=pp.get_real("bottom.hang", 1e-8),
-        )
+
+        def read_mg(ctx=None):
+            """Layered MG/bottom namespaces: the per-solver namespaces
+            (e.g. MACprojection_AMRMG.*, viscous_bottom.*) default to the
+            base AMRMG.*/bottom.* values and override per key (reference:
+            ProblemContext.cpp:1243-1795)."""
+            mg_ns = ["AMRMG"] + ([f"{ctx}_AMRMG"] if ctx else [])
+            bot_ns = ["bottom"] + ([f"{ctx}_bottom"] if ctx else [])
+
+            def layered(get, spaces, key, default):
+                v = default
+                for ns in spaces:
+                    v = get(f"{ns}.{key}", v)
+                return v
+
+            gi = lambda k, d, s=mg_ns: layered(pp.get_int, s, k, d)
+            gr = lambda k, d, s=mg_ns: layered(pp.get_real, s, k, d)
+            bi = lambda k, d: layered(pp.get_int, bot_ns, k, d)
+            br = lambda k, d: layered(pp.get_real, bot_ns, k, d)
+            return MGParams(
+                eps=gr("eps", 1e-6),
+                imin=gi("imin", 5),
+                imax=gi("imax", 20),
+                hang=gr("hang", 1e-15),
+                norm_thresh=gr("normThresh", 1e-30),
+                num_smooth_down=gi("num_smooth_down", 2),
+                num_smooth_up=gi("num_smooth_up", 2),
+                num_smooth_bottom=max(
+                    4 * gi("num_smooth_bottom", 2), 8),
+                num_smooth_precond=gi("num_smooth_precond", 2),
+                precond_mode=gi("precond_mode", 1),
+                num_mg=gi("numMG", 1),
+                max_depth=gi("maxDepth", -1),
+                relax_mode=relax_modes[gi("relax_mode", 1)],
+                verbosity=gi("verbosity", 0),
+                bottom_eps=br("eps", 1e-6),
+                bottom_imax=bi("imax", 80),
+                bottom_hang=br("hang", 1e-8),
+                bottom_small=br("small", 1e-30),
+                bottom_reps=br("reps", 1e-12),
+                bottom_num_restarts=bi("numRestarts", 5),
+                bottom_norm_type=bi("normType", 2),
+                bottom_verbosity=bi("verbosity", 0),
+            )
+
+        mg = read_mg()
 
         ns = NSParams(
             nu=pp.get_real("amr.viscosity", 0.0),
@@ -311,11 +390,19 @@ class ProblemContext:
             advection_vel=adv_vel,
             advection_scal=adv_scal,
             mg=mg,
+            mg_mac=read_mg("MACprojection"),
+            mg_cc=read_mg("CCprojection"),
+            mg_sync=read_mg("syncProjection"),
+            mg_vd=read_mg("VD"),
+            mg_viscous=read_mg("viscous"),
+            mg_diffusive=read_mg("diffusive"),
             is_incompressible=bool(
                 pp.get_int("projection.isIncompressible", 1)),
             pressure_solver={0: "auto", 1: "mg", 2: "leptic",
                              3: "bicgstab", 4: "fft"}.get(
                 pp.get_int("projection.solver", 0), "auto"),
+            level_projection_iters=pp.get_int(
+                "projection.level_projection_iters", 1),
         )
 
         plot = PlotConfig(
@@ -360,7 +447,10 @@ class ProblemContext:
             ledge_hr=pp.get_real("geometry.ledgeMapHr", 1.0),
             ledge_xl=pp.get_real("geometry.ledgeMapXl", -1.0),
             ledge_xr=pp.get_real("geometry.ledgeMapXr", 1.0),
-            beam_gen_alpha=pp.get_real("geometry.beamGenMapAlpha", 0.0),
+            beam_gen_alpha=pp.get_real(
+                "geometry.beamGenMapAlpha",
+                pp.get_real("geometry.alpha", 0.0)),
+            dem_interp_order=pp.get_int("geometry.Interpolation_Order", 0),
             dem_file=(pp.get_str("geometry.DemFile", "")
                       or pp.get_str("geometry.demFile", "") or ""),
             use_background_scalar=bool(
@@ -431,7 +521,8 @@ class ProblemContext:
                                     angle=self.beam_gen_alpha,
                                     lx=a.length[0])
         if self.coord_map == CoordMap.DEMMAP:
-            return DEMMap.from_hdf5(vert, self.dem_file, a.ndim)
+            return DEMMap.from_hdf5(vert, self.dem_file, a.ndim,
+                                    interp_order=self.dem_interp_order)
         raise ValueError(f"unknown coordMap {self.coord_map}")
 
     def new_problem(self):

@@ -48,7 +48,10 @@ class RunDriver:
                 vel_tag_tol=ctx.amr.vel_tag_tol,
                 magvort_tag_quota=ctx.amr.magvort_tag_quota,
                 pressure_tag_tol=ctx.amr.pressure_tag_tol,
+                vort_tag_tol=ctx.amr.vort_tag_tol,
                 tags_grow=ctx.amr.tags_grow,
+                fill_ratio=ctx.amr.fill_ratio,
+                block_factor=ctx.amr.block_factor,
                 vert_extrude=True)
             reflux = tuple(
                 name for flag, name in (
@@ -65,6 +68,8 @@ class RunDriver:
                 num_patches=ctx.amr.max_patches,
                 use_subcycling=ctx.amr.use_subcycling,
                 max_grid_size=ctx.amr.max_grid_size,
+                do_sync_projection=ctx.amr.do_sync_projection,
+                sync_projection_iters=ctx.amr.sync_projection_iters,
                 eta_lambda=(ctx.amr.eta_lambda
                             if ctx.amr.apply_vd_correction else 0.0))
             self.level = self.hierarchy.level0
@@ -116,13 +121,16 @@ class RunDriver:
                 state, step0, dt_prev = got
             dt = jnp.asarray(dt_prev, ctx.ns.dtype)
         else:
-            state = self.level.post_initialize(self.level.initial_state())
+            state = self.level.post_initialize(
+                self.level.initial_state(),
+                num_proj=max(1, ctx.amr.init_projection_iters))
             dt0 = float(self._dt_fn(state)) * ctx.ns.init_dt_multiplier
             dt0 = min(dt0, ctx.ns.max_dt)
             if ctx.ns.fixed_dt > 0:
                 dt0 = ctx.ns.fixed_dt
             dt = jnp.asarray(dt0, ctx.ns.dtype)
-            state = self.level.initialize_pressure(state, dt)
+            state = self.level.initialize_pressure(
+                state, dt, iters=max(1, ctx.amr.init_pressure_iters))
 
         prev_handler = signal.signal(
             signal.SIGINT, lambda *_: setattr(self, "_interrupted", True))

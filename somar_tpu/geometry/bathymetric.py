@@ -227,9 +227,12 @@ class DEMMap(BathymetricMap):
 
     def __init__(self, vert_domain, x: np.ndarray, depth_samples: np.ndarray,
                  y: np.ndarray | None = None, min_depth_frac: float = 0.01,
-                 **kw):
+                 interp_order: int = 1, **kw):
+        """interp_order mirrors geometry.Interpolation_Order
+        (reference DEMMap: 0 = bilinear, > 0 = Hermite/cubic)."""
         super().__init__(vert_domain, **kw)
-        from scipy.interpolate import CubicSpline, RegularGridInterpolator
+        from scipy.interpolate import (CubicSpline, interp1d,
+                                       RegularGridInterpolator)
 
         # floor the depth: measured bathymetry can run to zero (shoreline),
         # which would collapse terrain-following columns to zero thickness
@@ -238,14 +241,23 @@ class DEMMap(BathymetricMap):
         x = np.asarray(x, dtype=np.float64)
         dep = np.maximum(np.asarray(depth_samples, dtype=np.float64),
                          self.min_depth)
+        cubic = int(interp_order) > 0
         if y is None:
-            self._interp = CubicSpline(x, dep, bc_type="natural", extrapolate=True)
-            self._interp_dx = self._interp.derivative()
+            if cubic:
+                self._interp = CubicSpline(x, dep, bc_type="natural",
+                                           extrapolate=True)
+                self._interp_dx = self._interp.derivative()
+            else:
+                self._interp = interp1d(x, dep, kind="linear",
+                                        bounds_error=False,
+                                        fill_value=(dep[0], dep[-1]))
+                self._interp_dx = None
             self._is2d = False
         else:
             y = np.asarray(y, dtype=np.float64)
             self._rgi = RegularGridInterpolator(
-                (x, y), dep, method="cubic", bounds_error=False, fill_value=None
+                (x, y), dep, method="cubic" if cubic else "linear",
+                bounds_error=False, fill_value=None
             )
             self._is2d = True
 
@@ -275,6 +287,6 @@ class DEMMap(BathymetricMap):
         return np.maximum(self._rgi(pts).reshape(bx.shape), self.min_depth)
 
     def depth_grad(self, xh, d):
-        if not self._is2d and d == 0:
+        if not self._is2d and d == 0 and self._interp_dx is not None:
             return self._interp_dx(np.asarray(xh[0], dtype=np.float64))
         return super().depth_grad(xh, d)

@@ -63,6 +63,9 @@ class AdvectionParams:
     use_fourth_order_slopes: bool = True
     use_limiting: bool = True
     use_high_order_limiter: bool = False  # extremum-preserving variant
+    #: advection.useUpwinding{Vel,Scal}: False replaces the Riemann
+    #: upwind selection with the face average (central fluxes)
+    use_upwinding: bool = True
 
 
 def _win(arr, ax: int, k: int, lo: int, n: int):
@@ -131,6 +134,11 @@ def _riemann(lo, hi, vface, small: float = 1e-12):
     return jnp.where(vface > small, lo, jnp.where(vface < -small, hi, avg))
 
 
+def _riemann_avg(lo, hi, vface, small: float = 1e-12):
+    """Central face states (advection.useUpwinding* = 0)."""
+    return 0.5 * (lo + hi)
+
+
 # --------------------------------------------------------------------------
 # the full CTU predictor
 # --------------------------------------------------------------------------
@@ -193,6 +201,7 @@ def trace_face_states(
     sp = fill_ghosts_cc(s, grid, bcs, G)
     # the dt/2 * src half-step source is added to the traced face states in
     # stage 3 (equivalent to pre-adding it to the predictor, O(dt^2))
+    riem = _riemann if params.use_upwinding else _riemann_avg
 
     # padded tracing velocities, one per direction
     if u_pad is None:
@@ -207,6 +216,7 @@ def trace_face_states(
     # transverse correction corr2 = -coef u d(rie)/dxi, coef = dt/3 in 3D
     # CTU stage 2 / dt/2 in 2D where it IS the stage-3 correction)
     use_pallas = (params.normal_pred_order == 2
+                  and params.use_upwinding
                   and _use_pallas_predictor())
     coef = dt / 3.0 if ndim == 3 else dt / 2.0
     lo1, hi1, corr2 = [], [], []
@@ -223,7 +233,7 @@ def trace_face_states(
             # transverse stages need ghost coverage)
             lo_d, hi_d = _normal_predict_fullpad(
                 sp, u_pad[d], ax, G, grid.dx[d], dt, params)
-            rie_d = _riemann(lo_d, hi_d, face_avg(u_pad[d], ax))
+            rie_d = riem(lo_d, hi_d, face_avg(u_pad[d], ax))
             c2_d = -coef * u_pad[d] * _cc_deriv(rie_d, ax, grid.dx[d])
         else:
             lo_d, hi_d, c2_d = got
@@ -258,7 +268,7 @@ def trace_face_states(
                 for k in ks:
                     lo_c = lo1[j] + corr2[k]
                     hi_c = hi1[j] + shift_p(corr2[k], axj)
-                    rie2 = _riemann(lo_c, hi_c, face_avg(u_pad[j], axj))
+                    rie2 = riem(lo_c, hi_c, face_avg(u_pad[j], axj))
                     got.append(-(dt / 2.0) * u_pad[j]
                                * _cc_deriv(rie2, axj, grid.dx[j]))
             for k, c3 in zip(ks, got):
@@ -307,28 +317,29 @@ def trace_face_states(
         if padded:
             pre[d] = (lo_f, hi_f)
             if want_div:
-                F = _riemann(lo_f, hi_f, adv_vel[d]) * adv_vel[d]
+                F = riem(lo_f, hi_f, adv_vel[d]) * adv_vel[d]
                 out[d] = F - shift_m(F, ax)
             else:
-                out[d] = _riemann(lo_f, hi_f, adv_vel[d])
+                out[d] = riem(lo_f, hi_f, adv_vel[d])
             continue
         # crop to valid faces/cells and final Riemann with the advecting vel
         lo_v = _crop_faces(lo_f, grid, d, G)
         hi_v = _crop_faces(hi_f, grid, d, G)
         pre[d] = (lo_v, hi_v)
-        out[d] = _riemann(lo_v, hi_v, adv_vel[d])
+        out[d] = riem(lo_v, hi_v, adv_vel[d])
     faces = tuple(out.get(d) for d in range(ndim))
     if return_pre_riemann:
         return faces, tuple(pre.get(d) for d in range(ndim))
     return faces
 
 
-def riemann_from_states(pre_states, adv_vel):
+def riemann_from_states(pre_states, adv_vel, upwind: bool = True):
     """Final Riemann upwinding of precomputed (lo, hi) face states against
     a (new) advecting velocity — the re-use path of trace_face_states's
     return_pre_riemann."""
+    riem = _riemann if upwind else _riemann_avg
     return tuple(
-        _riemann(lo, hi, adv_vel[d])
+        riem(lo, hi, adv_vel[d])
         for d, (lo, hi) in enumerate(pre_states))
 
 
@@ -469,7 +480,7 @@ def divergence_from_partials(partials: Sequence, geo: LevelGeometry):
 
 
 def momentum_flux_divergence(pre_list: Sequence, adv_pad: Sequence,
-                             geo: LevelGeometry):
+                             geo: LevelGeometry, upwind: bool = True):
     """Deferred momentum update: re-upwind each field's stashed
     (lo_f, hi_f) pairs against the projected advecting velocity and form
     the conservative flux divergence, via ONE fused P4 kernel per
@@ -478,7 +489,8 @@ def momentum_flux_divergence(pre_list: Sequence, adv_pad: Sequence,
     padded pairs.  Returns one valid-cell divergence per field."""
     grid = geo.grid
     nf = len(pre_list)
-    use_pallas = _use_pallas_predictor()
+    use_pallas = upwind and _use_pallas_predictor()
+    riem = _riemann if upwind else _riemann_avg
     partials = [[None] * grid.ndim for _ in range(nf)]
     for d in range(grid.ndim):
         ax = grid.axis(d)
@@ -490,7 +502,7 @@ def momentum_flux_divergence(pre_list: Sequence, adv_pad: Sequence,
         if got is None:
             got = []
             for lo, hi in pairs:
-                F = _riemann(lo, hi, adv_pad[d]) * adv_pad[d]
+                F = riem(lo, hi, adv_pad[d]) * adv_pad[d]
                 got.append(F - shift_m(F, ax))
         for f in range(nf):
             partials[f][d] = got[f]
@@ -554,7 +566,9 @@ def trace_face_states_batched(
     advl = [adv_vel[d][None] for d in range(ndim)]
 
     use_pallas = (params.normal_pred_order == 2
+                  and params.use_upwinding
                   and _use_pallas_predictor())
+    riem = _riemann if params.use_upwinding else _riemann_avg
     coef = dt / 3.0 if ndim == 3 else dt / 2.0
     lo1, hi1, corr2 = [], [], []
     for d in range(ndim):
@@ -568,7 +582,7 @@ def trace_face_states_batched(
         if got is None:
             lo_d, hi_d = _normal_predict_fullpad(
                 sp, upl[d], ax, G, grid.dx[d], dt, params)
-            rie_d = _riemann(lo_d, hi_d, face_avg(upl[d], ax))
+            rie_d = riem(lo_d, hi_d, face_avg(upl[d], ax))
             got = (lo_d, hi_d,
                    -coef * upl[d] * _cc_deriv(rie_d, ax, grid.dx[d]))
         lo1.append(got[0])
@@ -597,7 +611,7 @@ def trace_face_states_batched(
                 for k in ks:
                     lo_c = lo1[j] + corr2[k]
                     hi_c = hi1[j] + shift_p(corr2[k], axj)
-                    rie2 = _riemann(lo_c, hi_c, face_avg(upl[j], axj))
+                    rie2 = riem(lo_c, hi_c, face_avg(upl[j], axj))
                     got.append(-(dt / 2.0) * upl[j]
                                * _cc_deriv(rie2, axj, grid.dx[j]))
             for k, c3 in zip(ks, got):
@@ -629,7 +643,7 @@ def trace_face_states_batched(
         hi_f = hi1[d] + shift_p(csum, ax)
         lo_f, hi_f = jax.lax.optimization_barrier((lo_f, hi_f))
         pre[d] = (lo_f, hi_f)
-        out[d] = _riemann(lo_f, hi_f, advl[d])
+        out[d] = riem(lo_f, hi_f, advl[d])
     faces = tuple(out.get(d) for d in range(ndim))
     if return_pre_riemann:
         return faces, tuple(pre.get(d) for d in range(ndim))
@@ -652,9 +666,10 @@ def flux_divergence_batched(face_states: Sequence, adv_vel: Sequence,
     return out * geo.Jinv
 
 
-def riemann_batched(pre_states, adv_vel):
+def riemann_batched(pre_states, adv_vel, upwind: bool = True):
     """Final Riemann upwinding of batched padded (lo, hi) pre-states
     against the (unbatched padded) advecting velocity."""
+    riem = _riemann if upwind else _riemann_avg
     return tuple(
-        _riemann(lo, hi, adv_vel[d][None])
+        riem(lo, hi, adv_vel[d][None])
         for d, (lo, hi) in enumerate(pre_states))

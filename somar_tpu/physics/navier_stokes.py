@@ -72,12 +72,25 @@ class NSParams:
     advection_vel: AdvectionParams = AdvectionParams(use_limiting=False)
     advection_scal: AdvectionParams = AdvectionParams(use_limiting=True)
     mg: MGParams = MGParams()
+    #: per-solver MG/bottom overrides (reference: the layered
+    #: MACprojection_AMRMG.*, CCprojection_AMRMG.*, syncProjection_*,
+    #: VD_*, viscous_* namespaces, ProblemContext.cpp:1243-1795);
+    #: None falls back to `mg`
+    mg_mac: Optional[MGParams] = None
+    mg_cc: Optional[MGParams] = None
+    mg_sync: Optional[MGParams] = None
+    mg_vd: Optional[MGParams] = None
+    mg_viscous: Optional[MGParams] = None
+    mg_diffusive: Optional[MGParams] = None
     is_incompressible: bool = True        # projection.isIncompressible
     #: pressure solver mux (reference AMRPressureSolver's static
     #: s_useAMRLepticSolver / s_useAMRMGSolver flags, AMRPressureSolver
     #: .cpp:39-40): "auto" (spectral fast path else MG), "mg", "leptic",
     #: "bicgstab", "fft"
     pressure_solver: str = "auto"
+    #: projection.level_projection_iters: CC projection applications per
+    #: step (ProblemContext.cpp:1368)
+    level_projection_iters: int = 1
     dtype: object = jnp.float32
 
 
@@ -130,7 +143,12 @@ class NSLevel:
         self.lam_bcs = FieldBCs.from_periodic(grid, BC.extrap(1))
 
         # projection machinery (shared MG hierarchy)
+        mg_purposes = {k: v for k, v in
+                       (("mac", params.mg_mac), ("cc", params.mg_cc),
+                        ("sync", params.mg_sync), ("vd", params.mg_vd))
+                       if v is not None}
         self.projector = LevelProjector(geo, mg_params=params.mg,
+                                        mg_params_by_purpose=mg_purposes,
                                         method=params.pressure_solver,
                                         dtype=params.dtype)
 
@@ -139,7 +157,8 @@ class NSLevel:
             self.visc_solvers = [
                 make_heat_solver(params.viscous_solver_type, geo,
                                  self.vel_bcs_visc[m], params.nu,
-                                 params.mg, params.dtype)
+                                 params.mg_viscous or params.mg,
+                                 params.dtype)
                 for m in range(ndim)]
             from somar_tpu.solvers.parabolic import BatchedSpectralHeat
             self._visc_batched = (
@@ -157,7 +176,9 @@ class NSLevel:
             kap = params.kappa[comp] if comp < len(params.kappa) else 0.0
             self.diff_solvers.append(
                 make_heat_solver(params.diffusive_solver_type, geo,
-                                 diff_bcs, kap, params.mg, params.dtype)
+                                 diff_bcs, kap,
+                                 params.mg_diffusive or params.mg,
+                                 params.dtype)
                 if kap > 0.0 else None)
 
         # Laplacian op for explicit viscous source (per-component BCs)
@@ -402,7 +423,8 @@ class NSLevel:
                 padded=True, want_div=True)
             return divergence_from_partials(partials, self.geo)
         if pre_states is not None:
-            faces = riemann_from_states(pre_states, adv_pad)
+            faces = riemann_from_states(pre_states, adv_pad,
+                                        upwind=params.use_upwinding)
         else:
             faces = trace_face_states(s, u_mapped, adv_pad, src, dt,
                                       self.geo, bcs, params,
@@ -522,8 +544,9 @@ class NSLevel:
             # one fused P4 re-upwinding + flux-difference kernel per
             # direction for ALL components (godunov.py)
             from somar_tpu.physics.godunov import momentum_flux_divergence
-            batched_adv = momentum_flux_divergence(pre, self._adv_pad,
-                                                   self.geo)
+            batched_adv = momentum_flux_divergence(
+                pre, self._adv_pad, self.geo,
+                upwind=self.params.advection_vel.use_upwinding)
         for m in range(ndim):
             src_m = src_vel[m] if src_vel is not None else None
             if batched_adv is not None:
@@ -649,8 +672,10 @@ class NSLevel:
                 state, vel, scalars, dt)
             pressure = state.pressure + cc_phi / dt
         elif p.is_incompressible:
-            vel, cc_phi, _ = self.projector.project_cc(
-                vel, self.vel_bcs_trace, phi0=state.cc_phi, ring=ring_cc)
+            for _ in range(max(1, p.level_projection_iters)):
+                vel, cc_phi, _ = self.projector.project_cc(
+                    vel, self.vel_bcs_trace, phi0=state.cc_phi,
+                    ring=ring_cc)
             pressure = state.pressure + cc_phi / dt
 
         out = NSState(vel=vel, scalars=scalars, lam=lam, mac_phi=mac_phi,

@@ -55,13 +55,19 @@ class LevelProjector:
 
     def __init__(self, geo: LevelGeometry, mg_params: MGParams = MGParams(),
                  phi_bcs: Optional[FieldBCs] = None, method: str = "auto",
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, mg_params_by_purpose: Optional[dict] = None):
+        """mg_params_by_purpose: optional {"mac"|"cc"|"sync"|"vd":
+        MGParams} overrides (reference: the per-projection AMRMG/bottom
+        namespaces consumed by AMRPressureSolver's per-context builds);
+        missing purposes fall back to mg_params."""
         self.geo = geo
         self.grid = geo.grid
         self.phi_bcs = phi_bcs or pressure_bcs(geo.grid)
         self._mg_params = mg_params
+        self._mg_by_purpose = dict(mg_params_by_purpose or {})
         self._dtype = dtype
         self._mg = None       # built lazily (the spectral path skips it)
+        self._mgs = {}        # per-purpose lazy LevelMultigrid overrides
         self.op = PoissonOp(geo, self.phi_bcs)
         self.singular = self.op.bcs_singular()
         # solver mux (reference: AMRPressureSolver leptic/MG/BiCGStab flags,
@@ -90,8 +96,20 @@ class LevelProjector:
                                       dtype=self._dtype)
         return self._mg
 
+    def _params_for(self, purpose) -> MGParams:
+        return self._mg_by_purpose.get(purpose, self._mg_params)
+
+    def _mg_for(self, purpose) -> LevelMultigrid:
+        if purpose not in self._mg_by_purpose:
+            return self.mg
+        if purpose not in self._mgs:
+            self._mgs[purpose] = LevelMultigrid(
+                self.geo, self.phi_bcs,
+                params=self._mg_by_purpose[purpose], dtype=self._dtype)
+        return self._mgs[purpose]
+
     # ----------------------------------------------------------- solves
-    def _solve(self, rhs, phi0=None, jgup_deltas=None):
+    def _solve(self, rhs, phi0=None, jgup_deltas=None, purpose="mac"):
         if self.method == "fft" and jgup_deltas is None:
             # exact spectral solve (uniform Cartesian metric, hom BCs)
             return self.fft.solve(rhs), (jnp.asarray(1), jnp.asarray(0.0))
@@ -101,14 +119,17 @@ class LevelProjector:
             return phi, (it, rr)
         if self.method == "bicgstab":
             jd0 = jgup_deltas[0] if jgup_deltas is not None else None
-            bp = BiCGStabParams(eps=self._mg_params.bottom_eps,
-                                imax=self._mg_params.bottom_imax,
-                                hang=self._mg_params.bottom_hang)
+            mp = self._params_for(purpose)
+            bp = BiCGStabParams(eps=mp.bottom_eps,
+                                imax=mp.bottom_imax,
+                                hang=mp.bottom_hang,
+                                small=mp.bottom_small)
             return bicgstab(
                 lambda v: self.op.apply(v, jgup_delta=jd0), rhs, x0=phi0,
                 params=bp, remove_mean=self.singular)
-        return self.mg.solve(rhs, phi0=phi0, singular=self.singular,
-                             jgup_deltas=jgup_deltas)
+        return self._mg_for(purpose).solve(rhs, phi0=phi0,
+                                           singular=self.singular,
+                                           jgup_deltas=jgup_deltas)
 
     # ------------------------------------------------------------- helpers
     def cc_grad_cart(self, phi):
@@ -151,14 +172,15 @@ class LevelProjector:
         div = mac_divergence(fluxes, self.geo)
         if ring is not None:
             div = div - self._rhs_ring_correction(ring)
-        phi, info = self._solve(div, phi0)
+        phi, info = self._solve(div, phi0, purpose="mac")
         grad = self._grad_with_ring(phi, ring)
         out = tuple(f - g for f, g in zip(fluxes, grad))
         return out, phi, info
 
     # ------------------------------------------------------- CC projection
     def project_cc(self, vel_cart, vel_bcs: Sequence[FieldBCs], phi0=None,
-                   scale: float = 1.0, jgup_deltas=None, ring=None):
+                   scale: float = 1.0, jgup_deltas=None, ring=None,
+                   purpose: str = "cc"):
         """Approximate projection of a CC Cartesian-basis velocity.
 
         vel -= scale * to_cartesian(g^{dj} d_j phi |_cc); the Poisson rhs
@@ -177,7 +199,7 @@ class LevelProjector:
         div = mac_divergence(fluxes, geo)
         if ring is not None:
             div = div - self._rhs_ring_correction(ring, jd0)
-        phi, info = self._solve(div, phi0, jgup_deltas)
+        phi, info = self._solve(div, phi0, jgup_deltas, purpose=purpose)
         grad_fc = self._grad_with_ring(phi, ring, jd0)
         grad_cc = jnp.stack([
             fc_to_cc(grad_fc[d], d, grid) * geo.Jinv

@@ -123,11 +123,22 @@ class MGParams:
     max_depth: int = -1          # AMRMG.maxDepth
     relax_mode: str = "gsrb"     # -1 none / 0 jacobi / 1 gsrb / 3 line
     verbosity: int = 0
+    # AMRMG.num_smooth_precond / AMRMG.precond_mode: accepted for input
+    # -file compatibility (the reference preconditions its Krylov solvers
+    # with MG sweeps / DIAGPRECOND, MappedAMRPoissonOp.H); this MG uses
+    # its relax_mode smoother directly.
+    num_smooth_precond: int = 2
+    precond_mode: int = 1
     # Krylov (BiCGStab) bottom/fallback solver knobs (reference: the
     # bottom.* input namespace, ProblemContext.cpp:1353+)
     bottom_eps: float = 1e-6     # bottom.eps
     bottom_imax: int = 80        # bottom.imax
     bottom_hang: float = 1e-8    # bottom.hang
+    bottom_small: float = 1e-30  # bottom.small
+    bottom_reps: float = 1e-12   # bottom.reps (relative eps)
+    bottom_num_restarts: int = 5     # bottom.numRestarts (accepted)
+    bottom_norm_type: int = 2        # bottom.normType (accepted; L2 used)
+    bottom_verbosity: int = 0        # bottom.verbosity
 
 
 class LevelMultigrid:
