@@ -260,8 +260,13 @@ class PatchCoupling:
     # ---------------------------------------------------------------- util
     def make_level(self, geo, aux=None) -> PatchNSLevel:
         """Build the patch NS level from a (possibly traced) geometry."""
-        return PatchNSLevel(geo, self.problem, self.params, self.cf_dirs,
-                            aux_fields=aux)
+        lvl = PatchNSLevel(geo, self.problem, self.params, self.cf_dirs,
+                           aux_fields=aux)
+        # carry level flags the hierarchy set after construction (the
+        # mapped path rebuilds the level per regrid from traced metrics)
+        prev = getattr(self, "level", None)
+        lvl.use_vd_correction = getattr(prev, "use_vd_correction", False)
+        return lvl
 
     def build_patch_bundle(self, global_origin_f, domain_grid: Grid):
         """Host-side, at regrid time: evaluate the coordinate map's metric
@@ -478,8 +483,31 @@ class PatchCoupling:
             origins = np.tile(self._centered_origin(), (self.K, 1))
             weights = np.zeros(self.K, np.float32)
             weights[0] = 1.0
+            self.tag_coverage = (0, 0)
             return origins, weights
+        self._record_coverage(tags, got[0], got[1], halo_axes,
+                              interior_axes)
         return got
+
+    def _record_coverage(self, tags, origins, weights, halo_axes,
+                         interior_axes):
+        """Store + report tag coverage of the chosen patches (the static-
+        shape analog of the reference's everything-covered BR guarantee;
+        under-coverage is a warning, never silent)."""
+        import warnings
+        from somar_tpu.amr.tagging import tag_coverage
+        dropped, total = tag_coverage(tags, origins, weights,
+                                      self.parent_grid, self.ratio,
+                                      interior_axes, halo_axes)
+        self.tag_coverage = (dropped, total)
+        if dropped > 0:
+            warnings.warn(
+                f"AMR regrid dropped {dropped}/{total} tagged cells: the "
+                f"tagged region outgrew the static patch footprint "
+                f"(interior {self.interior_nx} fine cells x {self.K} "
+                f"patches). Raise amr.max_patches / patch_frac / "
+                f"amr.max_grid_size to cover it.", RuntimeWarning,
+                stacklevel=3)
 
     def _masked_tags(self, s_par: NSState, tag_params: TagParams):
         """Tags with the parent's own CF halo zeroed (that data is
@@ -517,7 +545,11 @@ class PatchCoupling:
                                         interior_axes, halo_axes,
                                         lo_pad_f=parent_halo_f)
         if origin is None:
+            self.tag_coverage = (0, 0)
             origin = self._centered_origin()
+        else:
+            self._record_coverage(tags, origin[None, :], None, halo_axes,
+                                  interior_axes)
         return np.asarray(origin, dtype=np.int64)
 
 
@@ -597,6 +629,10 @@ class AMRHierarchy:
             if self.reflux_fields:
                 from somar_tpu.amr.flux_register import PatchFluxRegister
                 c.flux_register = PatchFluxRegister(c)
+            if self.eta_lambda > 0.0 and K == 1:
+                # patch levels consume their own composite eLambda
+                # (computeVDCorrection fills every level's grad_eLambda)
+                c.level.use_vd_correction = True
             self.couplings.append(c)
             parent_geo = c.level.geo
             parent_level = c.level
@@ -881,26 +917,122 @@ class AMRHierarchy:
                                          parent_fluxes=fl0,
                                          parent_level=level0,
                                          weights=weights)
-        # sync projection (reference: AMRNavierStokesSync.cpp:249-295)
+        # composite sync projection over the WHOLE hierarchy (reference:
+        # AMRCCProjector::project over lmin..lmax,
+        # AMRNavierStokesSync.cpp:249-295)
         if self.params.is_incompressible and self.do_sync_projection:
-            vel = s0_new.vel
             for _ in range(self.sync_projection_iters):
-                vel, cc_phi, _ = level0.projector.project_cc(
-                    vel, level0.vel_bcs_trace, phi0=s0_new.cc_phi,
-                    purpose="sync")
-            s0_new = dataclasses.replace(s0_new, vel=vel)
+                s0_new = self._sync_project(s0_new, fine_states, origins,
+                                            geos, weights)
         # volume-discrepancy (freestream) correction: eLambda potential
         # from the lambda drift (reference: computeVDCorrection,
         # AMRNavierStokesSync.cpp:850: rhs = etaLambda*(lambda-1)/dt,
-        # grad eLambda added to the advecting velocity next step)
+        # grad eLambda added to the advecting velocity next step).
+        # Composite: each patch level solves its own eLambda with
+        # quadratic CF ghost rings of the parent potential (the dense
+        # analog of the AMRPressureSolver VD_* composite solve, :915-956)
         if self.eta_lambda > 0.0:
             rhs = self.eta_lambda * (s0_new.lam - 1.0) / dt
             e_lam, _ = level0.projector._solve(rhs - jnp.mean(rhs),
                                                purpose="vd")
             s0_new = dataclasses.replace(s0_new, e_lambda=e_lam)
+            e_par = e_lam
+            for lev, c in enumerate(self.couplings):
+                if c.K > 1:
+                    break   # multi-patch VD rides the halo fill instead
+                level = (c.make_level(geos[lev]["geo"], geos[lev]["aux"])
+                         if (c.is_mapped and geos is not None) else c.level)
+                s_f = fine_states[lev]
+                ring = c._ring(e_par, origins[lev])
+                # lambdaMult = etaLambda / m_dt uses the LBASE dt on every
+                # level (reference: computeVDCorrection, :866-880 computes
+                # the multiplier once and applies it to all levels' rhs)
+                rhs_f = self.eta_lambda * (s_f.lam - 1.0) / dt
+                rhs_f = rhs_f - level.projector._rhs_ring_correction(ring)
+                e_f, _ = level.projector._solve(rhs_f, phi0=s_f.e_lambda,
+                                                purpose="vd")
+                fine_states[lev] = dataclasses.replace(s_f, e_lambda=e_f)
+                e_par = e_f
         if single:
             return s0_new, fine_states[0]
         return s0_new, tuple(fine_states)
+
+    def _sync_project(self, s0: NSState, fine_states: list, origins,
+                      geos=None, weights=None) -> NSState:
+        """One composite sync-projection pass over the hierarchy (the
+        dense-patch analog of AMRCCProjector::project,
+        AMRNavierStokesSync.cpp:276-295 / MappedAMRMultiGrid's AMRVCycle):
+
+          top-down — project level 0 (whose divergence already sees the
+          composite field: covered cells hold the averaged-down fine
+          velocity), then each finer level with quadratic CF ghost rings
+          of the parent's freshly-solved sync potential, so the fine
+          velocity receives the sync correction DIRECTLY;
+          bottom-up — J-weighted re-average of the corrected velocities.
+
+        Mutates fine_states in place; returns the corrected level-0
+        state."""
+        level0 = self.level0
+        vel0, phi0, _ = level0.projector.project_cc(
+            s0.vel, level0.vel_bcs_trace, phi0=s0.cc_phi, purpose="sync")
+        s0 = dataclasses.replace(s0, vel=vel0)
+
+        # top-down: correct every patch level with its parent's potential
+        phi_par = phi0
+        phi_stacks = []
+        for lev, c in enumerate(self.couplings):
+            if c.is_mapped and geos is not None:
+                level = c.make_level(geos[lev]["geo"], geos[lev]["aux"])
+            else:
+                level = c.level
+            if c.K > 1:
+                org = origins[lev]
+                pats, phis = [], []
+                for k in range(c.K):
+                    s_f = _tree_index(fine_states[lev], k)
+                    ring = c._ring(phi_par, org[k])
+                    vel_f, phi_f, _ = level.projector.project_cc(
+                        s_f.vel, level.vel_bcs_trace, phi0=s_f.cc_phi,
+                        ring=ring, purpose="sync")
+                    pats.append(dataclasses.replace(s_f, vel=vel_f))
+                    phis.append(phi_f)
+                fine_states[lev] = _tree_stack(pats)
+                phi_stacks.append(phis)
+                phi_par = phis[0]    # only the finest may be multi-patch
+            else:
+                s_f = fine_states[lev]
+                ring = c._ring(phi_par, origins[lev])
+                vel_f, phi_f, _ = level.projector.project_cc(
+                    s_f.vel, level.vel_bcs_trace, phi0=s_f.cc_phi,
+                    ring=ring, purpose="sync")
+                fine_states[lev] = dataclasses.replace(s_f, vel=vel_f)
+                phi_stacks.append(phi_f)
+                phi_par = phi_f
+
+        # bottom-up: re-average the corrected velocities (the projection
+        # changed the fine field, so the parent's covered cells must see
+        # the correction too)
+        for lev in range(len(self.couplings) - 1, -1, -1):
+            c = self.couplings[lev]
+            J_f = (geos[lev]["geo"].J
+                   if (c.is_mapped and geos is not None) else None)
+            parent = s0 if lev == 0 else fine_states[lev - 1]
+            if c.K > 1:
+                org = origins[lev]
+                w = (weights[lev] if weights is not None
+                     else jnp.ones(c.K, self.params.dtype))
+                for k in range(c.K):
+                    parent = c.average_down(
+                        parent, _tree_index(fine_states[lev], k), org[k],
+                        J_f=J_f, weight=w[k])
+            else:
+                parent = c.average_down(parent, fine_states[lev],
+                                        origins[lev], J_f=J_f)
+            if lev == 0:
+                s0 = parent
+            else:
+                fine_states[lev - 1] = parent
+        return s0
 
     def average_down(self, s0: NSState, s1: NSState, origin_f) -> NSState:
         """Backward-compatible 2-level average-down."""

@@ -31,7 +31,11 @@ class TagParams:
     vel_tag_tol: float = 0.0
     magvort_tag_quota: float = 0.0
     pressure_tag_tol: float = 0.0   # amr.pressure_tag_tol
-    ri_tag_tol: float = 0.0
+    #: amr.do_Ri_tagging / amr.Ri_tag_tol: tag cells with gradient
+    #: Richardson number <= tol (shear instability; reference:
+    #: AMRNavierStokesRegrid.cpp:233-252)
+    do_ri_tagging: bool = False
+    ri_tag_tol: float = 0.25
     #: per-component absolute |vorticity| thresholds (amr.vort_tag_tol;
     #: 2D uses component z = index 2, Regrid.cpp:334-373)
     vort_tag_tol: tuple = (0.0, 0.0, 0.0)
@@ -75,6 +79,13 @@ def compute_tags(state, level, params: TagParams) -> np.ndarray:
         # AMRNavierStokesRegrid.cpp:527-585)
         pres = np.asarray(state.pressure)
         tags |= _undivided_diff_mag(pres) > params.pressure_tag_tol
+
+    if params.do_ri_tagging:
+        # tag where Ri = N^2_local/S^2 <= tol (reference tags Ri below
+        # the instability threshold, Regrid.cpp:233-252)
+        from somar_tpu.physics.derived import compute_ri_number
+        ri = np.asarray(compute_ri_number(level, state))
+        tags |= ri <= params.ri_tag_tol
 
     use_vort_tol = any(t > 0.0 for t in params.vort_tag_tol)
     if params.magvort_tag_quota > 0.0 or use_vort_tol:
@@ -223,6 +234,31 @@ def patch_origins_from_tags(tags: np.ndarray, grid: Grid, ratio,
         out[k] = origins[k if k < n else 0]
         w[k] = 1.0 if k < n else 0.0
     return out, w
+
+
+def tag_coverage(tags: np.ndarray, origins, weights, grid: Grid, ratio,
+                 interior_shape_f, halo_axes):
+    """(n_dropped, n_tagged): tagged parent cells NOT covered by any
+    active patch interior.  The reference's Berger-Rigoutsos boxes cover
+    every tag by construction (LepticMeshRefine::makeBoxes); the static-
+    shape patch model cannot always — this makes under-coverage a
+    DETECTED, reported event instead of a silent accuracy loss."""
+    origins = np.atleast_2d(np.asarray(origins, dtype=np.int64))
+    covered = np.zeros_like(tags)
+    for k in range(origins.shape[0]):
+        if weights is not None and float(np.asarray(weights)[k]) == 0.0:
+            continue
+        sl = []
+        for ax in range(tags.ndim):
+            r = ratio[grid.dir_of_axis(ax)]
+            start_c = (int(origins[k, ax]) + halo_axes[ax]) // r
+            size_c = max(1, interior_shape_f[ax] // r)
+            sl.append(slice(max(0, start_c),
+                            min(tags.shape[ax], start_c + size_c)))
+        covered[tuple(sl)] = True
+    n_tagged = int(tags.sum())
+    n_dropped = int((tags & ~covered).sum())
+    return n_dropped, n_tagged
 
 
 def patch_origin_from_tags(tags: np.ndarray, grid: Grid, ratio,

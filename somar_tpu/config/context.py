@@ -102,6 +102,9 @@ class AMRConfig:
     magvort_tag_quota: float = 0.0
     pressure_tag_tol: float = 0.0
     vert_extrude_tags: bool = False
+    # amr.do_Ri_tagging / amr.Ri_tag_tol (ProblemContext.cpp:441-454)
+    do_ri_tagging: bool = False
+    ri_tag_tol: float = 0.25
     final_time: float = 1.0
     max_steps: int = 100
     restart_file: str = ""
@@ -255,6 +258,8 @@ class ProblemContext:
                 pp.get_int_vect("amr.max_base_grid_size", ndim,
                                 (0,) * ndim) or (0,) * ndim),
             vert_extrude_tags=bool(pp.get_int("amr.vert_extrude_tags", 0)),
+            do_ri_tagging=bool(pp.get_int("amr.do_Ri_tagging", 0)),
+            ri_tag_tol=pp.get_real("amr.Ri_tag_tol", 0.25),
             final_time=pp.get_real("amr.final", 1.0),
             max_steps=pp.get_int("amr.maxsteps", 100),
             restart_file=pp.get_str("amr.restart_file", "") or "",

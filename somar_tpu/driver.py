@@ -49,10 +49,12 @@ class RunDriver:
                 magvort_tag_quota=ctx.amr.magvort_tag_quota,
                 pressure_tag_tol=ctx.amr.pressure_tag_tol,
                 vort_tag_tol=ctx.amr.vort_tag_tol,
+                do_ri_tagging=ctx.amr.do_ri_tagging,
+                ri_tag_tol=ctx.amr.ri_tag_tol,
                 tags_grow=ctx.amr.tags_grow,
                 fill_ratio=ctx.amr.fill_ratio,
                 block_factor=ctx.amr.block_factor,
-                vert_extrude=True)
+                vert_extrude=ctx.amr.vert_extrude_tags)
             reflux = tuple(
                 name for flag, name in (
                     (ctx.amr.advective_momentum_reflux, "vel"),
@@ -89,6 +91,8 @@ class RunDriver:
         import jax.numpy as jnp
         from somar_tpu.io.checkpoint import (
             read_checkpoint, write_checkpoint, write_plotfile)
+        from somar_tpu.utils.debug import assert_finite_host
+        from somar_tpu.utils.timers import timer
 
         ctx = self.ctx
         max_steps = ctx.amr.max_steps if max_steps is None else max_steps
@@ -172,24 +176,30 @@ class RunDriver:
                     break
 
                 t0 = time.perf_counter()
-                if self.hierarchy is not None:
-                    state, fine_state = self._amr_step_fn(
-                        state, fine_state, origin, dt,
-                        self.hierarchy.geo_bundles, weights)
-                    for c, nsub in zip(self.hierarchy.couplings,
-                                       self._amr_substeps):
-                        cell_updates += nsub * c.K * int(np.prod(c.ext_nx))
-                else:
-                    state = self._step_fn(state, dt)
-                state.vel.block_until_ready()
+                with timer("advance"):
+                    if self.hierarchy is not None:
+                        state, fine_state = self._amr_step_fn(
+                            state, fine_state, origin, dt,
+                            self.hierarchy.geo_bundles, weights)
+                        for c, nsub in zip(self.hierarchy.couplings,
+                                           self._amr_substeps):
+                            cell_updates += nsub * c.K * int(np.prod(c.ext_nx))
+                    else:
+                        state = self._step_fn(state, dt)
+                    state.vel.block_until_ready()
                 wc = time.perf_counter() - t0
+                if ctx.amr.verbosity >= 3:
+                    # host-side NaN net per step (reference: debug-build
+                    # checkForValidNAN after each advance)
+                    assert_finite_host(state.vel, f"step {step + 1} velocity")
                 step += 1
                 cell_updates += self.grid.ncells
 
                 # regrid cadence (reference: LepticAMR::needToRegrid)
                 if self.hierarchy is not None and                         step % self.regrid_interval == 0:
-                    got = self.hierarchy.regrid(state, fine_state,
-                                                dt=float(dt))
+                    with timer("regrid"):
+                        got = self.hierarchy.regrid(state, fine_state,
+                                                    dt=float(dt))
                     if self.hierarchy.multi_patch:
                         fine_state, origin, weights = got
                     else:
@@ -219,26 +229,29 @@ class RunDriver:
                     do_plot = True
                 if do_plot:
                     last_plot_time = float(state.time)
-                    write_plotfile(
-                        os.path.join(self.out_dir,
-                                     f"{p.plot_prefix}{step:06d}.hdf5"),
-                        state, self.level, step, p)
+                    with timer("write_plotfile"):
+                        write_plotfile(
+                            os.path.join(self.out_dir,
+                                         f"{p.plot_prefix}{step:06d}.hdf5"),
+                            state, self.level, step, p)
                 if p.checkpoint_interval > 0 and \
                         step % p.checkpoint_interval == 0:
-                    write_checkpoint(
-                        os.path.join(self.out_dir,
-                                     f"{p.checkpoint_prefix}{step:06d}.hdf5"),
-                        state, self.level, step, float(dt),
-                        fine_state=fine_state,
-                        fine_grid=([c.ext_grid for c in
-                                    self.hierarchy.couplings]
-                                   if self.hierarchy else None),
-                        origin=(None if origin is None
-                                else [np.asarray(o) for o in origin]),
-                        weights=(None if self.hierarchy is None else
-                                 [None if c.weights is None
-                                  else np.asarray(c.weights)
-                                  for c in self.hierarchy.couplings]))
+                    with timer("write_checkpoint"):
+                        write_checkpoint(
+                            os.path.join(
+                                self.out_dir,
+                                f"{p.checkpoint_prefix}{step:06d}.hdf5"),
+                            state, self.level, step, float(dt),
+                            fine_state=fine_state,
+                            fine_grid=([c.ext_grid for c in
+                                        self.hierarchy.couplings]
+                                       if self.hierarchy else None),
+                            origin=(None if origin is None
+                                    else [np.asarray(o) for o in origin]),
+                            weights=(None if self.hierarchy is None else
+                                     [None if c.weights is None
+                                      else np.asarray(c.weights)
+                                      for c in self.hierarchy.couplings]))
         finally:
             signal.signal(signal.SIGINT, prev_handler)
 
@@ -249,6 +262,10 @@ class RunDriver:
             if elapsed > 0:
                 print(f"cell updates/sec: {cell_updates / elapsed:.4g}")
             print(f"total elapsed: {elapsed:.2f} s")
+            if ctx.amr.verbosity >= 2:
+                # hierarchical timer report (CH_TIMER_REPORT analog,
+                # exec/somar.cpp:222)
+                print(timer.report())
         # final checkpoint (LepticAMR::conclude, :671-679)
         from somar_tpu.io.checkpoint import write_checkpoint as _wc
         _wc(os.path.join(self.out_dir,

@@ -11,6 +11,15 @@ Re-design of the reference's IO layer
 
 Layout: one HDF5 file, group `level_<i>` per level; field names match the
 reference's component naming so post-processing tooling carries over.
+
+The reference also checkpoints the OLD-time state per level
+(AMRNavierStokesIO.cpp:140) because its in-memory levels interpolate
+fine-level ghosts in time between the coarse old/new pair mid-subcycle.
+This rebuild's functional step re-derives the within-coarse-step time
+interpolants from the coarse state at the step boundary (checkpoints are
+only written there, LepticAMR.cpp:776-782), so a single state per level
+gives exact resume — asserted by tests/test_driver_io.py's bitwise
+resume tests — and old_* datasets are intentionally not stored.
 """
 
 from __future__ import annotations
@@ -149,7 +158,6 @@ def write_plotfile(path: str, state, level, step: int, plot_cfg=None):
     """Visualization dump with the reference's optional derived fields
     (getPlotData, AMRNavierStokesIO.cpp:1203-1500)."""
     import h5py
-    import jax.numpy as jnp
     from somar_tpu.ops.stencil import vorticity
 
     grid = level.grid
@@ -164,8 +172,7 @@ def write_plotfile(path: str, state, level, step: int, plot_cfg=None):
     if plot_cfg is not None and plot_cfg.write_lambda:
         fields["lambda"] = np.asarray(state.lam)
     if plot_cfg is not None and plot_cfg.write_divergence:
-        fields["divergence"] = np.asarray(level.max_divergence(state) *
-                                          jnp.ones(grid.shape))
+        fields["divergence"] = np.asarray(level.cell_divergence(state))
     if plot_cfg is not None and plot_cfg.write_vorticity:
         w = vorticity(state.vel, geo,
                       [level.vel_bcs_trace[m] for m in range(grid.ndim)])

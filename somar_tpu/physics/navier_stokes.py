@@ -201,6 +201,14 @@ class NSLevel:
         else:
             self._nsq_cc = (problem.nsq_cc(geo).astype(params.dtype)
                             if problem.use_background_scalar else None)
+        # first-mode internal-wave phase speed per direction (reference:
+        # initializeInternalWaveSpeed, AMRNavierStokesInit.cpp:255-310,
+        # projected onto coordinate lines by ProjectPhaseSpeed,
+        # StratUtilsF.ChF; consumed by the COMPUTEMINBVDT dt limit)
+        self._c0i = None
+        if (params.limit_dt_via_internal_wave_speed
+                and self._nsq_cc is not None):
+            self._c0i = self._internal_wave_speed()
 
         # implicit-gravity (BV) machinery: altered-metric fields per MG level
         self._altered_metric = None
@@ -208,6 +216,33 @@ class NSLevel:
             from somar_tpu.projection.altered_metric import AlteredMetric
             self._altered_metric = AlteredMetric(
                 self.projector.mg, problem.background, params.dtype)
+
+    def _internal_wave_speed(self):
+        """Per-direction first-mode phase speed c0^d = c0 * max over
+        horizontal j of |dxi^d/dx^j| (reference: solveVertEigenProblem +
+        ProjectPhaseSpeed; the eigenproblem runs on the level-0 profile
+        only, finer levels inherit it — AMRNavierStokesFill.cpp:711).
+        Returns per-direction scalars (uniform maps) or CC arrays."""
+        from somar_tpu.utils.strat import solve_vert_eigen_problem
+
+        grid = self.grid
+        vd = grid.vertical_dir
+        vax = grid.axis(vd)
+        nsq = np.asarray(self._nsq_cc)
+        horiz_axes = tuple(a for a in range(nsq.ndim) if a != vax)
+        prof = nsq.mean(axis=horiz_axes) if horiz_axes else nsq
+        c, _ = solve_vert_eigen_problem(np.maximum(prof, 0.0),
+                                        grid.dx[vd], 1)
+        c0 = float(np.asarray(c).ravel()[0])
+        if self.geo.einv_cc is None:
+            return tuple(0.0 if d == vd else c0 for d in range(grid.ndim))
+        einv = np.asarray(self.geo.einv_cc)   # (m, n, *shape)
+        hdirs = [n for n in range(grid.ndim) if n != vd]
+        return tuple(
+            jnp.asarray(
+                c0 * np.max([np.abs(einv[d, n]) for n in hdirs], axis=0),
+                self.params.dtype)
+            for d in range(grid.ndim))
 
     # ------------------------------------------------------------- set-up
     def initial_state(self) -> NSState:
@@ -681,6 +716,10 @@ class NSLevel:
         out = NSState(vel=vel, scalars=scalars, lam=lam, mac_phi=mac_phi,
                       cc_phi=cc_phi, pressure=pressure,
                       e_lambda=state.e_lambda, time=state.time + dt)
+        # SOMAR_DEBUG_CHECKS=1 NaN sweep (trace-time no-op otherwise;
+        # reference: checkForValidNAN after every substep)
+        from somar_tpu.utils.debug import check_state
+        out = check_state(out, "advance")
         if collect_fluxes:
             return out, collect
         return out
@@ -755,9 +794,15 @@ class NSLevel:
                 dphi = jnp.max(jnp.abs(jnp.diff(state.cc_phi, axis=ax)))
                 dt = jnp.minimum(
                     dt, grid.dx[d] / jnp.sqrt(jnp.maximum(dphi, 1e-30)))
-        if (p.limit_dt_via_internal_wave_speed and self._nsq_cc is not None):
-            nmax = jnp.sqrt(jnp.maximum(jnp.max(self._nsq_cc), 1e-30))
-            dt = jnp.minimum(dt, p.cfl / nmax)
+        if p.limit_dt_via_internal_wave_speed and self._c0i is not None:
+            # dt <= cfl * min_cells,d dx_d / (|u_d| + c0_d); the reference
+            # COMPUTEMINBVDT bound max(|u+c0|, |u-c0|) = |u| + c0
+            # (AMRNavierStokesUtil.cpp:713-752, AMRNSF.ChF)
+            inv_bv = 1e-12
+            for d in range(grid.ndim):
+                tot = jnp.abs(u_mapped[d]) + self._c0i[d]
+                inv_bv = jnp.maximum(inv_bv, jnp.max(tot) / grid.dx[d])
+            dt = jnp.minimum(dt, p.cfl / inv_bv)
         return jnp.minimum(dt, p.max_dt).astype(p.dtype)
 
     # --------------------------------------------------------- diagnostics
@@ -774,11 +819,16 @@ class NSLevel:
         dv = float(np.prod(geo.grid.dx))
         return jnp.sum((ke + pe) * geo.J) * dv
 
-    def max_divergence(self, state: NSState):
+    def cell_divergence(self, state: NSState):
+        """Per-cell mapped divergence of the CC velocity (reference:
+        getPlotData's divergence branch, AMRNavierStokesIO.cpp:1278)."""
         geo = self.geo
         u_mapped = geo.to_mapped(state.vel)
         fluxes = tuple(
             cc_to_fc(geo.mult_by_J(u_mapped[d]), d, self.grid,
                      self.vel_bcs_trace[d])
             for d in range(self.grid.ndim))
-        return jnp.max(jnp.abs(mac_divergence(fluxes, geo)))
+        return mac_divergence(fluxes, geo)
+
+    def max_divergence(self, state: NSState):
+        return jnp.max(jnp.abs(self.cell_divergence(state)))

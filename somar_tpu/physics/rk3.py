@@ -60,7 +60,11 @@ def _mol_rhs(level, state: NSState, grad_p, dt_for_sponge):
     grav = level._gravity_source(state.scalars)
     sponge_v, sponge_s = level._sponge_source(state.vel, state.scalars,
                                               dt_for_sponge)
-    visc = level._viscous_source(state.vel)
+    # viscosity/diffusion are NOT part of the explicit RHS when the level
+    # owns implicit heat solvers: each RK stage runs its own implicit
+    # solve instead (reference: updateState's per-stage TGA solves,
+    # AMRNavierStokesAdvanceRK3.cpp:903,933)
+    visc = None if level.is_viscous else level._viscous_source(state.vel)
 
     dvel = []
     for m in range(ndim):
@@ -82,10 +86,6 @@ def _mol_rhs(level, state: NSState, grad_p, dt_for_sponge):
             r = r + state.vel[ndim - 1] * level._nsq_cc
         if c == 0 and sponge_s is not None:
             r = r + sponge_s
-        if level.diff_solvers[c] is not None:
-            kap = p.kappa[c] if c < len(p.kappa) else 0.0
-            r = r + kap * level.projector.op.apply(state.scalars[c],
-                                                   0.0, 1.0)
         dscal.append(r)
 
     dlam = -upwind_div(state.lam, level.lam_bcs, p.advection_scal)
@@ -93,7 +93,9 @@ def _mol_rhs(level, state: NSState, grad_p, dt_for_sponge):
 
 
 def advance_rk3(level, state: NSState, dt) -> NSState:
-    """One SSP-RK3 step with per-stage projection."""
+    """One SSP-RK3 step with per-stage projection and per-stage implicit
+    viscous/diffusive solves (reference: RK3TimeStep + updateState's TGA
+    solve per stage, AMRNavierStokesAdvanceRK3.cpp:57-145,903,933)."""
     p = level.params
     grad_p = (level.projector.cc_grad_cart(state.pressure)
               if p.is_incompressible else None)
@@ -103,6 +105,21 @@ def advance_rk3(level, state: NSState, dt) -> NSState:
         vel = w_old * state.vel + w_new * (s.vel + dt * dv)
         scal = w_old * state.scalars + w_new * (s.scalars + dt * ds)
         lam = w_old * state.lam + w_new * (s.lam + dt * dl)
+        # implicit stage solves over the stage's effective dt = w_new*dt
+        # (the Shu-Osher convex combination scales the stage increment)
+        dt_eff = w_new * dt
+        if level.is_viscous:
+            vel = jnp.stack([
+                level.visc_solvers[m].update(vel[m], None, dt_eff)[0]
+                for m in range(level.grid.ndim)])
+        new_scal = []
+        for c in range(level.problem.num_scalars):
+            if level.diff_solvers[c] is not None:
+                new_scal.append(
+                    level.diff_solvers[c].update(scal[c], None, dt_eff)[0])
+            else:
+                new_scal.append(scal[c])
+        scal = jnp.stack(new_scal)
         cc_phi = s.cc_phi
         if p.is_incompressible:
             vel, cc_phi, _ = level.projector.project_cc(

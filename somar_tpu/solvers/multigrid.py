@@ -244,6 +244,12 @@ class LevelMultigrid:
             if singular:
                 phi = phi - jnp.mean(phi)
             rnew = op.norm(op.residual(phi, rhs, alpha, beta, jgup_delta=jd0))
+            if p.verbosity >= 2:
+                # per-V-cycle residual trace (reference: AMRMG.verbosity
+                # prints |r| each cycle, MappedAMRMultiGrid::solve)
+                jax.debug.print(
+                    "    MG V-cycle {it}: |r|/|r0| = {r:.3e}",
+                    it=it + 1, r=rnew / r0)
             return (phi, rnew, rnorm, it + 1)
 
         state = (phi, r0, 2.0 * r0, jnp.asarray(0))

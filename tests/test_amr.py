@@ -1,8 +1,11 @@
 """AMR hierarchy tests: transfers, tagging, subcycled advance, regrid."""
 
+import dataclasses
+
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from somar_tpu.core.grid import Grid
 from somar_tpu.geometry.geo_source import CartesianMap
@@ -510,3 +513,229 @@ def test_no_subcycling_mode():
         state, steps = driver.run(verbose=False)
     assert steps == 2
     assert np.all(np.isfinite(np.asarray(state.vel)))
+
+
+def _stratified_shear_level(nsq=25.0, n=32):
+    """Stable linear stratification + a mid-depth horizontal shear layer:
+    Ri = N^2/(du/dz)^2 is small ONLY near the layer center."""
+    from somar_tpu.problems.base import LinearProfile, Problem
+
+    class StratShear(Problem):
+        name = "StratShear"
+        use_background_scalar = True
+
+        def __init__(self):
+            self.background = LinearProfile(b0=0.0, slope=-nsq)
+
+        def vel_ic(self, geo):
+            grid = geo.grid
+            z = np.broadcast_to(geo.phys_coords_cc()[-1], grid.shape)
+            u = 20.0 * np.tanh((z + 0.5) / 0.05)    # du/dz ~ 400 at z=-0.5
+            return jnp.stack([jnp.asarray(u), jnp.zeros(grid.shape)])
+
+    from somar_tpu.physics.navier_stokes import NSLevel, NSParams
+    from somar_tpu.solvers.multigrid import MGParams
+    g = Grid(nx=(n, n), dx=(1.0 / n,) * 2, x0=(0.0, -1.0),
+             periodic=(True, False))
+    geo = build_level_geometry(g, CartesianMap())
+    params = NSParams(nu=0.0, kappa=(0.0,), gravity_method=1,
+                      mg=MGParams(eps=1e-5, imax=10))
+    return NSLevel(geo, StratShear(), params)
+
+
+def test_ri_tagging_flips_behavior():
+    """amr.do_Ri_tagging tags exactly the low-Ri shear layer (reference:
+    AMRNavierStokesRegrid.cpp:233-252)."""
+    level = _stratified_shear_level()
+    state = level.initial_state()
+    base = TagParams(vert_extrude=False)
+    tags_off = compute_tags(state, level, base)
+    assert not tags_off.any()
+    tags_on = compute_tags(
+        state, level, dataclasses.replace(base, do_ri_tagging=True,
+                                          ri_tag_tol=0.25))
+    assert tags_on.any()
+    # tagged rows concentrate near the shear layer z = -0.5 (array axis 0
+    # is z: rows 12..20 of 32 around mid-depth), not the far field
+    rows = np.where(tags_on.any(axis=1))[0]
+    assert rows.min() >= 8 and rows.max() <= 24, rows
+
+
+def test_vert_extrude_knob_flips_behavior():
+    """amr.vert_extrude_tags=0 leaves tags untouched in z; =1 extrudes
+    tagged columns over the water column (s_vert_extrude_tags)."""
+    level = _stratified_shear_level()
+    state = level.initial_state()
+    p = TagParams(do_ri_tagging=True, ri_tag_tol=0.25, vert_extrude=False)
+    t_off = compute_tags(state, level, p)
+    t_on = compute_tags(state, level,
+                        dataclasses.replace(p, vert_extrude=True))
+    assert t_off.any() and not t_off.all(axis=0).any()   # partial columns
+    cols = t_on.any(axis=0)
+    assert (t_on[:, cols].all()) and t_on.sum() > t_off.sum()
+
+
+def test_internal_wave_speed_dt_limit():
+    """amr.limitDtViaInternalWaveSpeed: dt <= cfl*dx/(|u| + c0) with the
+    modal phase speed c0 = N*H/pi for constant N (reference:
+    COMPUTEMINBVDT + initializeInternalWaveSpeed)."""
+    from somar_tpu.physics.navier_stokes import NSLevel, NSParams
+    from somar_tpu.solvers.multigrid import MGParams
+    from tests.test_implicit_gravity import StratifiedPatch
+
+    nsq, n = 25.0, 32
+    g = Grid(nx=(n, n), dx=(1.0 / n,) * 2, x0=(0.0, -1.0),
+             periodic=(True, False))
+    geo = build_level_geometry(g, CartesianMap())
+    mk = lambda lim: NSLevel(
+        geo, StratifiedPatch(nsq=nsq),
+        NSParams(nu=0.0, kappa=(0.0,), gravity_method=1, cfl=0.5,
+                 max_dt=1e5, limit_dt_via_internal_wave_speed=lim,
+                 mg=MGParams(eps=1e-5, imax=10)))
+    lev_lim, lev_free = mk(True), mk(False)
+    assert lev_lim._c0i is not None and lev_free._c0i is None
+    state = lev_lim.initial_state()
+    dt_lim = float(lev_lim.compute_dt(state))
+    dt_free = float(lev_free.compute_dt(state))
+    assert dt_lim < dt_free
+    c0 = 5.0 * 1.0 / np.pi          # N*H/pi, N=5, H=1
+    expect = 0.5 * (1.0 / n) / c0   # cfl * dx / c0 (u ~ 0)
+    assert abs(dt_lim - expect) / expect < 0.15, (dt_lim, expect)
+
+
+def test_composite_sync_projection():
+    """The sync projection is composite (reference: AMRCCProjector over
+    lmin..lmax, AMRNavierStokesSync.cpp:276-295): the fine-level velocity
+    receives the sync correction DIRECTLY, and the composite divergence
+    (fine interior + uncovered coarse) drops."""
+    import dataclasses as dc
+
+    def run(sync):
+        h = _hierarchy()
+        h.do_sync_projection = sync
+        s0 = h.level0.post_initialize(h.level0.initial_state())
+        s1, origin = h.initial_patch_state(s0)
+        step = jax.jit(h.advance)
+        for _ in range(4):
+            s0, s1 = step(s0, s1, origin, jnp.asarray(0.02))
+        return h, s0, s1, origin
+
+    h_on, s0_on, s1_on, org = run(True)
+    h_off, s0_off, s1_off, _ = run(False)
+
+    # fine-level velocity is updated by the sync solve
+    dv = float(jnp.max(jnp.abs(s1_on.vel - s1_off.vel)))
+    vscale = float(jnp.max(jnp.abs(s1_on.vel))) + 1e-12
+    assert dv / vscale > 1e-4, (dv, vscale)
+
+    # composite divergence: fine-patch interior + coarse level
+    c = h_on.couplings[0]
+    H = c.halo
+
+    def comp_div(h, s0, s1):
+        d0 = float(jnp.max(jnp.abs(h.level0.cell_divergence(s0))))
+        d1 = np.asarray(c.level.cell_divergence(s1))[:, 2 * H:-2 * H]
+        return max(d0, float(np.abs(d1).max()))
+
+    div_on = comp_div(h_on, s0_on, s1_on)
+    umax = float(jnp.max(jnp.abs(s1_on.vel)))
+    dx_f = min(c.ext_grid.dx)
+    # the sync-projected composite field is much closer to solenoidal
+    # than the velocity scale admits without it
+    assert div_on < 0.2 * umax / dx_f, (div_on, umax / dx_f)
+    assert div_on <= comp_div(h_off, s0_off, s1_off) * 1.5
+
+
+def test_composite_vd_correction_fills_fine_e_lambda():
+    """The VD/freestream correction is composite: patch levels get their
+    own eLambda solve with CF rings from the parent potential (reference:
+    computeVDCorrection's composite solve, AMRNavierStokesSync.cpp:
+    850-1011), and lambda stays pinned near 1."""
+    Lx, Lz = 15.0, 2.0
+    nx, nz = 64, 16
+    g = Grid(nx=(nx, nz), dx=(Lx / nx, Lz / nz), x0=(-Lx / 2, 0.0))
+    geo = build_level_geometry(g, CartesianMap())
+    params = NSParams(nu=1e-4, kappa=(1e-4,), gravity_method=1,
+                      mg=MGParams(eps=1e-5, imax=12))
+    h = AMRHierarchy(geo, LockExchange(pert_amp=0.0), params,
+                     ratio=(4, 1), eta_lambda=0.9,
+                     tag_params=TagParams(buoyancy_tag_tol=0.2,
+                                          tags_grow=1))
+    assert h.level0.use_vd_correction
+    assert h.couplings[0].level.use_vd_correction
+    s0 = h.level0.post_initialize(h.level0.initial_state())
+    s1, origin = h.initial_patch_state(s0)
+    # seed a lambda drift (a real run accumulates this from projection
+    # error over long horizons; seed it so the short test exercises the
+    # VD machinery with a non-trivial rhs)
+    import dataclasses as dc
+    xs = np.linspace(-1, 1, 64)[None, :]
+    zs = np.linspace(-1, 1, 16)[:, None]
+    bump0 = 0.004 * np.exp(-(xs ** 2 + zs ** 2) / 0.1)
+    s0 = dc.replace(s0, lam=jnp.asarray(1.0 + bump0, jnp.float32))
+    step = jax.jit(h.advance)
+    for _ in range(3):
+        s0, s1 = step(s0, s1, origin, jnp.asarray(0.02))
+    e0 = np.asarray(s0.e_lambda)
+    e1 = np.asarray(s1.e_lambda)
+    assert np.any(e0 != 0.0) and np.all(np.isfinite(e0))
+    # the fine interior solved its own potential (not the stale zeros)
+    H = h.halo
+    assert np.any(e1[:, 2 * H:-2 * H] != 0.0) and np.all(np.isfinite(e1))
+    # freestream preservation: the seeded drift stays bounded (the
+    # correction velocity scales with the seed; transients < ~4x seed)
+    assert abs(np.asarray(s0.lam) - 1.0).max() < 0.016
+    assert abs(np.asarray(s1.lam) - 1.0).max() < 0.016
+
+
+def test_tag_coverage_detects_dropped_tags():
+    """When the tagged region outgrows the static patch footprint, the
+    regrid WARNS and records the dropped fraction (the reference's BR
+    boxes cover every tag by construction, LepticMeshRefine::makeBoxes;
+    the static-shape model must never under-cover silently)."""
+    import warnings as _w
+    h = _hierarchy()
+    c = h.couplings[0]
+    s0 = h.level0.post_initialize(h.level0.initial_state())
+    # a rough scalar field tags EVERY cell: cannot fit in a
+    # patch_frac=0.5 patch
+    rng = np.random.RandomState(0)
+    rough = jnp.asarray(rng.rand(*h.grid0.shape), jnp.float32)
+    s_rough = dataclasses.replace(
+        s0, scalars=s0.scalars.at[0].set(rough))
+    wide = dataclasses.replace(h.tag_params, buoyancy_tag_tol=1e-6)
+    with pytest.warns(RuntimeWarning, match="dropped"):
+        c.choose_origin(s_rough, wide)
+    dropped, total = c.tag_coverage
+    assert total > 0 and dropped > 0
+
+    # the shipped-config-style interface tagging is fully covered
+    with _w.catch_warnings():
+        _w.simplefilter("error", RuntimeWarning)
+        c.choose_origin(s0, h.tag_params)
+    dropped, total = c.tag_coverage
+    assert total > 0 and dropped == 0
+
+
+def test_lock_exchange_amr_config_zero_dropped_tags(tmp_path):
+    """The shipped 2D lock-exchange AMR config runs with ZERO silently
+    dropped tags through several regrids."""
+    import warnings as _w
+    from somar_tpu.config.context import ProblemContext
+    from somar_tpu.driver import RunDriver
+
+    ctx = ProblemContext.from_file(
+        "/root/reference/exec/inputs.LockExchange_Cartesian2D.machine",
+        ["amr.maxsteps=4", "plot.plot_interval=-1",
+         "plot.checkpoint_interval=-1", "amr.verbosity=0",
+         "amr.nx=48 16", "amr.nx_offset=-24 0",
+         "amr.regrid_intervals=2 2", "AMRMG.eps=1e-5",
+         "amr.fixed_dt=0.02"])
+    driver = RunDriver(ctx, out_dir=str(tmp_path))
+    with _w.catch_warnings():
+        _w.simplefilter("error", RuntimeWarning)
+        state, steps = driver.run(verbose=False)
+    assert steps == 4
+    for c in driver.hierarchy.couplings:
+        dropped, total = c.tag_coverage
+        assert dropped == 0, (dropped, total)

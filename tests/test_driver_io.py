@@ -165,3 +165,31 @@ def test_amr_checkpoint_restart_exact(tmp_path):
         np.asarray(driver2.hierarchy.couplings[0].origin_f), ck_origin)
     assert steps2 == 3
     assert np.all(np.isfinite(np.asarray(state2.vel)))
+
+
+def test_plotfile_divergence_field_is_per_cell(tmp_path):
+    """The plotfile divergence is the actual per-cell divergence of the
+    projected velocity (reference: getPlotData's divergence branch,
+    AMRNavierStokesIO.cpp:1278), not a broadcast scalar."""
+    import dataclasses
+    import h5py
+    from somar_tpu.io.checkpoint import write_plotfile
+
+    ctx = ProblemContext.from_parmparse(ParmParse.from_string(CFG))
+    driver = RunDriver(ctx, out_dir=str(tmp_path))
+    state, _ = driver.run(max_steps=1, verbose=False)
+    p = dataclasses.replace(ctx.plot, write_divergence=True,
+                            write_vorticity=True)
+    path = str(tmp_path / "plot_div.hdf5")
+    write_plotfile(path, state, driver.level, 1, p)
+    with h5py.File(path) as f:
+        div = np.asarray(f["level_0/divergence"])
+        assert div.shape == driver.grid.shape
+        assert np.all(np.isfinite(div))
+        # a genuine field: interior values differ cell-to-cell
+        assert np.unique(np.round(div, 12)).size > 10
+        # and the projection kept it small vs the velocity scale
+        umax = float(np.abs(np.asarray(state.vel)).max())
+        dx = min(driver.grid.dx)
+        assert np.abs(div).max() < 0.1 * umax / dx
+        assert "vorticity" in f["level_0"]
