@@ -71,13 +71,15 @@ class LevelGeometry:
         """Contravariant (mapped-basis) -> Cartesian components at CC."""
         if self.e_cc is None:
             return vel_mapped
-        return jnp.einsum("mn...,n...->m...", self.e_cc, vel_mapped)
+        return jnp.einsum("mn...,n...->m...", self.e_cc, vel_mapped,
+                          precision=jax.lax.Precision.HIGHEST)
 
     def to_mapped(self, vel_cart):
         """Cartesian -> contravariant (mapped-basis) components at CC."""
         if self.einv_cc is None:
             return vel_cart
-        return jnp.einsum("mn...,n...->m...", self.einv_cc, vel_cart)
+        return jnp.einsum("mn...,n...->m...", self.einv_cc, vel_cart,
+                          precision=jax.lax.Precision.HIGHEST)
 
     def mult_by_J(self, field):
         return field * self.J
@@ -89,8 +91,10 @@ class LevelGeometry:
         """g_ij a^i b^j for mapped-basis vectors (reference:
         LevelGeometry::contractVectors, LevelGeometry.H:311)."""
         if self.gdn_cc is None:
-            return jnp.einsum("m...,m...->...", a, b)
-        return jnp.einsum("mn...,m...,n...->...", self.gdn_cc, a, b)
+            return jnp.einsum("m...,m...->...", a, b,
+                              precision=jax.lax.Precision.HIGHEST)
+        return jnp.einsum("mn...,m...,n...->...", self.gdn_cc, a, b,
+                          precision=jax.lax.Precision.HIGHEST)
 
     # -------------------------------------------------------------- coords
     def phys_coords_cc(self) -> Tuple[np.ndarray, ...]:

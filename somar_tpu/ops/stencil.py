@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from typing import Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from somar_tpu.core.bc import FieldBCs, fill_ghosts_cc
@@ -218,7 +219,8 @@ def _cc_phys_derivs(f, geo: LevelGeometry, bcs: FieldBCs):
     dxi = jnp.stack(dxi)  # d f / d xi_j
     if geo.einv_cc is None:
         return dxi
-    return jnp.einsum("jk...,j...->k...", geo.einv_cc, dxi)
+    return jnp.einsum("jk...,j...->k...", geo.einv_cc, dxi,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def vorticity(vel_cart, geo: LevelGeometry, bcs_per_comp: Sequence[FieldBCs]):

@@ -28,11 +28,27 @@ from __future__ import annotations
 
 from typing import List, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from somar_tpu.core.bc import BCType, FieldBCs
 from somar_tpu.geometry.level_geometry import LevelGeometry
+
+
+def mxu_precision():
+    """Matmul precision for the spectral transforms.  The MXU's default
+    bf16 truncation (~2e-3 relative) leaves the 'exact' projection
+    ~1e-3 non-solenoidal and accumulates as secular drift in AMR runs;
+    HIGHEST (f32 emulation) restores 1e-7.  SOMAR_MXU_PRECISION=high
+    selects the 3-pass variant (~1e-5) where the extra margin is not
+    needed."""
+    import os
+    import jax
+    return {"high": jax.lax.Precision.HIGH,
+            "default": jax.lax.Precision.DEFAULT}.get(
+        os.environ.get("SOMAR_MXU_PRECISION", "highest"),
+        jax.lax.Precision.HIGHEST)
 
 
 def _dct2_matrix(n: int) -> Tuple[np.ndarray, np.ndarray]:
@@ -179,13 +195,20 @@ class FFTPoissonSolver:
         The einsum keeps the transformed mode in place (no moveaxis):
         explicit transposes between the per-axis matmuls block XLA from
         fusing across the forward/scale/inverse chain — measured 4.5 ->
-        2.7 ms per 512x128x128 solve on v5e when the transposes go."""
+        2.7 ms per 512x128x128 solve on v5e when the transposes go.
+
+        precision=HIGHEST is REQUIRED: the TPU MXU's default matmul
+        truncates inputs to bf16 (~2e-3 relative error), which leaves the
+        'exact' projection ~1e-3 non-solenoidal and accumulates as a
+        secular drift in long AMR runs (measured: coarse-level scalar
+        overshoot growing ~1.5% per 6 steps).  HIGHEST runs the f32
+        emulation passes and restores 1e-7 transform accuracy."""
         letters = "abcdefgh"[:x.ndim]
         for ax, Qm in self.Q:
             M = Qm.T if transpose else Qm
             sub = (f"K{letters[ax]},{letters}->"
                    f"{letters[:ax]}K{letters[ax + 1:]}")
-            x = jnp.einsum(sub, M, x)
+            x = jnp.einsum(sub, M, x, precision=mxu_precision())
         return x
 
     def solve(self, rhs, alpha=0.0, beta=1.0):

@@ -208,13 +208,16 @@ class BatchedSpectralHeat:
         return type(s0) in (BackwardEuler, CrankNicolson, TGA)
 
     def _apply(self, x, transpose: bool):
-        """x: (C,)+grid.shape; batched per-axis transform einsums."""
+        """x: (C,)+grid.shape; batched per-axis transform einsums.
+        precision=HIGHEST: the MXU's default bf16 truncation costs ~2e-3
+        relative error per transform (see FFTPoissonSolver._apply)."""
+        from somar_tpu.solvers.fft_poisson import mxu_precision
         letters = "abcdefgh"[:x.ndim - 1]
         for ax, Qs in self.Qstacks:
             M = jnp.swapaxes(Qs, 1, 2) if transpose else Qs
             sub = (f"zK{letters[ax]},z{letters}->"
                    f"z{letters[:ax]}K{letters[ax + 1:]}")
-            x = jnp.einsum(sub, M, x)
+            x = jnp.einsum(sub, M, x, precision=mxu_precision())
         return x
 
     def update(self, fields, srcs, dt):
