@@ -20,8 +20,24 @@ def main(argv):
     in_file = argv[1]
     overrides = argv[2:]
 
+    import os
+
+    import jax
+
     from somar_tpu.config.context import ProblemContext
     from somar_tpu.driver import RunDriver
+
+    # persistent compilation cache: a 512-class step costs minutes to
+    # compile cold; cache hits bring restarts/param-sweeps to seconds
+    cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_cache"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
 
     ctx = ProblemContext.from_file(in_file, overrides)
     driver = RunDriver(ctx)

@@ -343,16 +343,18 @@ class PatchCoupling:
             shape.append(self.ext_grid.shape[ax] + 2 * extra)
         return extract_patch(fine, tuple(start), tuple(shape))
 
-    def _interp_state_ext(self, s0: NSState, origin_f) -> NSState:
+    def _interp_state_ext(self, s0: NSState, origin_f,
+                          nt: Optional[int] = None) -> NSState:
         f = lambda arr: self._interp_ext(arr, origin_f)
         ndim = self.parent_grid.ndim
+        nt = self.nt if nt is None else nt
         return NSState(
             vel=jnp.stack([f(s0.vel[m]) for m in range(ndim)]),
             scalars=jnp.stack([f(s0.scalars[c])
                                for c in range(s0.scalars.shape[0])]),
             lam=f(s0.lam),
             mac_phi=f(s0.mac_phi),
-            cc_phi=f(s0.cc_phi) / self.nt,   # increment scales with dt
+            cc_phi=f(s0.cc_phi) / nt,   # increment scales with dt
             pressure=f(s0.pressure),
             e_lambda=f(s0.e_lambda),
             time=s0.time,
@@ -670,7 +672,8 @@ class AMRHierarchy:
     # ------------------------------------------------------------- advance
     def _advance_multipatch(self, lev: int, s_old: NSState, s_new: NSState,
                             fine_states: list, origins, weights, dt,
-                            parent_fluxes=None, parent_level=None):
+                            parent_fluxes=None, parent_level=None,
+                            nt_mults=None):
         """Multi-patch (K > 1) variant of one coupling's subcycled advance:
         K same-shape patches, each with its own traced origin; weight-0
         slots duplicate patch 0 and contribute nothing to the parent.
@@ -682,7 +685,7 @@ class AMRHierarchy:
         org = origins[lev]
         w = (weights[lev] if weights is not None
              else jnp.ones(K, self.params.dtype))
-        nt = c.nt
+        nt = c.nt * (1 if nt_mults is None else int(nt_mults[lev]))
         dt_f = dt / nt
         refluxing = parent_fluxes is not None and bool(self.reflux_fields)
         freg = c.flux_register if refluxing else None
@@ -699,7 +702,7 @@ class AMRHierarchy:
                 frac0 = i / nt
                 frac_mid = (i + 0.5) / nt
                 donor0 = time_interp(s_old, s_new, frac0)
-                donor_ext = c._interp_state_ext(donor0, origin)
+                donor_ext = c._interp_state_ext(donor0, origin, nt=nt)
                 s_f = c._overwrite_halo(s_f, donor_ext)
                 donor_mid = time_interp(s_old, s_new, frac_mid)
                 rings = {
@@ -762,7 +765,7 @@ class AMRHierarchy:
     def _advance_recursive(self, lev: int, s_old: NSState, s_new: NSState,
                            fine_states: list, origins, dt, geos=None,
                            parent_fluxes=None, parent_level=None,
-                           weights=None):
+                           weights=None, nt_mults=None):
         """Run level `lev`'s children through their subcycles between the
         parent states (s_old at t, s_new at t+dt), average down, and
         return the synchronized parent state.  `fine_states[k]` holds the
@@ -778,7 +781,8 @@ class AMRHierarchy:
         if c.K > 1:
             return self._advance_multipatch(
                 lev, s_old, s_new, fine_states, origins, weights, dt,
-                parent_fluxes=parent_fluxes, parent_level=parent_level)
+                parent_fluxes=parent_fluxes, parent_level=parent_level,
+                nt_mults=nt_mults)
         if c.is_mapped and geos is not None:
             level = c.make_level(geos[lev]["geo"], geos[lev]["aux"])
             J_f = geos[lev]["geo"].J
@@ -787,7 +791,7 @@ class AMRHierarchy:
             J_f = None
         s_f = fine_states[lev]
         origin = origins[lev]
-        nt = c.nt
+        nt = c.nt * (1 if nt_mults is None else int(nt_mults[lev]))
         dt_f = dt / nt
         refluxing = parent_fluxes is not None and bool(self.reflux_fields)
         regs = None
@@ -799,7 +803,7 @@ class AMRHierarchy:
             frac0 = i / nt
             frac_mid = (i + 0.5) / nt
             donor0 = time_interp(s_old, s_new, frac0)
-            donor_ext = c._interp_state_ext(donor0, origin)
+            donor_ext = c._interp_state_ext(donor0, origin, nt=nt)
             s_f = c._overwrite_halo(s_f, donor_ext)
             donor_mid = time_interp(s_old, s_new, frac_mid)
             rings = {
@@ -821,7 +825,8 @@ class AMRHierarchy:
                                           fine_states, origins, dt_f, geos,
                                           parent_fluxes=fl_f,
                                           parent_level=level,
-                                          weights=weights)
+                                          weights=weights,
+                                          nt_mults=nt_mults)
         fine_states[lev] = s_f
         s_par = c.average_down(s_new, s_f, origin, J_f=J_f)
         if refluxing:
@@ -883,7 +888,7 @@ class AMRHierarchy:
         return items
 
     def advance(self, s0: NSState, fine_states, origins, dt, geos=None,
-                weights=None):
+                weights=None, nt_mults=None):
         """One coarse step + nested subcycled fine steps + synchronization.
         fine_states: tuple/list of patch states, coarse to fine (a
         multi-patch level's state carries a leading K patch axis);
@@ -916,7 +921,8 @@ class AMRHierarchy:
                                          origins, dt, geos,
                                          parent_fluxes=fl0,
                                          parent_level=level0,
-                                         weights=weights)
+                                         weights=weights,
+                                         nt_mults=nt_mults)
         # composite sync projection over the WHOLE hierarchy (reference:
         # AMRCCProjector::project over lmin..lmax,
         # AMRNavierStokesSync.cpp:249-295)
@@ -1188,11 +1194,17 @@ class AMRHierarchy:
                 new_s.append(scal[cc])
         return dataclasses.replace(state, vel=vel, scalars=jnp.stack(new_s))
 
-    def regrid(self, s0: NSState, fine_states, dt=None):
+    def regrid(self, s0: NSState, fine_states, dt=None,
+               from_level: int = 0):
         """Re-tag and move every patch, coarse to fine; data fill = parent
         interpolation overwritten by old-patch data where the old and new
         patches overlap in global index space (reference:
         AMRNavierStokesRegrid::regrid, :688-966).
+
+        from_level: shallowest coupling to re-choose (reference: regrid
+        (lbase) regrids levels lbase+1..finest; per-level cadences from
+        amr.regrid_intervals pick the lbase).  Couplings above it keep
+        their origins and data untouched.
 
         With regrid_smoothing_coeff > 0 and dt given, the moved data is
         antidiffusively smoothed: interpolate (I - mu*L)applied old fields,
@@ -1252,6 +1264,15 @@ class AMRHierarchy:
         for lev, c in enumerate(self.couplings):
             old_fine = fine_states[lev]
             old_w = getattr(c, "weights", None)
+            if lev < from_level:
+                # not due: keep the patch and its data untouched
+                new_states.append(old_fine)
+                origins.append(jnp.asarray(c.origin_f))
+                weights_out.append(
+                    None if c.weights is None
+                    else jnp.asarray(c.weights, self.params.dtype))
+                s_par = _tree_index(old_fine, 0) if c.K > 1 else old_fine
+                continue
             if c.K > 1:
                 org, w = c.choose_origins(s_par, self.tag_params)
                 c.origin_f = org
@@ -1344,3 +1365,49 @@ class AMRHierarchy:
             else:
                 dt = jnp.minimum(dt, factor * level.compute_dt(s_f))
         return dt
+
+    def level_dts(self, s0: NSState, fine_states, geos=None):
+        """Per-level CFL-limited dts (level 0 first), un-scaled by the
+        subcycle factors — the m_dt_new vector LepticAMR::assignDt fills
+        for the dynamic-subcycling check (LepticAMR.cpp:993-1047)."""
+        single = not isinstance(fine_states, (list, tuple))
+        if single:
+            fine_states = [fine_states]
+            if geos is not None:
+                geos = [geos]
+        out = [self.level0.compute_dt(s0)]
+        for lev, (c, s_f) in enumerate(zip(self.couplings, fine_states)):
+            if c.is_mapped and geos is not None:
+                level = c.make_level(geos[lev]["geo"], geos[lev]["aux"])
+            else:
+                level = c.level
+            if c.K > 1:
+                dt_l = level.compute_dt(_tree_index(s_f, 0))
+                for k in range(1, c.K):
+                    dt_l = jnp.minimum(dt_l,
+                                       level.compute_dt(_tree_index(s_f, k)))
+            else:
+                dt_l = level.compute_dt(s_f)
+            out.append(dt_l)
+        return tuple(out)
+
+    def subcycle_multipliers(self, dt: float, level_dts,
+                             tolerance_factor: float = 1.1):
+        """Host-side dynamic subcycling (reference: LepticAMR::timeStep,
+        LepticAMR.cpp:993-1047): per coupling, double the substep count
+        until the level's dt is within tolerance_factor of its CFL-limited
+        dt_new.  Returns a tuple of per-coupling multipliers (all 1 when
+        the static nt suffices — the common case; each new tuple costs
+        one jit compile of the step variant)."""
+        mults = []
+        dt_run = float(dt)
+        for lev, c in enumerate(self.couplings):
+            dt_run /= c.nt
+            m = 1
+            dt_new = float(level_dts[lev + 1])
+            while dt_new > 0.0 and dt_run > tolerance_factor * dt_new \
+                    and m < 16:
+                m *= 2
+                dt_run /= 2.0
+            mults.append(m)
+        return tuple(mults)

@@ -75,10 +75,17 @@ class RunDriver:
                 eta_lambda=(ctx.amr.eta_lambda
                             if ctx.amr.apply_vd_correction else 0.0))
             self.level = self.hierarchy.level0
-            self._amr_step_fn = jax.jit(self.hierarchy.advance)
+            self._amr_step_fn = jax.jit(self.hierarchy.advance,
+                                        static_argnames=("nt_mults",))
             self._amr_dt_fn = jax.jit(self.hierarchy.compute_dt)
-            self.regrid_interval = (ctx.amr.regrid_intervals[0]
-                                    if ctx.amr.regrid_intervals else 10)
+            self._amr_leveldt_fn = jax.jit(self.hierarchy.level_dts)
+            # per-level regrid cadence (reference: LepticAMR::needToRegrid
+            # consults regrid_intervals[level]; regrid(lbase) then re-meshes
+            # levels lbase+1..finest, LepticAMR.cpp:1188-1215)
+            ivs = list(ctx.amr.regrid_intervals) or [10]
+            self.regrid_intervals = [
+                int(ivs[min(lev, len(ivs) - 1)])
+                for lev in range(len(self.hierarchy.couplings))]
         else:
             self.level = NSLevel(self.geo, self.problem, ctx.ns)
         self._step_fn = jax.jit(lambda s, dt: self.level.advance(s, dt))
@@ -90,7 +97,7 @@ class RunDriver:
             final_time: Optional[float] = None, verbose: bool = True):
         import jax.numpy as jnp
         from somar_tpu.io.checkpoint import (
-            read_checkpoint, write_checkpoint, write_plotfile)
+            read_checkpoint, write_checkpoint, write_chombo_plotfile)
         from somar_tpu.utils.debug import assert_finite_host
         from somar_tpu.utils.timers import timer
 
@@ -159,6 +166,11 @@ class RunDriver:
                 factor *= c.nt
                 self._amr_substeps.append(factor)
 
+        level_dts = None
+        if self.hierarchy is not None:
+            level_dts = self._amr_leveldt_fn(state, fine_state,
+                                             self.hierarchy.geo_bundles)
+
         cell_updates = 0
         t_start = time.perf_counter()
         last_plot_time = float(state.time)
@@ -178,12 +190,26 @@ class RunDriver:
                 t0 = time.perf_counter()
                 with timer("advance"):
                     if self.hierarchy is not None:
+                        # dynamic subcycling (reference: LepticAMR::
+                        # timeStep's reduction factors, LepticAMR.cpp:
+                        # 993-1047): double a level's substeps when the
+                        # assigned dt overshoots its CFL dt by >10%
+                        nt_mults = (1,) * len(self.hierarchy.couplings)
+                        if ctx.ns.fixed_dt <= 0 and ctx.amr.use_subcycling \
+                                and level_dts is not None:
+                            nt_mults = self.hierarchy.subcycle_multipliers(
+                                float(dt), [float(x) for x in level_dts])
+                            if any(m > 1 for m in nt_mults) and verbose \
+                                    and ctx.amr.verbosity >= 2:
+                                print(f"  subcycling: factors {nt_mults}")
                         state, fine_state = self._amr_step_fn(
                             state, fine_state, origin, dt,
-                            self.hierarchy.geo_bundles, weights)
-                        for c, nsub in zip(self.hierarchy.couplings,
-                                           self._amr_substeps):
-                            cell_updates += nsub * c.K * int(np.prod(c.ext_nx))
+                            self.hierarchy.geo_bundles, weights,
+                            nt_mults=nt_mults)
+                        factor = 1
+                        for c, m in zip(self.hierarchy.couplings, nt_mults):
+                            factor *= c.nt * m
+                            cell_updates += factor * c.K * int(np.prod(c.ext_nx))
                     else:
                         state = self._step_fn(state, dt)
                     state.vel.block_until_ready()
@@ -195,20 +221,34 @@ class RunDriver:
                 step += 1
                 cell_updates += self.grid.ncells
 
-                # regrid cadence (reference: LepticAMR::needToRegrid)
-                if self.hierarchy is not None and                         step % self.regrid_interval == 0:
-                    with timer("regrid"):
-                        got = self.hierarchy.regrid(state, fine_state,
-                                                    dt=float(dt))
-                    if self.hierarchy.multi_patch:
-                        fine_state, origin, weights = got
-                    else:
-                        fine_state, origin = got
-
-                # next dt: CFL-limited, growth-capped
+                # regrid cadence (reference: LepticAMR::needToRegrid):
+                # the shallowest level due this step sets lbase; couplings
+                # below it keep their patches
                 if self.hierarchy is not None:
-                    dt_new = self._amr_dt_fn(state, fine_state,
-                                             self.hierarchy.geo_bundles)
+                    due = [lev for lev, iv in enumerate(self.regrid_intervals)
+                           if iv > 0 and step % iv == 0]
+                    if due:
+                        with timer("regrid"):
+                            got = self.hierarchy.regrid(
+                                state, fine_state, dt=float(dt),
+                                from_level=min(due))
+                        if self.hierarchy.multi_patch:
+                            fine_state, origin, weights = got
+                        else:
+                            fine_state, origin = got
+
+                # next dt: CFL-limited, growth-capped (per-level dts
+                # feed both the coarse dt and next step's dynamic-
+                # subcycle check, LepticAMR::assignDt)
+                if self.hierarchy is not None:
+                    level_dts = self._amr_leveldt_fn(
+                        state, fine_state, self.hierarchy.geo_bundles)
+                    dt_new = level_dts[0]
+                    f = 1
+                    for c, d in zip(self.hierarchy.couplings,
+                                    level_dts[1:]):
+                        f *= c.nt
+                        dt_new = jnp.minimum(dt_new, f * d)
                 else:
                     dt_new = self._dt_fn(state)
                 dt = jnp.minimum(dt_new, ctx.ns.max_dt_grow * dt)
@@ -230,10 +270,17 @@ class RunDriver:
                 if do_plot:
                     last_plot_time = float(state.time)
                     with timer("write_plotfile"):
-                        write_plotfile(
-                            os.path.join(self.out_dir,
-                                         f"{p.plot_prefix}{step:06d}.hdf5"),
-                            state, self.level, step, p)
+                        # Chombo-format HDF5 (VisIt / SOMAR-tooling
+                        # readable), reference naming plot_NNNNNN.Dd.hdf5
+                        # (LepticAMR::writePlotFile, LepticAMR.cpp:1660)
+                        write_chombo_plotfile(
+                            os.path.join(
+                                self.out_dir,
+                                f"{p.plot_prefix}{step:06d}."
+                                f"{self.grid.ndim}d.hdf5"),
+                            state, self.level, step, p,
+                            hierarchy=self.hierarchy,
+                            fine_states=fine_state, dt=float(dt))
                 if p.checkpoint_interval > 0 and \
                         step % p.checkpoint_interval == 0:
                     with timer("write_checkpoint"):

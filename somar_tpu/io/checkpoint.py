@@ -154,10 +154,9 @@ def read_checkpoint(path: str, level, fine_grid=None):
     return state, step, dt
 
 
-def write_plotfile(path: str, state, level, step: int, plot_cfg=None):
-    """Visualization dump with the reference's optional derived fields
-    (getPlotData, AMRNavierStokesIO.cpp:1203-1500)."""
-    import h5py
+def _plot_fields(state, level, plot_cfg=None):
+    """Field-name -> array dict for one level's plot dump (the reference's
+    getPlotData branches, AMRNavierStokesIO.cpp:1203-1500)."""
     from somar_tpu.ops.stencil import vorticity
 
     grid = level.grid
@@ -214,6 +213,18 @@ def write_plotfile(path: str, state, level, step: int, plot_cfg=None):
         # host side (shard ownership is a compiler decision, not a data
         # layout; reference: writeProcIDs)
         fields["procIDs"] = np.zeros(grid.shape, np.float32)
+    return fields
+
+
+def write_plotfile(path: str, state, level, step: int, plot_cfg=None):
+    """Simple visualization dump (one group per level, named datasets)
+    with the reference's optional derived fields (getPlotData,
+    AMRNavierStokesIO.cpp:1203-1500).  For tool-compatible output see
+    write_chombo_plotfile."""
+    import h5py
+
+    grid = level.grid
+    fields = _plot_fields(state, level, plot_cfg)
 
     with h5py.File(path, "w") as f:
         f.attrs["iteration"] = step
@@ -225,3 +236,186 @@ def write_plotfile(path: str, state, level, step: int, plot_cfg=None):
         g.attrs["x0"] = np.asarray(grid.x0)
         for name, data in fields.items():
             g.create_dataset(name, data=data)
+
+
+# ---------------------------------------------------------------------------
+# Chombo-format plotfiles (VisIt-readable; the reference's native layout)
+# ---------------------------------------------------------------------------
+
+def _iv_dtype(ndim):
+    """Chombo HDF5 IntVect compound type (CH_HDF5: intvecti/j/k)."""
+    names = ["intvecti", "intvectj", "intvectk"][:ndim]
+    return np.dtype([(n, "<i4") for n in names])
+
+
+def _rv_dtype(ndim):
+    """Chombo HDF5 RealVect compound type (CH_HDF5: x/y/z)."""
+    return np.dtype([(n, "<f8") for n in "xyz"[:ndim]])
+
+
+def _box_dtype(ndim):
+    """Chombo HDF5 Box compound type (lo_i..hi_k)."""
+    names = (["lo_i", "lo_j", "lo_k"][:ndim]
+             + ["hi_i", "hi_j", "hi_k"][:ndim])
+    return np.dtype([(n, "<i4") for n in names])
+
+
+def _as_iv(v, ndim):
+    out = np.zeros((), _iv_dtype(ndim))
+    for i, n in enumerate(out.dtype.names):
+        out[n] = int(v[i])
+    return out
+
+
+def _as_rv(v, ndim):
+    out = np.zeros((), _rv_dtype(ndim))
+    for i, n in enumerate(out.dtype.names):
+        out[n] = float(v[i])
+    return out
+
+
+def _as_box(lo, hi, ndim):
+    out = np.zeros((), _box_dtype(ndim))
+    for i in range(ndim):
+        out[out.dtype.names[i]] = int(lo[i])
+        out[out.dtype.names[ndim + i]] = int(hi[i])
+    return out
+
+
+def _fab_flat(arrays_by_dir_order):
+    """Flatten one box's per-component arrays to the Chombo FArrayBox
+    linear layout: components outermost, logical dir 0 (x) fastest.
+    Input arrays use the somar array-axis order (dir ndim-1, ..., dir 0),
+    which already puts x last, so C-order ravel matches Fortran-order
+    FArrayBox data."""
+    return np.concatenate(
+        [np.ascontiguousarray(a, dtype=np.float64).ravel(order="C")
+         for a in arrays_by_dir_order])
+
+
+def write_chombo_plotfile(path: str, state, level, step: int, plot_cfg=None,
+                          hierarchy=None, fine_states=None, dt: float = 0.0):
+    """Chombo-format HDF5 plotfile (the reference's writePlotFile layout:
+    LepticAMR.cpp:1646 root header; AMRNavierStokes::writePlotHeader
+    component names, AMRNavierStokesIO.cpp:688; writePlotLevel level
+    groups with intvect ref_ratio + realvect vec_dx + boxes +
+    data:datatype=0, :1035-1090), so VisIt and existing SOMAR
+    post-processing tooling read the output unchanged.
+
+    hierarchy/fine_states: include the refined patch levels (interiors
+    only, one box per active patch)."""
+    import h5py
+
+    grid = level.grid
+    ndim = grid.ndim
+
+    # per-level (fields, boxes) where boxes is a list of
+    # (lo_idx, hi_idx, slices) in that level's global index space
+    fields0 = _plot_fields(state, level, plot_cfg)
+    comp_names = list(fields0.keys())
+    levels = [(fields0, [(np.zeros(ndim, np.int64),
+                          np.asarray(grid.nx, np.int64) - 1,
+                          (slice(None),) * ndim)],
+               grid.dx, np.asarray(grid.nx, np.int64))]
+    ratios = []
+    if hierarchy is not None and fine_states is not None:
+        fs = (fine_states if isinstance(fine_states, (list, tuple))
+              else [fine_states])
+        domain_nx = np.asarray(
+            [grid.nx[d] for d in range(ndim)], np.int64)
+        for lev, c in enumerate(hierarchy.couplings):
+            ratios.append([c.ratio[d] for d in range(ndim)])
+            domain_nx = domain_nx * np.asarray(
+                [c.ratio[d] for d in range(ndim)], np.int64)
+            lo_list = []
+            if c.K > 1:
+                w = c.weights
+                for k in range(c.K):
+                    if w is not None and float(w[k]) == 0.0:
+                        continue
+                    lo_list.append(hierarchy._global_origin(
+                        lev, last_origin=c.origin_f[k]))
+            else:
+                lo_list.append(hierarchy._global_origin(lev))
+            boxes = []
+            int_start_ax = tuple(
+                c.halo if c.ext_grid.dir_of_axis(ax) in c.cf_dirs else 0
+                for ax in range(ndim))
+            for g in lo_list:
+                # ext-corner global -> interior box, per logical dir
+                lo_d = np.zeros(ndim, np.int64)
+                hi_d = np.zeros(ndim, np.int64)
+                sl = []
+                for ax in range(ndim):
+                    d = c.ext_grid.dir_of_axis(ax)
+                    lo_d[d] = g[ax] + int_start_ax[ax]
+                    hi_d[d] = lo_d[d] + c.interior_nx[d] - 1
+                    sl.append(slice(int_start_ax[ax],
+                                    int_start_ax[ax] + c.interior_nx[d]))
+                boxes.append((lo_d, hi_d, tuple(sl)))
+            # per-patch fields (multi-patch: fields per active patch)
+            if c.K > 1:
+                pf = []
+                w = c.weights
+                for k in range(c.K):
+                    if w is not None and float(w[k]) == 0.0:
+                        continue
+                    from jax import tree_util as tu
+                    s_k = tu.tree_map(lambda a: a[k], fs[lev])
+                    pf.append(_plot_fields(s_k, c.level, plot_cfg))
+                levels.append((pf, boxes, c.ext_grid.dx, domain_nx.copy()))
+            else:
+                levels.append((_plot_fields(fs[lev], c.level, plot_cfg),
+                               boxes, c.ext_grid.dx, domain_nx.copy()))
+
+    with h5py.File(path, "w") as f:
+        f.attrs["max_level"] = np.int32(len(levels) - 1)
+        f.attrs["num_levels"] = np.int32(len(levels))
+        f.attrs["iteration"] = np.int32(step)
+        f.attrs["time"] = np.float64(float(state.time))
+        f.attrs["num_components"] = np.int32(len(comp_names))
+        for i, name in enumerate(comp_names):
+            f.attrs[f"component_{i}"] = np.bytes_(name)
+        gg = f.create_group("Chombo_global")
+        gg.attrs["SpaceDim"] = np.int32(ndim)
+        gg.attrs["testReal"] = np.float64(0.0)
+
+        nt_factor = 1
+        for ilev, (fields, boxes, dx, dom_nx) in enumerate(levels):
+            g = f.create_group(f"level_{ilev}")
+            rr = (ratios[ilev] if ilev < len(ratios)
+                  else [1] * ndim)
+            g.attrs["ref_ratio"] = _as_iv(rr, ndim)
+            g.attrs["vec_dx"] = _as_rv(dx, ndim)
+            # scalar dx for stock Chombo readers (first dir)
+            g.attrs["dx"] = np.float64(dx[0])
+            if ilev > 0 and hierarchy is not None:
+                nt_factor *= hierarchy.couplings[ilev - 1].nt
+            g.attrs["dt"] = np.float64(dt / nt_factor)
+            g.attrs["time"] = np.float64(float(state.time))
+            g.attrs["prob_domain"] = _as_box(
+                np.zeros(ndim, np.int64), dom_nx - 1, ndim)
+
+            box_recs = np.empty(len(boxes), _box_dtype(ndim))
+            for b, (lo, hi, _) in enumerate(boxes):
+                box_recs[b] = _as_box(lo, hi, ndim)
+            g.create_dataset("boxes", data=box_recs)
+
+            per_patch = fields if isinstance(fields, list) else [fields]
+            flat = []
+            for b, (_, _, sl) in enumerate(boxes):
+                fb = per_patch[b if len(per_patch) > 1 else 0]
+                shape = next(iter(fb.values())).shape
+                arrays = []
+                for name in comp_names:
+                    a = fb.get(name)
+                    a = (np.zeros(shape) if a is None else np.asarray(a))
+                    arrays.append(a[sl] if ilev > 0 else a)
+                flat.append(_fab_flat(arrays))
+            data = np.concatenate(flat) if flat else np.zeros(0)
+            ds = g.create_dataset("data:datatype=0", data=data)
+            ga = g.create_group("data_attributes")
+            ga.attrs["comps"] = np.int32(len(comp_names))
+            ga.attrs["ghost"] = _as_iv([0] * ndim, ndim)
+            ga.attrs["outputGhost"] = _as_iv([0] * ndim, ndim)
+            ga.attrs["objectType"] = np.bytes_("FArrayBox")

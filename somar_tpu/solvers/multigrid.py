@@ -159,18 +159,23 @@ class LevelMultigrid:
         self.ratios = sched
         self.ops: List[PoissonOp] = []
         g, lg = grid, geo
-        self.ops.append(PoissonOp(lg, bcs))
-        from somar_tpu.geometry.raw_geometry import (
-            RawGeoSource, coarsen_raw_geometry)
-        raw = isinstance(geo.geo, RawGeoSource)
-        for ratio in sched:
-            g = g.coarsen(ratio)
-            if raw:
-                # array-defined coefficients: coarsen them directly
-                lg = coarsen_raw_geometry(lg, ratio)
-            else:
-                lg = build_level_geometry(g, geo.geo, dtype=dtype)
+        # ensure_compile_time_eval: keep the coarsened-geometry hierarchy
+        # concrete when a concrete-geo MG is lazily built inside a jit
+        # trace (else cached tracers break the next trace)
+        import jax
+        with jax.ensure_compile_time_eval():
             self.ops.append(PoissonOp(lg, bcs))
+            from somar_tpu.geometry.raw_geometry import (
+                RawGeoSource, coarsen_raw_geometry)
+            raw = isinstance(geo.geo, RawGeoSource)
+            for ratio in sched:
+                g = g.coarsen(ratio)
+                if raw:
+                    # array-defined coefficients: coarsen them directly
+                    lg = coarsen_raw_geometry(lg, ratio)
+                else:
+                    lg = build_level_geometry(g, geo.geo, dtype=dtype)
+                self.ops.append(PoissonOp(lg, bcs))
         self.depth = len(self.ops)
         self.bcs_singular = self.ops[0].bcs_singular()
 
@@ -225,7 +230,9 @@ class LevelMultigrid:
             rhs = rhs - op.apply(jnp.zeros_like(rhs), alpha, beta,
                                  homogeneous=False, jgup_delta=jd0)
         if singular:
-            rhs = rhs - jnp.mean(rhs)
+            # J-weighted compatibility projection (plain mean removal
+            # leaves an unreachable rhs component on mapped metrics)
+            rhs = op.compat_project(rhs)
         phi = jnp.zeros_like(rhs) if phi0 is None else phi0.astype(self.dtype)
 
         r0 = op.norm(op.residual(phi, rhs, alpha, beta, jgup_delta=jd0))

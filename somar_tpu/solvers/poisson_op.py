@@ -42,12 +42,16 @@ class PoissonOp:
         self.bcs = bcs
         self.hom_bcs = bcs.homogeneous()
         self.grid = geo.grid
-        self._bc_face_factors = self._build_bc_face_factors()
-        self._diag_lap = self._build_diag_lap()
-        self._rb_masks = self._build_rb_masks()
-        # built eagerly: lazy construction inside a while_loop trace would
-        # cache tracers (UnexpectedTracerError on reuse)
-        self._line_coefs = self._build_vertical_line_parts()
+        # ensure_compile_time_eval: ops with concrete geometry must stay
+        # concrete even when the op is (lazily) constructed inside a jit
+        # trace — otherwise the cached structural arrays leak tracers into
+        # the next trace (UnexpectedTracerError on retrace).  Traced-geo
+        # ops (mapped AMR make_level) are rebuilt per trace and unaffected.
+        with jax.ensure_compile_time_eval():
+            self._bc_face_factors = self._build_bc_face_factors()
+            self._diag_lap = self._build_diag_lap()
+            self._rb_masks = self._build_rb_masks()
+            self._line_coefs = self._build_vertical_line_parts()
 
     # ------------------------------------------------------------ operator
     def apply(self, phi, alpha=0.0, beta=1.0, homogeneous: bool = True,
@@ -61,6 +65,16 @@ class PoissonOp:
     def residual(self, phi, rhs, alpha=0.0, beta=1.0, homogeneous: bool = True,
                  jgup_delta=None):
         return rhs - self.apply(phi, alpha, beta, homogeneous, jgup_delta)
+
+    def compat_project(self, rhs):
+        """Remove the rhs component outside the singular (pure-Neumann)
+        operator's range.  The solvability condition on a mapped metric is
+        the J-WEIGHTED mean: integral(J*rhs) = 0 — a plain mean removal
+        leaves an irreducible residual floor proportional to the J
+        variation (reference: setToZeroAvg-style compatibility handling
+        of the Neumann projections)."""
+        J = self.geo.J * jnp.ones_like(rhs)
+        return rhs - jnp.sum(J * rhs) / jnp.sum(J)
 
     def diag(self, alpha=0.0, beta=1.0, jgup_delta=None):
         d = self._diag_lap

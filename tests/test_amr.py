@@ -739,3 +739,62 @@ def test_lock_exchange_amr_config_zero_dropped_tags(tmp_path):
     for c in driver.hierarchy.couplings:
         dropped, total = c.tag_coverage
         assert dropped == 0, (dropped, total)
+
+
+def test_dynamic_subcycle_multipliers():
+    """Host-side dynamic subcycling (reference: LepticAMR::timeStep's
+    dt-halving loop, LepticAMR.cpp:993-1047): a level whose CFL dt is
+    tighter than its assigned dt/nt gets its substep count doubled."""
+    h = _hierarchy3()
+    # comfortable fine dts -> static nt suffices
+    assert h.subcycle_multipliers(0.02, [0.1, 0.05, 0.05]) == (1, 1)
+    # coupling 0's assigned dt = 0.02/4 = 5e-3 but its CFL dt is 2e-3:
+    # halve twice (2.5e-3 still > 1.1*2e-3)
+    mults = h.subcycle_multipliers(0.02, [0.1, 2e-3, 1.0])
+    assert mults[0] == 4
+    # the doubling cascades: coupling 1 sees the already-reduced dt
+    base = h.subcycle_multipliers(0.02, [0.1, 1.0, 2e-4])
+    casc = h.subcycle_multipliers(0.02, [0.1, 2e-3, 2e-4])
+    assert base[1] >= 4 * casc[1]
+
+
+def test_advance_with_nt_multiplier_stable():
+    """advance(nt_mults=(2,)) runs 2x the fine substeps and stays
+    consistent with the static step."""
+    h = _hierarchy()
+    s0 = h.level0.post_initialize(h.level0.initial_state())
+    s1, origin = h.initial_patch_state(s0)
+    step = jax.jit(h.advance, static_argnames=("nt_mults",))
+    dt = jnp.asarray(0.02)
+    a0, a1 = step(s0, s1, origin, dt, nt_mults=(1,))
+    b0, b1 = step(s0, s1, origin, dt, nt_mults=(2,))
+    H = h.halo
+    for arr in (b0.scalars[0], b1.scalars[0][:, H:-H]):
+        arr = np.asarray(arr)
+        assert np.all(np.isfinite(arr))
+        assert arr.min() > -0.05 and arr.max() < 1.05
+    # same coarse-step physics to time-discretization accuracy
+    err = float(jnp.max(jnp.abs(a0.scalars[0] - b0.scalars[0])))
+    assert err < 0.05, err
+
+
+def test_regrid_from_level_keeps_coarse_patch():
+    """regrid(from_level=1) re-chooses only coupling 1+ (reference:
+    regrid(lbase) regrids lbase+1..finest, LepticAMR.cpp:1220); coupling
+    0's origin and data are untouched."""
+    h = _hierarchy3()
+    s0 = h.level0.post_initialize(h.level0.initial_state())
+    fines, origins = h.initial_patch_states(s0)
+    step = jax.jit(h.advance)
+    for _ in range(2):
+        s0, fines = step(s0, fines, origins, jnp.asarray(0.02))
+    o0_before = np.asarray(h.couplings[0].origin_f).copy()
+    s1_before = np.asarray(fines[0].scalars[0]).copy()
+    new_fines, new_origins = h.regrid(s0, fines, from_level=1)
+    np.testing.assert_array_equal(np.asarray(new_origins[0]), o0_before)
+    np.testing.assert_array_equal(np.asarray(new_fines[0].scalars[0]),
+                                  s1_before)
+    # the hierarchy still advances cleanly afterwards
+    s0, new_fines = step(s0, new_fines, new_origins, jnp.asarray(0.02))
+    for s_f in new_fines:
+        assert np.all(np.isfinite(np.asarray(s_f.vel)))

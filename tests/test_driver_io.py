@@ -35,7 +35,7 @@ def test_driver_runs_and_writes_files(tmp_path):
     state, steps = driver.run(verbose=False)
     assert steps == 3
     assert np.all(np.isfinite(np.asarray(state.vel)))
-    assert (tmp_path / "plot_000002.hdf5").exists()
+    assert (tmp_path / "plot_000002.2d.hdf5").exists()
     assert (tmp_path / "chkpt_000002.hdf5").exists()
     assert (tmp_path / "chkpt_final.hdf5").exists()
 
@@ -193,3 +193,62 @@ def test_plotfile_divergence_field_is_per_cell(tmp_path):
         dx = min(driver.grid.dx)
         assert np.abs(div).max() < 0.1 * umax / dx
         assert "vorticity" in f["level_0"]
+
+
+def test_chombo_plotfile_schema(tmp_path):
+    """Driver plotfiles follow the reference's Chombo HDF5 layout
+    (LepticAMR::writePlotFile root header, writePlotLevel level groups
+    with intvect ref_ratio / realvect vec_dx / boxes / data:datatype=0,
+    AMRNavierStokesIO.cpp:1035-1090) so VisIt and SOMAR tooling read
+    them."""
+    import h5py
+
+    ctx = ProblemContext.from_parmparse(ParmParse.from_string(
+        AMR_CFG + "\nplot.plot_interval = 2\n"))
+    driver = RunDriver(ctx, out_dir=str(tmp_path))
+    driver.run(max_steps=2, verbose=False)
+    path = tmp_path / "plot_000002.2d.hdf5"
+    assert path.exists()
+    with h5py.File(path) as f:
+        assert int(f.attrs["num_levels"]) == 2
+        assert int(f.attrs["max_level"]) == 1
+        ncomp = int(f.attrs["num_components"])
+        names = [f.attrs[f"component_{i}"].decode()
+                 for i in range(ncomp)]
+        assert "buoyancy" in names and "velocity_x" in names
+        assert int(f["Chombo_global"].attrs["SpaceDim"]) == 2
+
+        for ilev in (0, 1):
+            g = f[f"level_{ilev}"]
+            rr = g.attrs["ref_ratio"]
+            assert rr.dtype.names == ("intvecti", "intvectj")
+            vdx = g.attrs["vec_dx"]
+            assert vdx.dtype.names == ("x", "y")
+            pd = g.attrs["prob_domain"]
+            assert pd.dtype.names == ("lo_i", "lo_j", "hi_i", "hi_j")
+            boxes = np.asarray(g["boxes"])
+            data = np.asarray(g["data:datatype=0"])
+            total = 0
+            for b in boxes:
+                nxb = (int(b["hi_i"]) - int(b["lo_i"]) + 1)
+                nyb = (int(b["hi_j"]) - int(b["lo_j"]) + 1)
+                total += nxb * nyb * ncomp
+                # boxes sit inside the level's problem domain
+                assert int(b["lo_i"]) >= int(pd["lo_i"])
+                assert int(b["hi_i"]) <= int(pd["hi_i"])
+            assert data.size == total
+            assert np.all(np.isfinite(data))
+            assert int(g["data_attributes"].attrs["comps"]) == ncomp
+
+        # level-0 ref_ratio matches the config (4 1)
+        rr0 = f["level_0"].attrs["ref_ratio"]
+        assert int(rr0["intvecti"]) == 4 and int(rr0["intvectj"]) == 1
+        # the fine-level buoyancy block is a genuine field
+        ib = names.index("buoyancy")
+        g1 = f["level_1"]
+        b0 = np.asarray(g1["boxes"])[0]
+        nxb = int(b0["hi_i"]) - int(b0["lo_i"]) + 1
+        nyb = int(b0["hi_j"]) - int(b0["lo_j"]) + 1
+        blk = np.asarray(g1["data:datatype=0"])[
+            ib * nxb * nyb:(ib + 1) * nxb * nyb]
+        assert 0.2 < blk.mean() < 0.8    # lock-exchange interface inside
