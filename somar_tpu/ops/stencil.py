@@ -19,12 +19,12 @@ Conventions:
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 
-from somar_tpu.core.bc import FieldBCs, fill_ghosts_cc
+from somar_tpu.core.bc import BCType, FieldBCs, fill_ghosts_cc
 from somar_tpu.core.grid import Grid
 from somar_tpu.geometry.level_geometry import LevelGeometry
 
@@ -36,6 +36,13 @@ def slc(arr, ax: int, lo: int, hi: int | None):
     s = [slice(None)] * arr.ndim
     s[ax] = slice(lo, hi)
     return arr[tuple(s)]
+
+
+def slc_idx(ndim: int, ax: int, idx: int):
+    """Index tuple selecting plane `idx` along axis ax."""
+    s = [slice(None)] * ndim
+    s[ax] = idx
+    return tuple(s)
 
 
 def diff_along(arr, ax: int):
@@ -101,13 +108,23 @@ def mac_gradient(phi, geo: LevelGeometry, bcs: FieldBCs,
     fill_Jgup = J(g^ij - (w^2/(1+w^2)) dxi^i/dz dxi^j/dz))."""
     # one ghost everywhere covers both normal and tangential derivatives
     p = fill_ghosts_cc(phi, geo.grid, bcs, 1)
-    return mac_gradient_prepadded(p, geo, jgup_delta)
+    return mac_gradient_prepadded(p, geo, jgup_delta, bcs=bcs)
 
 
-def mac_gradient_prepadded(p, geo: LevelGeometry, jgup_delta=None) -> Tuple:
+def mac_gradient_prepadded(p, geo: LevelGeometry, jgup_delta=None,
+                           bcs: Optional[FieldBCs] = None) -> Tuple:
     """mac_gradient on an array already padded with ONE ghost layer on
     every side (used by the coarse-fine machinery, where ghost cells hold
-    interpolated coarse data rather than BC-formula fills)."""
+    interpolated coarse data rather than BC-formula fills).
+
+    bcs (when known): Neumann sides constrain the TOTAL co-normal flux
+    Jg^{dj} d_j phi, so the off-diagonal (cross-metric) term is zeroed at
+    those boundary faces — the reference sets the whole boundary flux via
+    BCFluxClass (EllipticConstNeumBCFlux).  Without this the cross term
+    leaks flux through solid walls, which (a) breaks the pure-Neumann
+    solvability condition (sum J*L*phi != 0, leaving an irreducible
+    residual floor on terrain-following metrics) and (b) un-conserves the
+    projected velocity's wall-normal flux."""
     grid = geo.grid
     ndim = grid.ndim
     dx = grid.dx
@@ -148,7 +165,15 @@ def mac_gradient_prepadded(p, geo: LevelGeometry, jgup_delta=None) -> Tuple:
                         pj = slc(pj, grid.axis(k), 1, -1)
                 dphi_j = (slc(pj, axj, 2, None) - slc(pj, axj, 0, -2)) / (2.0 * dx[j])
                 # pj still has ghosts along d; average to faces of d
-                flux = flux + coef * avg_along(dphi_j, ax)
+                cross = coef * avg_along(dphi_j, ax)
+                if bcs is not None:
+                    n = cross.shape[ax]
+                    if bcs.lo[d].type == BCType.NEUMANN:
+                        cross = cross.at[slc_idx(cross.ndim, ax, 0)].set(0.0)
+                    if bcs.hi[d].type == BCType.NEUMANN:
+                        cross = cross.at[slc_idx(cross.ndim, ax,
+                                                 n - 1)].set(0.0)
+                flux = flux + cross
         fluxes.append(flux)
     return tuple(fluxes)
 

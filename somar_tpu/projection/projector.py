@@ -123,7 +123,10 @@ class LevelProjector:
             bp = BiCGStabParams(eps=mp.bottom_eps,
                                 imax=mp.bottom_imax,
                                 hang=mp.bottom_hang,
-                                small=mp.bottom_small)
+                                small=mp.bottom_small,
+                                num_restarts=mp.bottom_num_restarts)
+            if self.singular:
+                rhs = self.op.compat_project(rhs)
             return bicgstab(
                 lambda v: self.op.apply(v, jgup_delta=jd0), rhs, x0=phi0,
                 params=bp, remove_mean=self.singular)

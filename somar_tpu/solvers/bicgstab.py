@@ -8,7 +8,14 @@ whole Krylov iteration lives inside the jitted solve; the operator is any
 closure A(x) -> Ax on CC arrays.
 
 Parameters mirror the reference's `bottom.*` namespace
-(ProblemContext.cpp): eps, reps, imax, hang, small.
+(ProblemContext.cpp): eps, reps, imax, hang, small, numRestarts.
+
+Like Chombo's BiCGStabSolver, the iteration RESTARTS (fresh shadow
+residual r0 = r, zeroed search directions) on rho/omega breakdown or when
+the residual stalls — BiCGStab's per-iteration residual is non-monotone,
+so a plain "no improvement this iteration" exit aborts otherwise-healthy
+solves.  Stall = no improvement over the best residual for several
+iterations.
 """
 
 from __future__ import annotations
@@ -24,8 +31,10 @@ import jax.numpy as jnp
 class BiCGStabParams:
     eps: float = 1e-6      # bottom.eps: absolute tolerance (vs initial resid)
     imax: int = 80         # bottom.imax
-    hang: float = 1e-8     # bottom.hang
+    hang: float = 1e-8     # bottom.hang: min relative gain per stall window
     small: float = 1e-30   # bottom.small
+    num_restarts: int = 5  # bottom.numRestarts
+    stall_iters: int = 8   # iterations without a new best before restart
 
 
 def _dot(a, b):
@@ -53,21 +62,22 @@ def bicgstab(A: Callable, rhs, x0=None, M: Optional[Callable] = None,
 
     prec = (lambda v: v) if M is None else M
 
-    State = tuple  # (x, r, pvec, v, rho, alpha, omega, rnorm, rprev, it)
     v = jnp.zeros_like(rhs)
     pvec = jnp.zeros_like(rhs)
-    state = (x, r, pvec, v, rho, jnp.asarray(1.0, r.dtype),
-             jnp.asarray(1.0, r.dtype), norm0, 2.0 * norm0, jnp.asarray(0))
+    one = jnp.asarray(1.0, r.dtype)
+    # (x, r, r0, pvec, v, rho, alpha, omega, rnorm,
+    #  rbest, stall, restarts, it)
+    state = (x, r, r0, pvec, v, rho, one, one, norm0,
+             norm0, jnp.asarray(0), jnp.asarray(0), jnp.asarray(0))
 
     def cond(s):
-        _, _, _, _, rho, _, omega, rnorm, rprev, it = s
+        (_, _, _, _, _, _, _, _, rnorm, _, _, restarts, it) = s
         unconverged = rnorm > p.eps * norm0s
-        healthy = (jnp.abs(rho) > p.small) & (jnp.abs(omega) > p.small)
-        not_hung = (rprev - rnorm) > p.hang * rprev
-        return (it < p.imax) & unconverged & healthy & not_hung
+        return (it < p.imax) & unconverged & (restarts <= p.num_restarts)
 
     def body(s):
-        x, r, pvec, v, rho_old, alpha, omega, rnorm, _, it = s
+        (x, r, r0, pvec, v, rho_old, alpha, omega, rnorm,
+         rbest, stall, restarts, it) = s
         rho = _dot(r0, r)
         safe = lambda d: jnp.where(jnp.abs(d) > p.small, d, p.small)
         beta = (rho / safe(rho_old)) * (alpha / safe(omega))
@@ -86,7 +96,32 @@ def bicgstab(A: Callable, rhs, x0=None, M: Optional[Callable] = None,
             x = x - jnp.mean(x)
         r = s_vec - omega * t
         rnew = jnp.sqrt(_dot(r, r))
-        return (x, r, pvec, v, rho, alpha, omega, rnew, rnorm, it + 1)
 
-    x, r, _, _, _, _, _, rnorm, _, it = jax.lax.while_loop(cond, body, state)
+        improved = rnew < (1.0 - p.hang) * rbest
+        rbest = jnp.minimum(rbest, rnew)
+        stall = jnp.where(improved, 0, stall + 1)
+        breakdown = (jnp.abs(rho) <= p.small) | (jnp.abs(omega) <= p.small)
+        need_restart = breakdown | (stall >= p.stall_iters)
+
+        def do_restart(args):
+            x, _, _, _, _, restarts = args
+            r = rhs - A(x)
+            rho = _dot(r, r)
+            return (x, r, r, jnp.zeros_like(r), jnp.zeros_like(r), rho,
+                    one, one, jnp.sqrt(_dot(r, r)), restarts + 1,
+                    jnp.asarray(0))
+
+        def no_restart(args):
+            x, r, pvec, v, rho, restarts = args
+            return (x, r, r0, pvec, v, rho, alpha, omega, rnew, restarts,
+                    stall)
+
+        (x, r, r0n, pvec, v, rho, alpha, omega, rnew, restarts, stall) = \
+            jax.lax.cond(need_restart, do_restart, no_restart,
+                         (x, r, pvec, v, rho, restarts))
+        return (x, r, r0n, pvec, v, rho, alpha, omega, rnew,
+                jnp.minimum(rbest, rnew), stall, restarts, it + 1)
+
+    out = jax.lax.while_loop(cond, body, state)
+    x, rnorm, it = out[0], out[8], out[12]
     return x, (it, rnorm / norm0s)

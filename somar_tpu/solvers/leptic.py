@@ -120,6 +120,7 @@ class LevelLepticSolver:
         self._tri_a = a.at[0].set(0.0)
         self._tri_c = c.at[0].set(0.0)
         self._tri_b = b.at[0].set(1.0)
+        self._fallback_mg = None   # lazy (ensure_compile_time_eval safe)
 
     # ------------------------------------------------------------ pieces
     def _vertical_sweep(self, r):
@@ -148,21 +149,33 @@ class LevelLepticSolver:
         rhs = rhs.astype(self.dtype)
         singular = self.op.bcs_singular()
         if singular:
-            rhs = rhs - jnp.mean(rhs)
+            # J-weighted solvability projection (see PoissonOp.compat_project)
+            rhs = self.op.compat_project(rhs)
         phi = jnp.zeros_like(rhs) if phi0 is None else phi0.astype(self.dtype)
 
         r0 = self.op.norm(self.op.residual(phi, rhs))
         r0 = jnp.maximum(r0, 1e-30)
 
+        def accept(phi, rnorm, cand):
+            """Accept-if-better: outside the expansion's regime (steep
+            terrain, rough rhs) a sweep can overshoot — keep the best
+            iterate so the fallback starts from it (reference: the
+            DIVERGE exit abandons the order, LevelLepticSolver exit
+            statuses .H:160-168)."""
+            if singular:
+                cand = cand - jnp.mean(cand)
+            rcand = self.op.norm(self.op.residual(cand, rhs))
+            better = rcand < rnorm
+            return (jnp.where(better, cand, phi),
+                    jnp.where(better, rcand, rnorm))
+
         def order_body(state):
             phi, rnorm, _, it = state
             r = self.op.residual(phi, rhs)
-            phi = phi + self._vertical_sweep(r)
+            phi, rnorm2 = accept(phi, rnorm, phi + self._vertical_sweep(r))
             r = self.op.residual(phi, rhs)
-            phi = phi + self._horizontal_sweep(r)
-            if singular:
-                phi = phi - jnp.mean(phi)
-            rnew = self.op.norm(self.op.residual(phi, rhs))
+            phi, rnew = accept(phi, rnorm2,
+                               phi + self._horizontal_sweep(r))
             return (phi, rnew, rnorm, it + 1)
 
         def order_cond(state):
@@ -182,15 +195,36 @@ class LevelLepticSolver:
                                 LepticStatus.HANG)))
         return phi, (iters, rnorm / r0, status)
 
+    @property
+    def fallback_mg(self) -> LevelMultigrid:
+        """Line-relaxed semicoarsening MG on the same operator — the
+        finisher when the expansion hangs or diverges (reference: the
+        AMRPressureSolver holds BOTH the leptic and the MG solver and
+        falls through to MG, AMRPressureSolver.cpp:39-40; the level
+        solver's own Krylov branch LevelLepticSolver.cpp:851-874 is the
+        BiCGStab variant, but unpreconditioned f32 BiCGStab stalls ~1e-2
+        on terrain-following metrics where line-MG converges fully)."""
+        if self._fallback_mg is None:
+            self._fallback_mg = LevelMultigrid(
+                self.geo, self.bcs,
+                params=dataclasses.replace(self.params.horiz_mg,
+                                           eps=self.params.eps, imax=20,
+                                           num_smooth_down=4,
+                                           num_smooth_up=4,
+                                           relax_mode="line"),
+                dtype=self.dtype)
+        return self._fallback_mg
+
     def solve_with_fallback(self, rhs, phi0=None):
-        """Leptic first; polish with BiCGStab if not converged (reference:
-        Krylov branch, LevelLepticSolver.cpp:851-874)."""
+        """Leptic first; finish with line-relaxed MG if not converged."""
         phi, (iters, relres, status) = self.solve(rhs, phi0)
         singular = self.op.bcs_singular()
+        if singular:
+            rhs = self.op.compat_project(rhs)
+        mg = self.fallback_mg
 
         def polish(phi):
-            out, _ = bicgstab(lambda v: self.op.apply(v), rhs, x0=phi,
-                              remove_mean=singular)
+            out, _ = mg.solve(rhs, phi0=phi, singular=singular)
             return out
 
         phi = jax.lax.cond(relres > self.params.eps, polish,
