@@ -6,10 +6,13 @@ recursive subcycling, `/root/reference/src/MappedChombo/LepticAMR.cpp:
 `AMRNavierStokesSync.cpp:40-332`; regrid,
 `AMRNavierStokesRegrid.cpp:688-966`) for the TPU data model:
 
-  * A refined level is ONE dense rectangular patch of STATIC shape whose
-    origin moves at regrid (host-side Berger-Rigoutsos clustering in C++,
+  * A refined level is K dense rectangular patches of STATIC shape whose
+    origins move at regrid (host-side Berger-Rigoutsos clustering in C++,
     somar_tpu/native).  Static shapes keep the jitted step compiled once;
-    the origin is a traced operand (lax.dynamic_slice).
+    origins, patch weights (inactive slots carry weight 0), and — under a
+    multi-patch parent — parent-patch selections are traced operands
+    (lax.dynamic_slice / dynamic_index_in_dim), so the tagger can move,
+    activate, and re-parent boxes at every regrid without recompiling.
   * The patch spans the full vertical extent (vertical tag extrusion,
     reference s_vert_extrude_tags — also what the terrain-following
     metric and vertical line solves want) and any periodic direction;
@@ -63,6 +66,20 @@ def _tree_index(s, k):
 def _tree_stack(states):
     """Stack pytrees along a new leading (patch) axis."""
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
+
+
+def _tree_index_dyn(s, p):
+    """Pytree slice at TRACED leading-axis index p (select the parent
+    patch a child nests in)."""
+    return jax.tree_util.tree_map(
+        lambda a: jax.lax.dynamic_index_in_dim(a, p, 0, keepdims=False), s)
+
+
+def _tree_scatter_dyn(s, patch, p):
+    """Write `patch` into stack `s` at TRACED leading-axis index p."""
+    return jax.tree_util.tree_map(
+        lambda st, x: jax.lax.dynamic_update_index_in_dim(
+            st, x.astype(st.dtype), p, 0), s, patch)
 
 
 def _replace_cf_sides(bcs: FieldBCs, cf_dirs, new_bc: BC) -> FieldBCs:
@@ -253,9 +270,14 @@ class PatchCoupling:
         # current origin of the EXTENDED patch relative to the parent
         # array corner (host ints, per array axis, child fine cells);
         # None until the first regrid.  Multi-patch (K > 1) couplings hold
-        # a (K, ndim) origin array + (K,) weights
+        # a (K, ndim) origin array + (K,) weights.  When the PARENT level
+        # is itself multi-patch, parent_sel[k] is the parent patch the
+        # k-th child patch nests in (proper nesting within one parent box,
+        # as Berger-Rigoutsos + nesting buffers guarantee in the
+        # reference, LepticMeshRefine.cpp:823-934)
         self.origin_f: Optional[np.ndarray] = None
         self.weights: Optional[np.ndarray] = None
+        self.parent_sel: Optional[np.ndarray] = None
 
     # ---------------------------------------------------------------- util
     def make_level(self, geo, aux=None) -> PatchNSLevel:
@@ -511,6 +533,93 @@ class PatchCoupling:
                 f"amr.max_grid_size to cover it.", RuntimeWarning,
                 stacklevel=3)
 
+    def choose_origins_multi(self, parent_patches, parent_weights,
+                             tag_params: TagParams):
+        """Multi-parent variant: tag EVERY active parent patch, cluster
+        within each, and fill the K child slots across parents (the dense
+        analog of running Berger-Rigoutsos over the whole level's box set,
+        LepticMeshRefine.cpp:823-934).  Returns (origins (K,ndim),
+        weights (K,), parent_sel (K,)).  Parents are visited
+        most-tagged-first so a tight budget covers the strongest
+        refinement signal; overflow warns (never silent)."""
+        import warnings
+        from somar_tpu.amr.tagging import patch_origins_from_tags
+        pgrid = self.parent_grid
+        ndim = pgrid.ndim
+        halo_axes = tuple(
+            self.halo if pgrid.dir_of_axis(ax) in self.cf_dirs else 0
+            for ax in range(ndim))
+        interior_axes = tuple(self.interior_nx[pgrid.dir_of_axis(ax)]
+                              for ax in range(ndim))
+        parent_halo_f = tuple(self.parent_halo_axes[ax]
+                              * self._axis_ratio(ax) for ax in range(ndim))
+        per_parent = []   # (tag_count, parent_idx, [origins])
+        dropped_tot = total_tot = 0
+        for p, s_pp in enumerate(parent_patches):
+            if parent_weights is not None and float(parent_weights[p]) == 0.0:
+                continue
+            tags = self._masked_tags(s_pp, tag_params)
+            ntags = int(tags.sum())
+            total_tot += ntags
+            if ntags == 0:
+                continue
+            got = patch_origins_from_tags(
+                tags, pgrid, self.ratio, interior_axes, halo_axes, self.K,
+                lo_pad_f=parent_halo_f, fill_ratio=tag_params.fill_ratio,
+                block_factor=tag_params.block_factor)
+            if got is None:
+                continue
+            org_p, w_p = got
+            from somar_tpu.amr.tagging import tag_coverage
+            dropped, tot = tag_coverage(tags, org_p, w_p, pgrid,
+                                        self.ratio, interior_axes,
+                                        halo_axes)
+            dropped_tot += dropped
+            boxes = [np.asarray(org_p[k]) for k in range(self.K)
+                     if w_p[k] > 0.0]
+            if boxes:
+                per_parent.append((ntags, p, boxes))
+        # fill the K slots ROUND-ROBIN across parents (most-tagged parent
+        # first) so every active parent gets coverage before any parent
+        # gets a second box
+        per_parent.sort(key=lambda t: -t[0])
+        cands = []
+        rank = 0
+        while any(rank < len(b) for _, _, b in per_parent):
+            for ntags, p, boxes in per_parent:
+                if rank < len(boxes):
+                    cands.append((ntags, p, boxes[rank]))
+            rank += 1
+        self.tag_coverage = (dropped_tot, total_tot)
+        if dropped_tot > 0:
+            warnings.warn(
+                f"AMR regrid dropped {dropped_tot}/{total_tot} tagged "
+                f"cells across parent patches; raise amr.max_patches / "
+                f"amr.max_grid_size.", RuntimeWarning, stacklevel=2)
+        if not cands:
+            origins = np.tile(self._centered_origin(), (self.K, 1))
+            weights = np.zeros(self.K, np.float32)
+            weights[0] = 1.0
+            return origins, weights, np.zeros(self.K, np.int64)
+        if len(cands) > self.K:
+            warnings.warn(
+                f"AMR regrid found {len(cands)} boxes across parent "
+                f"patches but only {self.K} child slots; dropping "
+                f"{len(cands) - self.K} (raise amr.max_patches).",
+                RuntimeWarning, stacklevel=2)
+            cands = cands[:self.K]
+        origins = np.zeros((self.K, ndim), np.int64)
+        weights = np.zeros(self.K, np.float32)
+        psel = np.zeros(self.K, np.int64)
+        for k, (_, p, o) in enumerate(cands):
+            origins[k] = o
+            weights[k] = 1.0
+            psel[k] = p
+        for k in range(len(cands), self.K):   # inactive: dup slot 0
+            origins[k] = origins[0]
+            psel[k] = psel[0]
+        return origins, weights, psel
+
     def _masked_tags(self, s_par: NSState, tag_params: TagParams):
         """Tags with the parent's own CF halo zeroed (that data is
         interpolated, not an independent refinement signal, and donor
@@ -612,16 +721,28 @@ class AMRHierarchy:
             assert params.update_scheme == "ppm", \
                 "refluxing requires the PPM scheme"
 
-        # build the nested patch couplings, coarse to fine; only the
-        # FINEST level may carry K > 1 patches (children would otherwise
-        # need a multi-parent donor search)
-        self.num_patches = int(num_patches)
+        # build the nested patch couplings, coarse to fine.  num_patches:
+        # an int K gives the FINEST level K patches (the cheap default —
+        # weight-0 slots still compute); a per-level sequence gives every
+        # coupling its own patch budget (general multi-box AMR: children
+        # of a multi-patch level select their parent patch per regrid,
+        # reference LepticMeshRefine box lists at every level)
+        if isinstance(num_patches, (list, tuple)):
+            per_level_K = [int(k) for k in num_patches]
+            per_level_K += [1] * (len(self.ratios) - len(per_level_K))
+        else:
+            per_level_K = [1] * len(self.ratios)
+            per_level_K[-1] = int(num_patches)
+        self.num_patches = per_level_K[-1]
+        if reflux and any(k > 1 for k in per_level_K[:-1]):
+            raise NotImplementedError(
+                "refluxing requires single-patch levels above the finest")
         self.couplings: List[PatchCoupling] = []
         parent_geo = geo0
         parent_level = self.level0
         parent_halo = (0,) * self.grid0.ndim
         for ilev, rr in enumerate(self.ratios):
-            K = self.num_patches if ilev == len(self.ratios) - 1 else 1
+            K = per_level_K[ilev]
             c = PatchCoupling(parent_geo, parent_halo, problem, params,
                               rr, patch_frac=patch_frac,
                               use_subcycling=use_subcycling,
@@ -670,106 +791,26 @@ class AMRHierarchy:
         return [self.level0] + [c.level for c in self.couplings]
 
     # ------------------------------------------------------------- advance
-    def _advance_multipatch(self, lev: int, s_old: NSState, s_new: NSState,
-                            fine_states: list, origins, weights, dt,
-                            parent_fluxes=None, parent_level=None,
-                            nt_mults=None):
-        """Multi-patch (K > 1) variant of one coupling's subcycled advance:
-        K same-shape patches, each with its own traced origin; weight-0
-        slots duplicate patch 0 and contribute nothing to the parent.
-        Only the finest coupling may be multi-patch (asserted at build)."""
-        c = self.couplings[lev]
-        K = c.K
-        level = c.level
-        s_stack = fine_states[lev]
-        org = origins[lev]
-        w = (weights[lev] if weights is not None
-             else jnp.ones(K, self.params.dtype))
-        nt = c.nt * (1 if nt_mults is None else int(nt_mults[lev]))
-        dt_f = dt / nt
-        refluxing = parent_fluxes is not None and bool(self.reflux_fields)
-        freg = c.flux_register if refluxing else None
-        new_patches = []
-        regs_per_patch = []
-        for k in range(K):
-            s_f = _tree_index(s_stack, k)
-            origin = org[k]
-            regs = None
-            if refluxing:
-                regs = {key: freg.zeros()
-                        for key, _ in self._flux_items(parent_fluxes)}
-            for i in range(nt):
-                frac0 = i / nt
-                frac_mid = (i + 0.5) / nt
-                donor0 = time_interp(s_old, s_new, frac0)
-                donor_ext = c._interp_state_ext(donor0, origin, nt=nt)
-                s_f = c._overwrite_halo(s_f, donor_ext)
-                donor_mid = time_interp(s_old, s_new, frac_mid)
-                rings = {
-                    "mac": c._ring(donor_mid.mac_phi, origin),
-                    "cc": c._ring(donor_mid.cc_phi, origin, 1.0 / nt),
-                }
-                if refluxing:
-                    s_f, fl_f = level.advance(s_f, dt_f, rings=rings,
-                                              collect_fluxes=True)
-                    for key, flux in self._flux_items(fl_f):
-                        regs[key] = freg.increment_fine(regs[key], flux,
-                                                        1.0 / nt)
-                else:
-                    s_f = level.advance(s_f, dt_f, rings=rings)
-            new_patches.append(s_f)
-            regs_per_patch.append(regs)
-        fine_states[lev] = _tree_stack(new_patches)
-
-        # weighted average-down of every active patch
-        s_par = s_new
-        for k in range(K):
-            s_par = c.average_down(s_par, new_patches[k], org[k],
-                                   weight=w[k])
-        if refluxing:
-            parent_geo = (self.level0.geo if lev == 0 else
-                          self.couplings[lev - 1].level.geo)
-            plev = parent_level if parent_level is not None else self.level0
-            vel = s_par.vel
-            scalars = s_par.scalars
-            lam = s_par.lam
-            for k in range(K):
-                regs = regs_per_patch[k]
-                for key, flux in self._flux_items(parent_fluxes):
-                    regs[key] = freg.increment_coarse(regs[key], flux,
-                                                      org[k])
-                for key in regs:
-                    field = (vel[key[1]] if key[0] == "vel" else
-                             scalars[key[1]] if key[0] == "scalars" else lam)
-                    rhs = freg.reflux(jnp.zeros_like(field), regs[key],
-                                      org[k], dt, parent_geo) * w[k]
-                    solver = None
-                    if self.implicit_reflux:
-                        if key[0] == "vel" and getattr(plev, "is_viscous",
-                                                       False):
-                            solver = plev.visc_solvers[key[1]]
-                        elif key[0] == "scalars":
-                            solver = plev.diff_solvers[key[1]]
-                    corr = (rhs if solver is None else
-                            solver._helmholtz_solve(rhs, 1.0, dt, rhs)[0])
-                    if key[0] == "vel":
-                        vel = vel.at[key[1]].add(corr)
-                    elif key[0] == "scalars":
-                        scalars = scalars.at[key[1]].add(corr)
-                    else:
-                        lam = lam + corr
-            s_par = dataclasses.replace(s_par, vel=vel, scalars=scalars,
-                                        lam=lam)
-        return s_par
-
     def _advance_recursive(self, lev: int, s_old: NSState, s_new: NSState,
                            fine_states: list, origins, dt, geos=None,
                            parent_fluxes=None, parent_level=None,
-                           weights=None, nt_mults=None):
-        """Run level `lev`'s children through their subcycles between the
-        parent states (s_old at t, s_new at t+dt), average down, and
-        return the synchronized parent state.  `fine_states[k]` holds the
-        state of coupling k (level k+1) and is updated in place.
+                           weights=None, nt_mults=None, parent_sels=None,
+                           parent_K: int = 1):
+        """Run coupling `lev`'s patches through their subcycles between
+        the parent states (s_old at t, s_new at t+dt), recurse into
+        deeper couplings inside every substep, average down, and return
+        the synchronized parent state.  `fine_states[k]` holds the state
+        of coupling k (level k+1; leading K patch axis when multi-patch)
+        and is updated in place.
+
+        Multi-box AMR at any level: a K>1 coupling advances K same-shape
+        patches with traced origins; weight-0 slots duplicate patch 0 and
+        contribute nothing to the parent.  When the PARENT is itself
+        multi-patch (parent_K>1), s_old/s_new carry the parent's K axis
+        and parent_sels[lev][k] selects (traced) the parent patch each
+        child nests in — the dense analog of the reference's
+        arbitrary-box-set hierarchy (LepticMeshRefine.cpp:823-934,
+        LoadBalance AMRNavierStokesRegrid.cpp:40-56).
 
         geos: for mapped geometries, per-coupling {"geo", "aux"} bundles
         of TRACED metric operands; the patch level is rebuilt from them at
@@ -778,57 +819,114 @@ class AMRHierarchy:
         if lev >= len(self.couplings):
             return s_new
         c = self.couplings[lev]
-        if c.K > 1:
-            return self._advance_multipatch(
-                lev, s_old, s_new, fine_states, origins, weights, dt,
-                parent_fluxes=parent_fluxes, parent_level=parent_level,
-                nt_mults=nt_mults)
+        K = c.K
         if c.is_mapped and geos is not None:
             level = c.make_level(geos[lev]["geo"], geos[lev]["aux"])
             J_f = geos[lev]["geo"].J
         else:
             level = c.level
             J_f = None
-        s_f = fine_states[lev]
-        origin = origins[lev]
+        org = origins[lev]
+        psel = (parent_sels[lev]
+                if (parent_sels is not None and parent_K > 1
+                    and parent_sels[lev] is not None) else None)
+        w = None
+        if K > 1:
+            w = (weights[lev] if weights is not None
+                 else jnp.ones(K, self.params.dtype))
         nt = c.nt * (1 if nt_mults is None else int(nt_mults[lev]))
         dt_f = dt / nt
         refluxing = parent_fluxes is not None and bool(self.reflux_fields)
-        regs = None
+        assert not (refluxing and parent_K > 1), \
+            "refluxing into a multi-patch parent is not supported"
+        freg = c.flux_register if refluxing else None
+
+        s_stack = fine_states[lev]
+        patches = ([_tree_index(s_stack, k) for k in range(K)]
+                   if K > 1 else [s_stack])
+        origs = ([org[k] for k in range(K)] if K > 1 else [org])
+        regs_pp = None
         if refluxing:
-            freg = c.flux_register
-            regs = {key: freg.zeros()
-                    for key, _ in self._flux_items(parent_fluxes)}
+            regs_pp = [{key: freg.zeros()
+                        for key, _ in self._flux_items(parent_fluxes)}
+                       for _ in range(K)]
+
+        def parent_pair(k):
+            if parent_K == 1:
+                return s_old, s_new
+            p = (psel[k] if psel is not None
+                 else jnp.zeros((), jnp.int32))
+            return _tree_index_dyn(s_old, p), _tree_index_dyn(s_new, p)
+
+        has_child = lev + 1 < len(self.couplings)
         for i in range(nt):
             frac0 = i / nt
             frac_mid = (i + 0.5) / nt
-            donor0 = time_interp(s_old, s_new, frac0)
-            donor_ext = c._interp_state_ext(donor0, origin, nt=nt)
-            s_f = c._overwrite_halo(s_f, donor_ext)
-            donor_mid = time_interp(s_old, s_new, frac_mid)
-            rings = {
-                "mac": c._ring(donor_mid.mac_phi, origin),
-                "cc": c._ring(donor_mid.cc_phi, origin, 1.0 / nt),
-            }
-            s_f_old = s_f
-            if refluxing:
-                s_f_new, fl_f = level.advance(s_f, dt_f, rings=rings,
+            if parent_K == 1:
+                donor0_all = time_interp(s_old, s_new, frac0)
+                donor_mid_all = time_interp(s_old, s_new, frac_mid)
+            # prev[k] = the halo-refreshed PRE-advance state: the child
+            # recursion's time-interpolation anchor at this substep's
+            # start (fresh CF halos, matching the pre-unification code)
+            prev = [None] * K
+            fl_f = None
+            for k in range(K):
+                if parent_K == 1:
+                    donor0, donor_mid = donor0_all, donor_mid_all
+                else:
+                    so, sn = parent_pair(k)
+                    donor0 = time_interp(so, sn, frac0)
+                    donor_mid = time_interp(so, sn, frac_mid)
+                donor_ext = c._interp_state_ext(donor0, origs[k], nt=nt)
+                s_f = c._overwrite_halo(patches[k], donor_ext)
+                prev[k] = s_f
+                rings = {
+                    "mac": c._ring(donor_mid.mac_phi, origs[k]),
+                    "cc": c._ring(donor_mid.cc_phi, origs[k], 1.0 / nt),
+                }
+                if refluxing:
+                    s_f, fl_f = level.advance(s_f, dt_f, rings=rings,
                                               collect_fluxes=True)
-                for key, flux in self._flux_items(fl_f):
-                    regs[key] = freg.increment_fine(regs[key], flux,
-                                                    1.0 / nt)
-            else:
-                s_f_new = level.advance(s_f, dt_f, rings=rings)
-                fl_f = None
-            # recurse: the child's own children subcycle inside this step
-            s_f = self._advance_recursive(lev + 1, s_f_old, s_f_new,
-                                          fine_states, origins, dt_f, geos,
-                                          parent_fluxes=fl_f,
-                                          parent_level=level,
-                                          weights=weights,
-                                          nt_mults=nt_mults)
-        fine_states[lev] = s_f
-        s_par = c.average_down(s_new, s_f, origin, J_f=J_f)
+                    for key, flux in self._flux_items(fl_f):
+                        regs_pp[k][key] = freg.increment_fine(
+                            regs_pp[k][key], flux, 1.0 / nt)
+                else:
+                    s_f = level.advance(s_f, dt_f, rings=rings)
+                patches[k] = s_f
+            if has_child:
+                # deeper couplings subcycle inside this substep, between
+                # this level's pre/post-substep states
+                stack_old = _tree_stack(prev) if K > 1 else prev[0]
+                stack_new = (_tree_stack(patches) if K > 1
+                             else patches[0])
+                stack_new = self._advance_recursive(
+                    lev + 1, stack_old, stack_new, fine_states, origins,
+                    dt_f, geos,
+                    parent_fluxes=(fl_f if (refluxing and K == 1)
+                                   else None),
+                    parent_level=level, weights=weights,
+                    nt_mults=nt_mults, parent_sels=parent_sels,
+                    parent_K=K)
+                patches = ([_tree_index(stack_new, k) for k in range(K)]
+                           if K > 1 else [stack_new])
+        fine_states[lev] = _tree_stack(patches) if K > 1 else patches[0]
+
+        # -------- synchronization: average down into the parent --------
+        if parent_K > 1:
+            out = s_new
+            for k in range(K):
+                p = (psel[k] if psel is not None
+                     else jnp.zeros((), jnp.int32))
+                par = _tree_index_dyn(out, p)
+                par = c.average_down(par, patches[k], origs[k], J_f=J_f,
+                                     weight=(w[k] if K > 1 else None))
+                out = _tree_scatter_dyn(out, par, p)
+            return out
+
+        s_par = s_new
+        for k in range(K):
+            s_par = c.average_down(s_par, patches[k], origs[k], J_f=J_f,
+                                   weight=(w[k] if K > 1 else None))
         if refluxing:
             # conservation fix-up at the CF interface (reference:
             # MappedLevelFluxRegister::reflux, AMRNavierStokesSync.cpp:
@@ -838,19 +936,20 @@ class AMRHierarchy:
                            if (geos is not None and
                                self.couplings[lev - 1].is_mapped)
                            else self.couplings[lev - 1].level.geo))
-            for key, flux in self._flux_items(parent_fluxes):
-                regs[key] = freg.increment_coarse(regs[key], flux, origin)
             plev = parent_level if parent_level is not None else self.level0
 
-            def corr_of(key, field):
+            def corr_of(key, field, regs, origin, scale):
                 """Explicit or implicit reflux correction of one field
                 (reference: the explicit path AMRNavierStokesSync.cpp:
                 71-164 vs doImplicitScalar/MomentumReflux :338,601)."""
                 rhs = freg.reflux(jnp.zeros_like(field), regs[key], origin,
                                   dt, parent_geo)
+                if scale is not None:
+                    rhs = rhs * scale
                 solver = None
                 if self.implicit_reflux:
-                    if key[0] == "vel" and getattr(plev, "is_viscous", False):
+                    if key[0] == "vel" and getattr(plev, "is_viscous",
+                                                   False):
                         solver = plev.visc_solvers[key[1]]
                     elif key[0] == "scalars":
                         solver = plev.diff_solvers[key[1]]
@@ -862,14 +961,24 @@ class AMRHierarchy:
             vel = s_par.vel
             scalars = s_par.scalars
             lam = s_par.lam
-            for key in regs:
-                if key[0] == "vel":
-                    vel = vel.at[key[1]].add(corr_of(key, vel[key[1]]))
-                elif key[0] == "scalars":
-                    scalars = scalars.at[key[1]].add(
-                        corr_of(key, scalars[key[1]]))
-                else:
-                    lam = lam + corr_of(key, lam)
+            for k in range(K):
+                regs = regs_pp[k]
+                for key, flux in self._flux_items(parent_fluxes):
+                    regs[key] = freg.increment_coarse(regs[key], flux,
+                                                      origs[k])
+                scale = w[k] if K > 1 else None
+                for key in regs:
+                    if key[0] == "vel":
+                        vel = vel.at[key[1]].add(
+                            corr_of(key, vel[key[1]], regs, origs[k],
+                                    scale))
+                    elif key[0] == "scalars":
+                        scalars = scalars.at[key[1]].add(
+                            corr_of(key, scalars[key[1]], regs, origs[k],
+                                    scale))
+                    else:
+                        lam = lam + corr_of(key, lam, regs, origs[k],
+                                            scale)
             s_par = dataclasses.replace(s_par, vel=vel, scalars=scalars,
                                         lam=lam)
         return s_par
@@ -888,7 +997,7 @@ class AMRHierarchy:
         return items
 
     def advance(self, s0: NSState, fine_states, origins, dt, geos=None,
-                weights=None, nt_mults=None):
+                weights=None, nt_mults=None, parent_sels=None):
         """One coarse step + nested subcycled fine steps + synchronization.
         fine_states: tuple/list of patch states, coarse to fine (a
         multi-patch level's state carries a leading K patch axis);
@@ -898,7 +1007,10 @@ class AMRHierarchy:
         geos: traced metric bundles for mapped geometries (see
         geo_bundles);
         weights: per-coupling (K,) patch weights (multi-patch levels;
-        None entries / None means all-active).
+        None entries / None means all-active);
+        parent_sels: per-coupling (K,) traced parent-patch indices (only
+        consumed where the parent coupling is multi-patch; None entries
+        mean patch 0).
         Returns (s0_new, new_fine_states)."""
         single = not isinstance(fine_states, (list, tuple))
         if single:       # backward-compatible 2-level call signature
@@ -922,14 +1034,16 @@ class AMRHierarchy:
                                          parent_fluxes=fl0,
                                          parent_level=level0,
                                          weights=weights,
-                                         nt_mults=nt_mults)
+                                         nt_mults=nt_mults,
+                                         parent_sels=parent_sels)
         # composite sync projection over the WHOLE hierarchy (reference:
         # AMRCCProjector::project over lmin..lmax,
         # AMRNavierStokesSync.cpp:249-295)
         if self.params.is_incompressible and self.do_sync_projection:
             for _ in range(self.sync_projection_iters):
                 s0_new = self._sync_project(s0_new, fine_states, origins,
-                                            geos, weights)
+                                            geos, weights,
+                                            parent_sels=parent_sels)
         # volume-discrepancy (freestream) correction: eLambda potential
         # from the lambda drift (reference: computeVDCorrection,
         # AMRNavierStokesSync.cpp:850: rhs = etaLambda*(lambda-1)/dt,
@@ -964,16 +1078,17 @@ class AMRHierarchy:
         return s0_new, tuple(fine_states)
 
     def _sync_project(self, s0: NSState, fine_states: list, origins,
-                      geos=None, weights=None) -> NSState:
+                      geos=None, weights=None, parent_sels=None) -> NSState:
         """One composite sync-projection pass over the hierarchy (the
         dense-patch analog of AMRCCProjector::project,
         AMRNavierStokesSync.cpp:276-295 / MappedAMRMultiGrid's AMRVCycle):
 
           top-down — project level 0 (whose divergence already sees the
           composite field: covered cells hold the averaged-down fine
-          velocity), then each finer level with quadratic CF ghost rings
-          of the parent's freshly-solved sync potential, so the fine
-          velocity receives the sync correction DIRECTLY;
+          velocity), then each finer level's patches with quadratic CF
+          ghost rings of the parent patch's freshly-solved sync
+          potential, so the fine velocity receives the sync correction
+          DIRECTLY;
           bottom-up — J-weighted re-average of the corrected velocities.
 
         Mutates fine_states in place; returns the corrected level-0
@@ -983,57 +1098,72 @@ class AMRHierarchy:
             s0.vel, level0.vel_bcs_trace, phi0=s0.cc_phi, purpose="sync")
         s0 = dataclasses.replace(s0, vel=vel0)
 
-        # top-down: correct every patch level with its parent's potential
-        phi_par = phi0
-        phi_stacks = []
+        # top-down: correct every patch with its parent patch's potential
+        phi_par = phi0                     # array, or (Kp,)+shape stack
+        parent_K = 1
         for lev, c in enumerate(self.couplings):
             if c.is_mapped and geos is not None:
                 level = c.make_level(geos[lev]["geo"], geos[lev]["aux"])
             else:
                 level = c.level
-            if c.K > 1:
-                org = origins[lev]
-                pats, phis = [], []
-                for k in range(c.K):
-                    s_f = _tree_index(fine_states[lev], k)
-                    ring = c._ring(phi_par, org[k])
-                    vel_f, phi_f, _ = level.projector.project_cc(
-                        s_f.vel, level.vel_bcs_trace, phi0=s_f.cc_phi,
-                        ring=ring, purpose="sync")
-                    pats.append(dataclasses.replace(s_f, vel=vel_f))
-                    phis.append(phi_f)
-                fine_states[lev] = _tree_stack(pats)
-                phi_stacks.append(phis)
-                phi_par = phis[0]    # only the finest may be multi-patch
-            else:
-                s_f = fine_states[lev]
-                ring = c._ring(phi_par, origins[lev])
+            K = c.K
+            org = origins[lev]
+            psel = (parent_sels[lev]
+                    if (parent_sels is not None and parent_K > 1
+                        and parent_sels[lev] is not None) else None)
+            pats, phis = [], []
+            for k in range(K):
+                s_f = (_tree_index(fine_states[lev], k) if K > 1
+                       else fine_states[lev])
+                if parent_K == 1:
+                    ph_src = phi_par
+                else:
+                    p = (psel[k] if psel is not None
+                         else jnp.zeros((), jnp.int32))
+                    ph_src = jax.lax.dynamic_index_in_dim(
+                        phi_par, p, 0, keepdims=False)
+                ring = c._ring(ph_src, org[k] if K > 1 else org)
                 vel_f, phi_f, _ = level.projector.project_cc(
                     s_f.vel, level.vel_bcs_trace, phi0=s_f.cc_phi,
                     ring=ring, purpose="sync")
-                fine_states[lev] = dataclasses.replace(s_f, vel=vel_f)
-                phi_stacks.append(phi_f)
-                phi_par = phi_f
+                pats.append(dataclasses.replace(s_f, vel=vel_f))
+                phis.append(phi_f)
+            fine_states[lev] = _tree_stack(pats) if K > 1 else pats[0]
+            phi_par = jnp.stack(phis) if K > 1 else phis[0]
+            parent_K = K
 
         # bottom-up: re-average the corrected velocities (the projection
         # changed the fine field, so the parent's covered cells must see
         # the correction too)
         for lev in range(len(self.couplings) - 1, -1, -1):
             c = self.couplings[lev]
+            K = c.K
             J_f = (geos[lev]["geo"].J
                    if (c.is_mapped and geos is not None) else None)
             parent = s0 if lev == 0 else fine_states[lev - 1]
-            if c.K > 1:
-                org = origins[lev]
-                w = (weights[lev] if weights is not None
-                     else jnp.ones(c.K, self.params.dtype))
-                for k in range(c.K):
-                    parent = c.average_down(
-                        parent, _tree_index(fine_states[lev], k), org[k],
-                        J_f=J_f, weight=w[k])
-            else:
-                parent = c.average_down(parent, fine_states[lev],
-                                        origins[lev], J_f=J_f)
+            parent_K = 1 if lev == 0 else self.couplings[lev - 1].K
+            psel = (parent_sels[lev]
+                    if (parent_sels is not None and parent_K > 1
+                        and parent_sels[lev] is not None) else None)
+            org = origins[lev]
+            w = (None if K == 1 else
+                 (weights[lev] if weights is not None
+                  else jnp.ones(K, self.params.dtype)))
+            for k in range(K):
+                s_fk = (_tree_index(fine_states[lev], k) if K > 1
+                        else fine_states[lev])
+                ok = org[k] if K > 1 else org
+                wk = w[k] if w is not None else None
+                if parent_K == 1:
+                    parent = c.average_down(parent, s_fk, ok, J_f=J_f,
+                                            weight=wk)
+                else:
+                    p = (psel[k] if psel is not None
+                         else jnp.zeros((), jnp.int32))
+                    par = _tree_index_dyn(parent, p)
+                    par = c.average_down(par, s_fk, ok, J_f=J_f,
+                                         weight=wk)
+                    parent = _tree_scatter_dyn(parent, par, p)
             if lev == 0:
                 s0 = parent
             else:
@@ -1079,56 +1209,100 @@ class AMRHierarchy:
         """Tag, choose every patch origin, and fill patch data coarse to
         fine (host-side; reference: initialGrid + regrid data fill).
         Returns (fine_states, origins) tuples, coarse to fine — plus a
-        weights tuple when any level is multi-patch."""
+        weights tuple when any level is multi-patch.  Parent-patch
+        selections (multi-patch parents) are stored on the couplings and
+        exposed via the parent_sels property."""
         states = []
         origins = []
         weights = []
-        s_par = s0
+        par_patches = [s0]
+        par_w = None
         for lev, c in enumerate(self.couplings):
-            if c.K > 1:
-                org, w = c.choose_origins(s_par, self.tag_params)
-                c.origin_f = org
-                c.weights = w
-                patches = [c._interp_state_ext(s_par, jnp.asarray(org[k]))
-                           for k in range(c.K)]
-                s_f = _tree_stack(patches)
-                weights.append(jnp.asarray(w, self.params.dtype))
-                # the parent of a deeper coupling is patch 0 (asserted to
-                # not exist: multi-patch is finest-only)
-                s_par = patches[0]
+            multi_parent = len(par_patches) > 1
+            if c.K > 1 or multi_parent:
+                if multi_parent:
+                    org, w, psel = c.choose_origins_multi(
+                        par_patches, par_w, self.tag_params)
+                else:
+                    org, w = c.choose_origins(par_patches[0],
+                                              self.tag_params)
+                    psel = np.zeros(c.K, np.int64)
+                if c.K > 1:
+                    c.origin_f, c.weights, c.parent_sel = org, w, psel
+                    patches = [
+                        c._interp_state_ext(par_patches[int(psel[k])],
+                                            jnp.asarray(org[k]))
+                        for k in range(c.K)]
+                    s_f = _tree_stack(patches)
+                    weights.append(jnp.asarray(w, self.params.dtype))
+                    par_patches, par_w = patches, w
+                else:
+                    c.origin_f = np.asarray(org[0])
+                    c.weights = None
+                    c.parent_sel = psel[:1].copy() if multi_parent else None
+                    s_f = c._interp_state_ext(
+                        par_patches[int(psel[0])],
+                        jnp.asarray(c.origin_f))
+                    weights.append(None)
+                    par_patches, par_w = [s_f], None
             else:
-                c.origin_f = c.choose_origin(s_par, self.tag_params)
+                c.origin_f = c.choose_origin(par_patches[0],
+                                             self.tag_params)
                 c.weights = None
+                c.parent_sel = None
                 self._refresh_bundle(lev)
-                s_f = self._fill_patch_state(lev, s_par)
+                s_f = self._fill_patch_state(lev, par_patches[0])
                 weights.append(None)
-                s_par = s_f
+                par_patches, par_w = [s_f], None
             states.append(s_f)
             origins.append(jnp.asarray(c.origin_f))
         if self.multi_patch:
             return tuple(states), tuple(origins), tuple(weights)
         return tuple(states), tuple(origins)
 
+    @property
+    def parent_sels(self):
+        """Per-coupling traced parent-patch selections ((K,) int arrays
+        where the parent coupling is multi-patch; None elsewhere).  Pass
+        to advance() on hierarchies with multi-patch non-finest levels."""
+        if not any(c.K > 1 for c in self.couplings[:-1]):
+            return None
+        out = []
+        for lev, c in enumerate(self.couplings):
+            parent_K = self.couplings[lev - 1].K if lev > 0 else 1
+            out.append(jnp.asarray(c.parent_sel, jnp.int32)
+                       if (parent_K > 1 and c.parent_sel is not None)
+                       else None)
+        return tuple(out)
+
     def initial_patch_state(self, s0: NSState):
         """Backward-compatible 2-level initializer."""
         states, origins = self.initial_patch_states(s0)
         return states[0], origins[0]
 
-    def _global_origin(self, upto: int, last_origin=None) -> np.ndarray:
+    def _global_origin(self, upto: int, last_origin=None,
+                       patch: int = 0) -> np.ndarray:
         """Global origin of coupling `upto`'s patch in its own fine index
-        space (accumulating parent origins through the nesting).
+        space (accumulating parent origins through the nesting chain,
+        following each level's parent_sel for multi-patch parents).
         last_origin overrides coupling `upto`'s own origin row (per-patch
-        globals of a multi-patch level)."""
+        globals of a multi-patch level); patch picks the row (and the
+        parent chain) when last_origin is None."""
         ndim = self.grid0.ndim
-        g = np.zeros(ndim, dtype=np.int64)
-        for lev in range(upto + 1):
-            c = self.couplings[lev]
-            r = np.array([c._axis_ratio(ax) for ax in range(ndim)],
-                         dtype=np.int64)
-            o = (last_origin if (lev == upto and last_origin is not None)
-                 else c.origin_f)
-            g = g * r + np.asarray(o, dtype=np.int64)
-        return g
+        c = self.couplings[upto]
+        if last_origin is not None:
+            o = np.asarray(last_origin, dtype=np.int64)
+        elif c.K > 1:
+            o = np.asarray(c.origin_f[patch], dtype=np.int64)
+        else:
+            o = np.asarray(c.origin_f, dtype=np.int64)
+        if upto == 0:
+            return o
+        p = (int(c.parent_sel[patch]) if c.parent_sel is not None else 0)
+        g_par = self._global_origin(upto - 1, patch=p)
+        r = np.array([c._axis_ratio(ax) for ax in range(ndim)],
+                     dtype=np.int64)
+        return g_par * r + o
 
     # -------------------------------------------- post-regrid smoothing
     def _smooth_mus(self, dt):
@@ -1230,7 +1404,8 @@ class AMRHierarchy:
                 old_globals.append(None)
             elif c.K > 1:
                 old_globals.append([
-                    self._global_origin(lev, last_origin=c.origin_f[k])
+                    self._global_origin(lev, last_origin=c.origin_f[k],
+                                        patch=k)
                     for k in range(c.K)])
             else:
                 old_globals.append(self._global_origin(lev))
@@ -1260,7 +1435,8 @@ class AMRHierarchy:
         new_states = []
         origins = []
         weights_out = []
-        s_par = s0
+        par_patches = [s0]
+        par_w = None
         for lev, c in enumerate(self.couplings):
             old_fine = fine_states[lev]
             old_w = getattr(c, "weights", None)
@@ -1271,12 +1447,20 @@ class AMRHierarchy:
                 weights_out.append(
                     None if c.weights is None
                     else jnp.asarray(c.weights, self.params.dtype))
-                s_par = _tree_index(old_fine, 0) if c.K > 1 else old_fine
+                par_patches = ([_tree_index(old_fine, k)
+                                for k in range(c.K)]
+                               if c.K > 1 else [old_fine])
+                par_w = c.weights
                 continue
+            multi_parent = len(par_patches) > 1
+            if smoothing:
+                parent_level = (self.level0 if lev == 0
+                                else self.couplings[lev - 1].level)
+                par_patches = [self._apply_smooth_op(parent_level, p,
+                                                     mu_v, mu_s)
+                               for p in par_patches]
+            # old-patch data pre-smoothed for the overlap copy
             if c.K > 1:
-                org, w = c.choose_origins(s_par, self.tag_params)
-                c.origin_f = org
-                c.weights = w
                 old_patches = None
                 if old_globals[lev] is not None:
                     old_patches = [_tree_index(old_fine, j)
@@ -1285,18 +1469,29 @@ class AMRHierarchy:
                         old_patches = [
                             self._apply_smooth_op(c.level, p, mu_v, mu_s)
                             for p in old_patches]
-                if smoothing:
-                    parent_level = (self.level0 if lev == 0
-                                    else self.couplings[lev - 1].level)
-                    s_par = self._apply_smooth_op(parent_level, s_par,
-                                                  mu_v, mu_s)
+            elif smoothing and old_globals[lev] is not None:
+                old_fine = self._apply_smooth_op(c.level, old_fine,
+                                                 mu_v, mu_s)
+
+            # choose new origins (+ parent patches where multi-parent)
+            if c.K > 1 or multi_parent:
+                if multi_parent:
+                    org, w, psel = c.choose_origins_multi(
+                        par_patches, par_w, self.tag_params)
+                else:
+                    org, w = c.choose_origins(par_patches[0],
+                                              self.tag_params)
+                    psel = np.zeros(c.K, np.int64)
+            if c.K > 1:
+                c.origin_f, c.weights, c.parent_sel = org, w, psel
                 patches = []
                 for k in range(c.K):
-                    s_new_k = c._interp_state_ext(s_par,
-                                                  jnp.asarray(org[k]))
+                    s_new_k = c._interp_state_ext(
+                        par_patches[int(psel[k])], jnp.asarray(org[k]))
                     if old_patches is not None:
                         new_g = self._global_origin(lev,
-                                                    last_origin=org[k])
+                                                    last_origin=org[k],
+                                                    patch=k)
                         for j in range(c.K):
                             if old_w is not None and float(old_w[j]) == 0.0:
                                 continue
@@ -1309,20 +1504,21 @@ class AMRHierarchy:
                     patches.append(s_new_k)
                 s_new = _tree_stack(patches)
                 weights_out.append(jnp.asarray(w, self.params.dtype))
-                s_par = patches[0]
+                par_patches, par_w = patches, w
             else:
-                c.origin_f = c.choose_origin(s_par, self.tag_params)
+                if multi_parent:
+                    c.origin_f = np.asarray(org[0])
+                    c.parent_sel = psel[:1].copy()
+                    src_par = par_patches[int(psel[0])]
+                else:
+                    c.origin_f = c.choose_origin(par_patches[0],
+                                                 self.tag_params)
+                    c.parent_sel = None
+                    src_par = par_patches[0]
+                c.weights = None
                 self._refresh_bundle(lev)
-                if smoothing:
-                    # interp sources carry (I - mu*L) of the data; the
-                    # solve below undoes it exactly where data not moved
-                    parent_level = (self.level0 if lev == 0
-                                    else self.couplings[lev - 1].level)
-                    s_par = self._apply_smooth_op(parent_level, s_par,
-                                                  mu_v, mu_s)
-                    old_fine = self._apply_smooth_op(c.level, old_fine,
-                                                     mu_v, mu_s)
-                s_new = self._fill_patch_state(lev, s_par)
+                s_new = c._interp_state_ext(src_par,
+                                            jnp.asarray(c.origin_f))
                 if old_globals[lev] is not None:
                     s_new = overlap_copy(s_new, old_fine,
                                          self._global_origin(lev),
@@ -1332,7 +1528,7 @@ class AMRHierarchy:
                     s_new = self._solve_smooth_op(c.level, s_new,
                                                   mu_v, mu_s)
                 weights_out.append(None)
-                s_par = s_new
+                par_patches, par_w = [s_new], None
             new_states.append(s_new)
             origins.append(jnp.asarray(c.origin_f))
         if single:

@@ -125,8 +125,9 @@ class AMRConfig:
     # max patches per (finest) refined level — the TPU analog of the
     # reference's multi-box levels (LepticMeshRefine box lists): K
     # same-shape patches with traced origins/weights, so the number of
-    # active clusters never recompiles the step
-    max_patches: int = 1
+    # active clusters never recompiles the step; a per-level tuple gives
+    # every level its own budget (multi-box at any level)
+    max_patches: object = 1
     # freestream preservation (reference: projection.applyVDCorrection /
     # etaLambda, ProblemContext.cpp:1384-1401)
     apply_vd_correction: bool = False
@@ -232,6 +233,15 @@ class ProblemContext:
                                  None)
         regrid = tuple(regrid) if regrid else (10,) * max(max_level, 1)
 
+        # amr.max_patches: a single int = K patches at the FINEST level
+        # only (back-compat, cheap); a per-level list gives every level
+        # its own multi-box budget (general multi-box AMR)
+        mp_raw = pp._table.get("amr.max_patches")
+        if mp_raw is not None and len(mp_raw) > 1:
+            max_patches = tuple(int(v) for v in mp_raw)
+        else:
+            max_patches = pp.get_int("amr.max_patches", 1)
+
         amr = AMRConfig(
             ndim=ndim, nx=nx, nx_offset=nx_offset, length=tuple(length),
             is_periodic=is_per, max_level=max_level,
@@ -274,7 +284,7 @@ class ProblemContext:
                 pp.get_int("amr.implicit_scalar_reflux", 0)),
             implicit_momentum_reflux=bool(
                 pp.get_int("amr.implicit_momentum_reflux", 0)),
-            max_patches=pp.get_int("amr.max_patches", 1),
+            max_patches=max_patches,
             regrid_smoothing_coeff=(
                 pp.get_real("amr.postRegrid_smoothing_coeff", 0.0)
                 if pp.get_int("amr.smooth_after_regrid", 0) else 0.0),

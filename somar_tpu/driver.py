@@ -91,6 +91,13 @@ class RunDriver:
         self._step_fn = jax.jit(lambda s, dt: self.level.advance(s, dt))
         self._dt_fn = jax.jit(self.level.compute_dt)
         self._interrupted = False
+        # periodic in-run callbacks (reference: Chombo Scheduler hook,
+        # LepticAMR.H:166, executed per coarse step LepticAMR.cpp:799-800)
+        from somar_tpu.utils.scheduler import Scheduler
+        self.scheduler = Scheduler()
+        # per-process run log (reference: pout.<rank> parstream)
+        from somar_tpu.utils.printing import set_pout_dir
+        set_pout_dir(out_dir)
 
     # ---------------------------------------------------------------- run
     def run(self, max_steps: Optional[int] = None,
@@ -99,6 +106,7 @@ class RunDriver:
         from somar_tpu.io.checkpoint import (
             read_checkpoint, write_checkpoint, write_chombo_plotfile)
         from somar_tpu.utils.debug import assert_finite_host
+        from somar_tpu.utils.printing import pout
         from somar_tpu.utils.timers import timer
 
         ctx = self.ctx
@@ -118,10 +126,13 @@ class RunDriver:
                 state, step0, dt_prev = got[0], got[1], got[2]
                 fines, origs = got[3], got[4]
                 wts = got[5] if len(got) > 5 else (None,) * len(fines)
+                psels = got[6] if len(got) > 6 else (None,) * len(fines)
                 for lev, c in enumerate(self.hierarchy.couplings):
                     c.origin_f = np.asarray(origs[lev])
                     c.weights = (None if wts[lev] is None
                                  else np.asarray(wts[lev]))
+                    c.parent_sel = (None if psels[lev] is None
+                                    else np.asarray(psels[lev]))
                     self.hierarchy._refresh_bundle(lev)
                 restored_fine = (
                     tuple(fines),
@@ -205,7 +216,8 @@ class RunDriver:
                         state, fine_state = self._amr_step_fn(
                             state, fine_state, origin, dt,
                             self.hierarchy.geo_bundles, weights,
-                            nt_mults=nt_mults)
+                            nt_mults=nt_mults,
+                            parent_sels=self.hierarchy.parent_sels)
                         factor = 1
                         for c, m in zip(self.hierarchy.couplings, nt_mults):
                             factor *= c.nt * m
@@ -256,9 +268,14 @@ class RunDriver:
                 if ctx.ns.fixed_dt > 0:
                     dt = jnp.asarray(ctx.ns.fixed_dt, ctx.ns.dtype)
 
+                # scheduler hook (reference: LepticAMR.cpp:799-800)
+                self.scheduler.execute(step, float(state.time), state)
+
+                line = (f"step {step:6d}  t = {float(state.time):.6g}  "
+                        f"dt = {float(dt):.4g}  wall = {wc * 1e3:.1f} ms")
+                pout(line)
                 if verbose and ctx.amr.verbosity > 0:
-                    print(f"step {step:6d}  t = {float(state.time):.6g}  "
-                          f"dt = {float(dt):.4g}  wall = {wc * 1e3:.1f} ms")
+                    print(line)
 
                 # plot cadence
                 p = ctx.plot
@@ -298,21 +315,32 @@ class RunDriver:
                             weights=(None if self.hierarchy is None else
                                      [None if c.weights is None
                                       else np.asarray(c.weights)
-                                      for c in self.hierarchy.couplings]))
+                                      for c in self.hierarchy.couplings]),
+                            parent_sels=(
+                                None if self.hierarchy is None else
+                                [None if c.parent_sel is None
+                                 else np.asarray(c.parent_sel)
+                                 for c in self.hierarchy.couplings]))
         finally:
             signal.signal(signal.SIGINT, prev_handler)
 
         elapsed = time.perf_counter() - t_start
+        # the reference's concluding report (LepticAMR::conclude) — always
+        # logged to pout.<rank>, echoed to the terminal when verbose
+        report = [f"total cell updates: {cell_updates}"]
+        if elapsed > 0:
+            report.append(f"cell updates/sec: {cell_updates / elapsed:.4g}")
+        report.append(f"total elapsed: {elapsed:.2f} s")
+        # hierarchical timer report (CH_TIMER_REPORT analog,
+        # exec/somar.cpp:222)
+        report.append(timer.report())
+        for line in report:
+            pout(line)
         if verbose:
-            # the reference's concluding report (LepticAMR::conclude)
-            print(f"total cell updates: {cell_updates}")
-            if elapsed > 0:
-                print(f"cell updates/sec: {cell_updates / elapsed:.4g}")
-            print(f"total elapsed: {elapsed:.2f} s")
+            for line in report[:-1]:
+                print(line)
             if ctx.amr.verbosity >= 2:
-                # hierarchical timer report (CH_TIMER_REPORT analog,
-                # exec/somar.cpp:222)
-                print(timer.report())
+                print(report[-1])
         # final checkpoint (LepticAMR::conclude, :671-679)
         from somar_tpu.io.checkpoint import write_checkpoint as _wc
         _wc(os.path.join(self.out_dir,
@@ -325,5 +353,9 @@ class RunDriver:
                                                 for o in origin],
             weights=(None if self.hierarchy is None else
                      [None if c.weights is None else np.asarray(c.weights)
-                      for c in self.hierarchy.couplings]))
+                      for c in self.hierarchy.couplings]),
+            parent_sels=(None if self.hierarchy is None else
+                         [None if c.parent_sel is None
+                          else np.asarray(c.parent_sel)
+                          for c in self.hierarchy.couplings]))
         return state, step

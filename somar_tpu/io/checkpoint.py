@@ -32,7 +32,7 @@ import numpy as np
 
 
 def _write_level_group(f, name: str, state, grid, origin=None,
-                       weights=None):
+                       weights=None, parent_sel=None):
     g = f.create_group(name)
     g.attrs["nx"] = np.asarray(grid.nx)
     g.attrs["dx"] = np.asarray(grid.dx)
@@ -42,6 +42,8 @@ def _write_level_group(f, name: str, state, grid, origin=None,
         g.attrs["patch_origin"] = np.asarray(origin)
     if weights is not None:
         g.attrs["patch_weights"] = np.asarray(weights)
+    if parent_sel is not None:
+        g.attrs["parent_sel"] = np.asarray(parent_sel)
     vel = np.asarray(state.vel)
     scal = np.asarray(state.scalars)
     multi = vel.ndim == grid.ndim + 2   # leading patch axis (multi-patch)
@@ -63,7 +65,7 @@ def _write_level_group(f, name: str, state, grid, origin=None,
 def write_checkpoint(path: str, state, level, step: int, dt: float,
                      extra: Optional[dict] = None,
                      fine_state=None, fine_grid=None, origin=None,
-                     weights=None):
+                     weights=None, parent_sels=None):
     """Save full state for exact resume.  With fine_state/fine_grid/origin
     the AMR patch levels are stacked as groups level_1..level_N
     (reference: per-level checkpoint groups, AMRNavierStokesIO.cpp:92-165).
@@ -77,6 +79,8 @@ def write_checkpoint(path: str, state, level, step: int, dt: float,
         origin = [origin]
     if weights is None and fine_state is not None:
         weights = [None] * len(fine_state)
+    if parent_sels is None and fine_state is not None:
+        parent_sels = [None] * len(fine_state)
     grid = level.grid
     nfine = 0 if fine_state is None else len(fine_state)
     with h5py.File(path, "w") as f:
@@ -90,7 +94,8 @@ def write_checkpoint(path: str, state, level, step: int, dt: float,
         for k in range(nfine):
             _write_level_group(f, f"level_{k + 1}", fine_state[k],
                                fine_grid[k], origin[k],
-                               weights=weights[k])
+                               weights=weights[k],
+                               parent_sel=parent_sels[k])
 
 
 def _read_level_group(g, grid, dtype, nscal, time):
@@ -140,17 +145,19 @@ def read_checkpoint(path: str, level, fine_grid=None):
         if fine_grid is not None and "level_1" in f:
             single = not isinstance(fine_grid, (list, tuple))
             grids = [fine_grid] if single else list(fine_grid)
-            fines, origins, weights = [], [], []
+            fines, origins, weights, psels = [], [], [], []
             for k, gk in enumerate(grids):
                 g1 = f[f"level_{k + 1}"]
                 fines.append(_read_level_group(g1, gk, dtype, nscal, time))
                 origins.append(np.asarray(g1.attrs["patch_origin"]))
                 weights.append(np.asarray(g1.attrs["patch_weights"])
                                if "patch_weights" in g1.attrs else None)
+                psels.append(np.asarray(g1.attrs["parent_sel"])
+                             if "parent_sel" in g1.attrs else None)
             if single:
                 return state, step, dt, fines[0], origins[0]
             return (state, step, dt, tuple(fines), tuple(origins),
-                    tuple(weights))
+                    tuple(weights), tuple(psels))
     return state, step, dt
 
 
@@ -334,7 +341,7 @@ def write_chombo_plotfile(path: str, state, level, step: int, plot_cfg=None,
                     if w is not None and float(w[k]) == 0.0:
                         continue
                     lo_list.append(hierarchy._global_origin(
-                        lev, last_origin=c.origin_f[k]))
+                        lev, last_origin=c.origin_f[k], patch=k))
             else:
                 lo_list.append(hierarchy._global_origin(lev))
             boxes = []

@@ -43,6 +43,16 @@ def _rank() -> int:
         return 0
 
 
+def set_pout_dir(path: str):
+    """Point the pout.<rank> log at a run directory (the RunDriver's
+    out_dir); resets any open stream."""
+    global _pout_file
+    if _pout_file is not None:
+        _pout_file.close()
+        _pout_file = None
+    os.environ["SOMAR_POUT_DIR"] = path
+
+
 def pout(*args, **kw):
     """Per-process log file pout.<rank> (reference: Chombo parstream)."""
     global _pout_file

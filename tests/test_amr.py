@@ -798,3 +798,148 @@ def test_regrid_from_level_keeps_coarse_patch():
     s0, new_fines = step(s0, new_fines, new_origins, jnp.asarray(0.02))
     for s_f in new_fines:
         assert np.all(np.isfinite(np.asarray(s_f.vel)))
+
+
+def test_multibox_intermediate_level_with_children():
+    """General multi-box AMR: TWO patches at level 1 (each over one of
+    two separated fronts) and TWO level-2 patches, each nested in a
+    DIFFERENT level-1 parent patch (parent_sel = {0, 1}) — the dense
+    analog of the reference's arbitrary-box-set hierarchy
+    (LepticMeshRefine.cpp:823-934; LoadBalance
+    AMRNavierStokesRegrid.cpp:40-56).  Covers the subcycled advance,
+    the composite sync projection, and regrid across the chain."""
+    import dataclasses
+    Lx, Lz = 15.0, 2.0
+    nx, nz = 96, 8
+    g = Grid(nx=(nx, nz), dx=(Lx / nx, Lz / nz), x0=(-Lx / 2, 0.0))
+    geo = build_level_geometry(g, CartesianMap())
+    params = NSParams(nu=1e-4, kappa=(1e-4,), gravity_method=1,
+                      mg=MGParams(eps=1e-4, imax=8))
+    h = AMRHierarchy(geo, LockExchange(pert_amp=0.0), params,
+                     ratios=[(2, 1), (2, 1)], patch_frac=0.2,
+                     tag_params=TagParams(buoyancy_tag_tol=0.12,
+                                          tags_grow=1),
+                     num_patches=(2, 4))
+    c0, c1 = h.couplings
+    assert c0.K == 2 and c1.K == 4
+    s0 = h.level0.post_initialize(h.level0.initial_state())
+    x = np.asarray(geo.phys_coords_cc()[0])
+    b = (np.abs(x + 4.0) < 0.8).astype(np.float32) \
+        + (np.abs(x - 4.0) < 0.8).astype(np.float32)
+    b2 = np.broadcast_to(b, g.shape)
+    s0 = dataclasses.replace(
+        s0, scalars=s0.scalars.at[0].set(jnp.asarray(b2)))
+
+    fines, origins, weights = h.initial_patch_states(s0)
+    # both level-1 patches active; both level-2 patches active, nested
+    # in DIFFERENT parents
+    assert np.asarray(weights[0]).tolist() == [1.0, 1.0]
+    w1 = np.asarray(weights[1])
+    assert w1.sum() >= 2.0
+    psel = np.asarray(c1.parent_sel)
+    active_parents = sorted(set(int(p) for p, wk in zip(psel, w1)
+                                if wk > 0))
+    assert active_parents == [0, 1], (psel, w1)
+    psels = h.parent_sels
+    assert psels is not None and psels[0] is None
+    assert psels[1] is not None
+
+    # global origins of the two level-2 patches live under different
+    # fronts (x = -4 and x = +4)
+    g20 = h._global_origin(1, patch=0)
+    g21 = h._global_origin(1, patch=1)
+    n2x = nx * 2 * 2
+    assert abs(int(g20[1]) - int(g21[1])) > n2x // 4, (g20, g21)
+
+    step = jax.jit(h.advance)
+    dt = jnp.asarray(0.02)
+    fines = list(fines)
+    for _ in range(2):
+        s0, fines = step(s0, fines, origins, dt, None, weights,
+                         parent_sels=psels)
+        fines = list(fines)
+    b_c = np.asarray(s0.scalars[0])
+    assert np.all(np.isfinite(b_c)) and b_c.min() > -0.1 and b_c.max() < 1.15
+    for f in fines:
+        assert np.all(np.isfinite(np.asarray(f.vel)))
+        bf = np.asarray(f.scalars[0])
+        assert bf.min() > -0.2 and bf.max() < 1.25, (bf.min(), bf.max())
+
+    # regrid across the chain keeps both chains alive and advances
+    fines2, origins2, weights2 = h.regrid(s0, fines)
+    assert np.asarray(weights2[0]).sum() == 2.0
+    s0, fines2 = step(s0, list(fines2), origins2, dt, None, weights2,
+                      parent_sels=h.parent_sels)
+    for f in fines2:
+        assert np.all(np.isfinite(np.asarray(f.vel)))
+
+
+def test_composite_amr_elliptic_solver_manufactured():
+    """Composite multi-level elliptic solve (dense analog of
+    MappedAMRMultiGrid's AMRVCycle, MappedAMRMultiGrid.H:238, and of
+    AMRLepticSolver.cpp:188-324): on a 2-level hierarchy, solving
+    L phi = f with the SAME continuum f on both levels must converge the
+    composite residual and reproduce the analytic solution on level 0
+    AND inside the patch."""
+    from somar_tpu.amr.composite import AMRCompositeSolver, CompositeParams
+
+    h = _hierarchy(nx=64, nz=16)
+    s0 = h.level0.post_initialize(h.level0.initial_state())
+    s1, origin = h.initial_patch_state(s0)
+    c = h.couplings[0]
+    g0 = h.grid0
+
+    Lx = g0.domain_length(0)
+    Lz = g0.domain_length(1)
+    kx, kz = np.pi / Lx, np.pi / Lz
+
+    def phi_star(x, z):
+        # homogeneous Neumann at all four walls
+        return np.cos(kx * (x - g0.x0[0])) * np.cos(kz * (z - g0.x0[1]))
+
+    lam = -(kx * kx + kz * kz)
+    x0, z0 = g0.coords()
+    x0 = np.broadcast_to(np.asarray(x0), g0.shape)
+    z0 = np.broadcast_to(np.asarray(z0), g0.shape)
+    rhs0 = jnp.asarray(lam * phi_star(x0, z0), jnp.float32)
+
+    # patch cell centers from the global fine origin
+    gf = h._global_origin(0)
+    dxf = c.ext_grid.dx
+    # array axes are (z, x): axis 0 = dir 1, axis 1 = dir 0
+    zf = g0.x0[1] + (gf[0] + np.arange(c.ext_grid.shape[0]) + 0.5) * dxf[1]
+    xf = g0.x0[0] + (gf[1] + np.arange(c.ext_grid.shape[1]) + 0.5) * dxf[0]
+    Zf, Xf = np.meshgrid(zf, xf, indexing="ij")
+    rhs1 = jnp.asarray(lam * phi_star(Xf, Zf), jnp.float32)
+
+    solver = AMRCompositeSolver(h, CompositeParams(iters=4, eps=1e-6))
+    solve = jax.jit(lambda rs, orgs: solver.solve(rs, orgs))
+    phis, (iters, rel) = solve([rhs0, rhs1], [origin])
+    assert float(rel) < 2e-2, (int(iters), float(rel))
+
+    # level-0 solution matches the analytic potential (2nd order)
+    p0 = np.array(phis[0])
+    e0 = np.array(phi_star(x0, z0))
+    p0 -= p0.mean()
+    e0 -= e0.mean()
+    scale = np.abs(e0).max()
+    assert np.max(np.abs(p0 - e0)) < 0.05 * scale, \
+        np.max(np.abs(p0 - e0)) / scale
+
+    # the patch interior matches too (the fine level received the
+    # composite correction DIRECTLY, not via later halo fills)
+    H = h.halo
+    p1 = np.array(phis[1])[:, H:-H]
+    e1 = phi_star(Xf, Zf)[:, H:-H]
+    # gauge: match means over the patch interior
+    p1 = p1 - p1.mean() + e1.mean() - e1.mean()
+    diff = (p1 - p1.mean()) - (e1 - e1.mean())
+    assert np.max(np.abs(diff)) < 0.05 * scale, \
+        np.max(np.abs(diff)) / scale
+
+    # composite residual is the real thing: perturbing the fine solution
+    # must raise it
+    worse = [phis[0], phis[1] + 0.1]
+    r_good = solver.composite_residual(phis, [rhs0, rhs1], [origin])
+    r_bad = solver.composite_residual(worse, [rhs0, rhs1], [origin])
+    assert float(r_bad) > 3.0 * float(r_good)

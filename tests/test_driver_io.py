@@ -252,3 +252,18 @@ def test_chombo_plotfile_schema(tmp_path):
         blk = np.asarray(g1["data:datatype=0"])[
             ib * nxb * nyb:(ib + 1) * nxb * nyb]
         assert 0.2 < blk.mean() < 0.8    # lock-exchange interface inside
+
+
+def test_driver_pout_log_and_scheduler(tmp_path):
+    """The driver writes a per-process pout.<rank> run log (reference:
+    Chombo parstream) and fires Scheduler callbacks each coarse step
+    (reference: LepticAMR.H:166 hook, executed LepticAMR.cpp:799-800)."""
+    ctx = ProblemContext.from_parmparse(ParmParse.from_string(CFG))
+    driver = RunDriver(ctx, out_dir=str(tmp_path))
+    fired = []
+    driver.scheduler.schedule(
+        lambda step, t, state: fired.append((step, t)), step_interval=1)
+    driver.run(max_steps=2, verbose=False)
+    assert [s for s, _ in fired] == [1, 2], fired
+    log = (tmp_path / "pout.0").read_text()
+    assert "step      1" in log and "total cell updates" in log
