@@ -1048,31 +1048,29 @@ class AMRHierarchy:
         # from the lambda drift (reference: computeVDCorrection,
         # AMRNavierStokesSync.cpp:850: rhs = etaLambda*(lambda-1)/dt,
         # grad eLambda added to the advecting velocity next step).
-        # Composite: each patch level solves its own eLambda with
-        # quadratic CF ghost rings of the parent potential (the dense
-        # analog of the AMRPressureSolver VD_* composite solve, :915-956)
+        # Composite solve over the hierarchy via AMRCompositeSolver (the
+        # dense analog of the AMRPressureSolver VD_* composite solve,
+        # :915-956).  lambdaMult = etaLambda / m_dt uses the LBASE dt on
+        # every level (reference :866-880)
         if self.eta_lambda > 0.0:
-            rhs = self.eta_lambda * (s0_new.lam - 1.0) / dt
-            e_lam, _ = level0.projector._solve(rhs - jnp.mean(rhs),
-                                               purpose="vd")
-            s0_new = dataclasses.replace(s0_new, e_lambda=e_lam)
-            e_par = e_lam
+            from somar_tpu.amr.composite import (AMRCompositeSolver,
+                                                 CompositeParams)
+            solver = AMRCompositeSolver(
+                self, CompositeParams(iters=1, purpose="vd"))
+            rhss = [self.eta_lambda * (s0_new.lam - 1.0) / dt]
+            phis0 = [s0_new.e_lambda]
             for lev, c in enumerate(self.couplings):
-                if c.K > 1:
-                    break   # multi-patch VD rides the halo fill instead
-                level = (c.make_level(geos[lev]["geo"], geos[lev]["aux"])
-                         if (c.is_mapped and geos is not None) else c.level)
                 s_f = fine_states[lev]
-                ring = c._ring(e_par, origins[lev])
-                # lambdaMult = etaLambda / m_dt uses the LBASE dt on every
-                # level (reference: computeVDCorrection, :866-880 computes
-                # the multiplier once and applies it to all levels' rhs)
-                rhs_f = self.eta_lambda * (s_f.lam - 1.0) / dt
-                rhs_f = rhs_f - level.projector._rhs_ring_correction(ring)
-                e_f, _ = level.projector._solve(rhs_f, phi0=s_f.e_lambda,
-                                                purpose="vd")
-                fine_states[lev] = dataclasses.replace(s_f, e_lambda=e_f)
-                e_par = e_f
+                rhss.append(self.eta_lambda * (s_f.lam - 1.0) / dt)
+                phis0.append(s_f.e_lambda)
+            rhss[0] = rhss[0] - jnp.mean(rhss[0])
+            phis, _ = solver.solve(rhss, origins, geos=geos,
+                                   weights=weights,
+                                   parent_sels=parent_sels, phis0=phis0)
+            s0_new = dataclasses.replace(s0_new, e_lambda=phis[0])
+            for lev in range(len(self.couplings)):
+                fine_states[lev] = dataclasses.replace(
+                    fine_states[lev], e_lambda=phis[lev + 1])
         if single:
             return s0_new, fine_states[0]
         return s0_new, tuple(fine_states)
