@@ -717,9 +717,6 @@ class AMRHierarchy:
         #: post-regrid antidiffusive smoothing strength (reference:
         #: amr.postRegrid_smoothing_coeff / s_smooth_after_regrid)
         self.regrid_smoothing_coeff = float(regrid_smoothing_coeff)
-        if self.reflux_fields:
-            assert params.update_scheme == "ppm", \
-                "refluxing requires the PPM scheme"
 
         # build the nested patch couplings, coarse to fine.  num_patches:
         # an int K gives the FINEST level K patches (the cheap default —

@@ -638,9 +638,13 @@ class NSLevel:
         AMRNavierStokesAdvancePPM.cpp)."""
         p = self.params
         if p.update_scheme == "rk3":
-            assert not collect_fluxes, "refluxing requires the PPM scheme"
             from somar_tpu.physics.rk3 import advance_rk3
-            return advance_rk3(self, state, dt)
+            if collect_fluxes:
+                collect = {}
+                out = advance_rk3(self, state, dt, collect=collect,
+                                  rings=rings)
+                return out, collect
+            return advance_rk3(self, state, dt, rings=rings)
         grid = self.grid
         ring_mac = rings.get("mac") if rings else None
         ring_cc = rings.get("cc") if rings else None

@@ -943,3 +943,38 @@ def test_composite_amr_elliptic_solver_manufactured():
     r_good = solver.composite_residual(phis, [rhs0, rhs1], [origin])
     r_bad = solver.composite_residual(worse, [rhs0, rhs1], [origin])
     assert float(r_bad) > 3.0 * float(r_good)
+
+
+def test_rk3_amr_with_refluxing():
+    """RK3 under AMR: CF rings feed every stage's projections and the
+    stage-weighted (1/6, 1/6, 2/3) advective fluxes feed the flux
+    registers (reference: the RK3 path increments flux registers too,
+    AMRNavierStokesAdvanceRK3.cpp:416-446,518).  The subcycled run is
+    stable and refluxing conserves at least as well as not."""
+    def run(reflux):
+        Lx, Lz = 15.0, 2.0
+        g = Grid(nx=(48, 12), dx=(Lx / 48, Lz / 12), x0=(-Lx / 2, 0.0))
+        geo = build_level_geometry(g, CartesianMap())
+        params = NSParams(nu=0.0, kappa=(0.0,), gravity_method=1,
+                          update_scheme="rk3",
+                          mg=MGParams(eps=1e-5, imax=12))
+        h = AMRHierarchy(geo, LockExchange(pert_amp=0.0), params,
+                         ratio=(2, 1),
+                         tag_params=TagParams(buoyancy_tag_tol=0.2,
+                                              tags_grow=1),
+                         reflux=reflux)
+        s0 = h.level0.post_initialize(h.level0.initial_state())
+        s1, origin = h.initial_patch_state(s0)
+        step = jax.jit(h.advance)
+        b0 = float(jnp.sum(s0.scalars[0], dtype=jnp.float64))
+        for _ in range(5):
+            s0, s1 = step(s0, s1, origin, jnp.asarray(0.02))
+        b1 = float(jnp.sum(s0.scalars[0], dtype=jnp.float64))
+        b = np.asarray(s0.scalars[0])
+        assert np.all(np.isfinite(b))
+        assert b.min() > -0.1 and b.max() < 1.1, (b.min(), b.max())
+        return abs(b1 - b0)
+
+    drift_off = run(())
+    drift_on = run(("scalars", "lam", "vel"))
+    assert drift_on <= drift_off + 1e-4, (drift_on, drift_off)
