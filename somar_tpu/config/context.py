@@ -462,9 +462,11 @@ class ProblemContext:
             ledge_hr=pp.get_real("geometry.ledgeMapHr", 1.0),
             ledge_xl=pp.get_real("geometry.ledgeMapXl", -1.0),
             ledge_xr=pp.get_real("geometry.ledgeMapXr", 1.0),
-            beam_gen_alpha=pp.get_real(
+            # the input value is in DEGREES; the reference converts at
+            # parse time (ProblemContext.cpp:641: alpha *= PI/180)
+            beam_gen_alpha=np.deg2rad(pp.get_real(
                 "geometry.beamGenMapAlpha",
-                pp.get_real("geometry.alpha", 0.0)),
+                pp.get_real("geometry.alpha", 0.0))),
             dem_interp_order=pp.get_int("geometry.Interpolation_Order", 0),
             dem_file=(pp.get_str("geometry.DemFile", "")
                       or pp.get_str("geometry.demFile", "") or ""),

@@ -91,3 +91,45 @@ def test_lock_exchange_dem2d_config(tmp_path):
                   "amr.fixed_dt=0.005"], tmp_path, 2)
     b = np.asarray(state.scalars[0])
     assert np.isfinite(b).all()
+
+
+def test_beam_generation_config(tmp_path):
+    # internal-tide beam generation over the critical-slope ridge
+    # (BeamGenerator map): terrain-following metric + background
+    # stratification + tides.  Also guards the alpha DEGREES->radians
+    # conversion (reference: ProblemContext.cpp:641) — with raw degrees
+    # the ridge inverts the grid (J < 0 over most of the domain)
+    import jax.numpy as jnp
+    from somar_tpu.geometry.level_geometry import build_level_geometry
+    ctx = ProblemContext.from_file(
+        f"{REF}/inputs.BeamGeneration.machine",
+        ["amr.nx=40 16", "amr.nx_offset=-20 0", "amr.maxlevel=0",
+         "amr.verbosity=0"])
+    geo = build_level_geometry(ctx.base_grid(), ctx.new_geo_source())
+    J = np.asarray(geo.J * jnp.ones(ctx.base_grid().shape))
+    assert J.min() > 0.0, J.min()
+
+    state = _run(f"{REF}/inputs.BeamGeneration.machine",
+                 ["amr.maxsteps=2", "plot.plot_interval=-1",
+                  "plot.checkpoint_interval=-1", "amr.verbosity=0",
+                  "amr.nx=40 16", "amr.nx_offset=-20 0",
+                  "amr.maxlevel=0", "AMRMG.eps=1e-4",
+                  "amr.fixed_dt=5.0"], tmp_path, 2)
+    b = np.asarray(state.scalars[0])
+    assert np.isfinite(b).all()
+
+
+def test_lock_exchange_dem3d_config(tmp_path):
+    # 3D real-bathymetry DEM map (transposed 3D depth data)
+    import os
+    if not os.path.exists(
+            "/root/reference/src/geometry/maps/DEMMaps/DEM_test_3d.hdf5"):
+        pytest.skip("reference DEM data not present")
+    state = _run(f"{REF}/inputs.LockExchange_DEM_3D.machine",
+                 ["amr.maxsteps=2", "plot.plot_interval=-1",
+                  "plot.checkpoint_interval=-1", "amr.verbosity=0",
+                  "amr.nx=16 24 8", "amr.nx_offset=-4 0 0",
+                  "amr.maxlevel=0", "AMRMG.eps=1e-4",
+                  "amr.fixed_dt=0.005"], tmp_path, 2)
+    b = np.asarray(state.scalars[0])
+    assert np.isfinite(b).all()
