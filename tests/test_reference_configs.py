@@ -133,3 +133,27 @@ def test_lock_exchange_dem3d_config(tmp_path):
                   "amr.fixed_dt=0.005"], tmp_path, 2)
     b = np.asarray(state.scalars[0])
     assert np.isfinite(b).all()
+
+
+def test_all_shipped_configs_have_valid_metric():
+    """Blanket guard: every shipped input file's geometry has a strictly
+    positive Jacobian at a reduced resolution (a wrong map translation —
+    like the BeamGenerator degrees/radians bug — inverts cells)."""
+    import os
+    import jax.numpy as jnp
+    from somar_tpu.geometry.level_geometry import build_level_geometry
+    for name in sorted(os.listdir(REF)):
+        if not name.startswith("inputs.") or name.endswith("template.machine"):
+            continue
+        ctx = ProblemContext.from_file(f"{REF}/{name}", ["amr.verbosity=0"])
+        nd = ctx.amr.ndim
+        nx = {2: "32 16", 3: "16 16 8"}[nd]
+        off = {2: "-16 0", 3: "-8 0 0"}[nd]
+        ctx = ProblemContext.from_file(
+            f"{REF}/{name}",
+            ["amr.verbosity=0", f"amr.nx={nx}", f"amr.nx_offset={off}",
+             "amr.maxlevel=0"])
+        grid = ctx.base_grid()
+        geo = build_level_geometry(grid, ctx.new_geo_source())
+        J = np.asarray(geo.J * jnp.ones(grid.shape))
+        assert np.isfinite(J).all() and J.min() > 0.0, (name, J.min())
