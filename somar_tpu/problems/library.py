@@ -249,14 +249,19 @@ class SolitaryWave(Problem):
         return jnp.asarray(A * phi * nsq / c0)
 
     def vel_ic(self, geo: LevelGeometry):
+        # u = A dphi/dz, w = -phi dA/dx (reference:
+        # SOLITARYWAVE_SETVELIC, SolitaryWaveBCUtilF.ChF:64-73 — NO c0
+        # factor; the b' IC carries the 1/c0).  With this pairing the
+        # packet is a clean right-mover at ~c0 (see
+        # tests/test_internal_wave.py's propagation anchor)
         grid = geo.grid
         shape = grid.shape
         x = np.broadcast_to(geo.phys_coords_cc()[0], shape)
         c0, phi, dphi, nsq = self._column_shapes(geo)
         A = self._envelope(x)
         dA = self._env_deriv(x)
-        u = c0 * 0 + np.broadcast_to(c0 * A * dphi, shape)
-        w = -np.broadcast_to(c0 * dA * phi, shape)
+        u = np.broadcast_to(A * dphi, shape)
+        w = -np.broadcast_to(dA * phi, shape)
         comps = [u] + [np.zeros(shape)] * (grid.ndim - 2) + [w]
         return jnp.asarray(np.stack(comps))
 

@@ -82,3 +82,45 @@ def test_internal_wave_dispersion_relation():
     # the nonhydrostatic check: reject the hydrostatic dispersion
     # omega_hydro = N kx/m = 1 by a wide margin
     assert abs(om_fit - 1.0) > 0.2, om_fit
+
+
+def test_solitary_wave_propagates_at_mode_speed():
+    """Small-amplitude mode-1 packet from the SolitaryWave IC propagates
+    rightward at the first-mode eigen speed c0 (reference: the
+    SOLITARYWAVE_SET{SCALAR,VEL}IC pairing, SolitaryWaveBCUtilF.ChF —
+    u = A dphi/dz with NO c0 factor; an extra c0 splits the packet into
+    counter-propagating parts and the measured speed collapses to
+    ~0.5 c0, the regression this test guards)."""
+    from somar_tpu.problems.library import SolitaryWave
+
+    Lx, H = 32.0, 1.0
+    nx, nz = 256, 32
+    g = Grid(nx=(nx, nz), dx=(Lx / nx, H / nz), x0=(-Lx / 2, -H),
+             periodic=(False, False))
+    geo = build_level_geometry(g, CartesianMap())
+    prob = SolitaryWave(amplitude=0.002, width=3.0, x0=-8.0)
+    c0 = prob._modes(geo)[0]
+    assert 0.2 < c0 < 0.5, c0
+    params = NSParams(nu=0.0, kappa=(0.0,), gravity_method=1,
+                      mg=MGParams(eps=1e-6, imax=15))
+    level = NSLevel(geo, prob, params)
+    state = level.post_initialize(level.initial_state())
+    step = jax.jit(lambda s, d: level.advance(s, d))
+    x = np.asarray(g.cc_coord_1d(0))
+
+    def centroid(s):
+        col = np.abs(np.asarray(s.scalars[0])).sum(axis=0)
+        w = col ** 2
+        return float((x * w).sum() / w.sum())
+
+    positions = [(0.0, centroid(state))]
+    dt = jnp.asarray(0.05, jnp.float32)
+    for i in range(240):
+        state = step(state, dt)
+        if (i + 1) % 48 == 0:
+            positions.append((float(state.time), centroid(state)))
+    ts = np.array([t for t, _ in positions])
+    xs = np.array([p for _, p in positions])
+    speed = np.polyfit(ts, xs, 1)[0]
+    assert abs(speed / c0 - 1.0) < 0.1, (speed, c0)
+    assert np.all(np.isfinite(np.asarray(state.scalars[0])))
