@@ -90,6 +90,26 @@ class RunDriver:
             self.level = NSLevel(self.geo, self.problem, ctx.ns)
         self._step_fn = jax.jit(lambda s, dt: self.level.advance(s, dt))
         self._dt_fn = jax.jit(self.level.compute_dt)
+        # multi-chip: rank-transparent domain decomposition (the mpirun
+        # analog, SURVEY.md section 5.8).  With several devices the state
+        # shards over the horizontal mesh; GSPMD partitions the jnp step,
+        # and single-level uniform PPM runs upgrade to the shard_map
+        # advection-island step so the Pallas kernels run shard-local
+        self.mesh = None
+        self._shard_state = None
+        ndev = len(jax.devices())
+        if ndev > 1:
+            from somar_tpu.parallel.mesh import make_mesh, shard_ns_state
+            self.mesh = make_mesh(ndev, axes=("x",))
+            self._shard_state = lambda s: shard_ns_state(s, self.grid,
+                                                         self.mesh)
+            if (self.hierarchy is None and self.geo.is_uniform
+                    and ctx.ns.update_scheme == "ppm"
+                    and ctx.ns.nonlinear_differencing_form == 0):
+                from somar_tpu.parallel.sharded_step import ShardedNSStep
+                self._sharded = ShardedNSStep(self.level, self.mesh)
+                self._step_fn = jax.jit(
+                    lambda s, dt: self._sharded.advance(s, dt))
         self._interrupted = False
         # periodic in-run callbacks (reference: Chombo Scheduler hook,
         # LepticAMR.H:166, executed per coarse step LepticAMR.cpp:799-800)
@@ -153,6 +173,11 @@ class RunDriver:
             dt = jnp.asarray(dt0, ctx.ns.dtype)
             state = self.level.initialize_pressure(
                 state, dt, iters=max(1, ctx.amr.init_pressure_iters))
+
+        if self._shard_state is not None:
+            # place the base state on the device mesh (multi-chip runs;
+            # the reference analog is the LoadBalance box->rank map)
+            state = self._shard_state(state)
 
         prev_handler = signal.signal(
             signal.SIGINT, lambda *_: setattr(self, "_interrupted", True))

@@ -185,3 +185,65 @@ assert err / scale < 2e-5, err / scale
 print("8dev sharded ok")
 """)
     assert "8dev sharded ok" in out
+
+
+def test_driver_multichip_matches_single_device(tmp_path):
+    """The RunDriver itself is rank-transparent (the mpirun analog,
+    README.md:66): the same input file on a 2-device mesh reproduces the
+    single-device answer — sharding is a driver capability, not a test
+    harness."""
+    code = """
+import numpy as np
+from somar_tpu.config.parmparse import ParmParse
+from somar_tpu.config.context import ProblemContext
+from somar_tpu.driver import RunDriver
+import jax
+
+CFG = '''
+amr.nx = 32 8 8
+amr.length = 15.0 2.0 2.0
+amr.nx_offset = -16 0 0
+amr.isPeriodic = 0 1 0
+ibc.problem = 1
+amr.gravityMethod = 1
+amr.viscosity = 1e-4
+amr.scal_diffusion_coeffs = 1e-4
+amr.fixed_dt = 0.005
+amr.maxsteps = 3
+amr.final = 10.0
+AMRMG.eps = 1e-6
+amr.verbosity = 0
+'''
+import tempfile
+ctx = ProblemContext.from_parmparse(ParmParse.from_string(CFG))
+driver = RunDriver(ctx, out_dir=tempfile.mkdtemp())
+print("mesh:", None if driver.mesh is None else driver.mesh.shape)
+assert driver.mesh is not None and len(jax.devices()) == 2
+state, steps = driver.run(verbose=False)
+np.save("/tmp/sharded_drv.npy", np.asarray(state.vel))
+print("driver sharded ok")
+"""
+    env = dict(_ENV)
+    env["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=2").strip()
+    r = subprocess.run([sys.executable, "-c", code], env=env,
+                       capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, r.stdout + "\n" + r.stderr
+    assert "driver sharded ok" in r.stdout
+
+    env1 = dict(_ENV)
+    env1["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "")
+    code1 = code.replace('assert driver.mesh is not None and '
+                         'len(jax.devices()) == 2',
+                         'assert driver.mesh is None') \
+                .replace('/tmp/sharded_drv.npy', '/tmp/single_drv.npy')
+    r1 = subprocess.run([sys.executable, "-c", code1], env=env1,
+                        capture_output=True, text=True, timeout=900)
+    assert r1.returncode == 0, r1.stdout + "\n" + r1.stderr
+
+    import numpy as np
+    a = np.load("/tmp/sharded_drv.npy")
+    b = np.load("/tmp/single_drv.npy")
+    scale = np.abs(b).max() + 1e-12
+    assert np.max(np.abs(a - b)) / scale < 1e-4, \
+        np.max(np.abs(a - b)) / scale
