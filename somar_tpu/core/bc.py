@@ -125,14 +125,36 @@ def _ghost_block(arr, ax: int, bc: BC, ngrow: int, side: int, h: float):
             return _take(arr, ax, k - 1, k)
         return _take(arr, ax, n - k, n - k + 1)
 
+    def fit_value(v):
+        """Array-valued BC profiles (e.g. the HorizConv hot/cold top
+        ramp) are built on the interior shape; ghost fills along EARLIER
+        directions have already widened the tangential axes, so edge-pad
+        the profile symmetrically to match."""
+        if not hasattr(v, "shape") or getattr(v, "ndim", 0) == 0:
+            return v
+        v = jnp.asarray(v)
+        ref = interior(1)
+        pads = []
+        for a in range(ref.ndim):
+            if a == ax or v.shape[a] in (1, ref.shape[a]):
+                pads.append((0, 0))
+            else:
+                extra = ref.shape[a] - v.shape[a]
+                pads.append((extra // 2, extra - extra // 2))
+        if any(p != (0, 0) for p in pads):
+            v = jnp.pad(v, pads, mode="edge")
+        return v
+
     layers = []  # innermost ghost (k=1) first
     if bc.type == BCType.DIRICHLET:
+        val = fit_value(bc.value)
         for k in range(1, ngrow + 1):
-            layers.append(2.0 * bc.value - interior(k))
+            layers.append(2.0 * val - interior(k))
     elif bc.type == BCType.NEUMANN:
         s = -1.0 if side < 0 else 1.0
+        val = fit_value(bc.value)
         for k in range(1, ngrow + 1):
-            layers.append(interior(k) + s * (2 * k - 1) * h * bc.value)
+            layers.append(interior(k) + s * (2 * k - 1) * h * val)
     elif bc.type == BCType.EXTRAP:
         if bc.order == 0:
             for k in range(1, ngrow + 1):

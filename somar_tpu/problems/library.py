@@ -147,10 +147,13 @@ class HorizConv(Problem):
         return self.scalar_bcs(grid)
 
     def scalar_bcs(self, grid: Grid) -> FieldBCs:
-        # top Dirichlet value varies with x: cold half -> hot half ramp
+        # top Dirichlet value varies with x: cold half -> hot half, a
+        # near-step tanh with the reference's ABSOLUTE transition width
+        # (topBCValueFunc, HorizConvBCUtil.cpp:45: transitionWidth =
+        # 1e-2; the value itself is the 0/1 step)
         xc = grid.cc_coord_1d(0)
         xmid = grid.x0[0] + 0.5 * grid.domain_length(0)
-        width = 0.05 * grid.domain_length(0)
+        width = 1.0e-2
         prof = self.b_cold + (self.b_hot - self.b_cold) * 0.5 * (
             1.0 + np.tanh((xc - xmid) / width))
         # shape broadcastable against a top-boundary slice (1, [ny,] nx)
