@@ -224,6 +224,7 @@ class RunDriver:
                     break
 
                 t0 = time.perf_counter()
+                state_old, fine_old = state, fine_state
                 with timer("advance"):
                     if self.hierarchy is not None:
                         # dynamic subcycling (reference: LepticAMR::
@@ -345,7 +346,8 @@ class RunDriver:
                                 None if self.hierarchy is None else
                                 [None if c.parent_sel is None
                                  else np.asarray(c.parent_sel)
-                                 for c in self.hierarchy.couplings]))
+                                 for c in self.hierarchy.couplings]),
+                            old_state=state_old, old_fine=fine_old)
         finally:
             signal.signal(signal.SIGINT, prev_handler)
 
@@ -382,5 +384,7 @@ class RunDriver:
             parent_sels=(None if self.hierarchy is None else
                          [None if c.parent_sel is None
                           else np.asarray(c.parent_sel)
-                          for c in self.hierarchy.couplings]))
+                          for c in self.hierarchy.couplings]),
+            old_state=locals().get("state_old"),
+            old_fine=locals().get("fine_old"))
         return state, step

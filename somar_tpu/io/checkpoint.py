@@ -19,7 +19,9 @@ This rebuild's functional step re-derives the within-coarse-step time
 interpolants from the coarse state at the step boundary (checkpoints are
 only written there, LepticAMR.cpp:776-782), so a single state per level
 gives exact resume — asserted by tests/test_driver_io.py's bitwise
-resume tests — and old_* datasets are intentionally not stored.
+resume tests.  The driver still passes the previous step's state so
+old_* datasets are written for field-set parity with the reference's
+files; resume ignores them.
 """
 
 from __future__ import annotations
@@ -32,7 +34,7 @@ import numpy as np
 
 
 def _write_level_group(f, name: str, state, grid, origin=None,
-                       weights=None, parent_sel=None):
+                       weights=None, parent_sel=None, old_state=None):
     g = f.create_group(name)
     g.attrs["nx"] = np.asarray(grid.nx)
     g.attrs["dx"] = np.asarray(grid.dx)
@@ -56,6 +58,20 @@ def _write_level_group(f, name: str, state, grid, origin=None,
         g.create_dataset(f"new_scalar_{c}",
                          data=scal[:, c] if multi else scal[c])
     g.create_dataset("new_lambda", data=np.asarray(state.lam))
+    if old_state is not None:
+        # the reference's checkpoints store the OLD-time state alongside
+        # the new (AMRNavierStokesIO.cpp:140).  Resume does not need it
+        # here (see the module docstring) — written for field-set parity
+        # with SOMAR post-processing tooling
+        ovel = np.asarray(old_state.vel)
+        oscal = np.asarray(old_state.scalars)
+        for m in range(grid.ndim):
+            g.create_dataset(f"old_velocity_{m}",
+                             data=ovel[:, m] if multi else ovel[m])
+        for c in range(oscal.shape[1] if multi else oscal.shape[0]):
+            g.create_dataset(f"old_scalar_{c}",
+                             data=oscal[:, c] if multi else oscal[c])
+        g.create_dataset("old_lambda", data=np.asarray(old_state.lam))
     g.create_dataset("eLambda", data=np.asarray(state.e_lambda))
     g.create_dataset("ccPressure", data=np.asarray(state.cc_phi))
     g.create_dataset("pressure", data=np.asarray(state.pressure))
@@ -65,7 +81,8 @@ def _write_level_group(f, name: str, state, grid, origin=None,
 def write_checkpoint(path: str, state, level, step: int, dt: float,
                      extra: Optional[dict] = None,
                      fine_state=None, fine_grid=None, origin=None,
-                     weights=None, parent_sels=None):
+                     weights=None, parent_sels=None, old_state=None,
+                     old_fine=None):
     """Save full state for exact resume.  With fine_state/fine_grid/origin
     the AMR patch levels are stacked as groups level_1..level_N
     (reference: per-level checkpoint groups, AMRNavierStokesIO.cpp:92-165).
@@ -77,6 +94,8 @@ def write_checkpoint(path: str, state, level, step: int, dt: float,
         fine_state = [fine_state]
         fine_grid = [fine_grid]
         origin = [origin]
+        if old_fine is not None and not isinstance(old_fine, (list, tuple)):
+            old_fine = [old_fine]
     if weights is None and fine_state is not None:
         weights = [None] * len(fine_state)
     if parent_sels is None and fine_state is not None:
@@ -90,12 +109,16 @@ def write_checkpoint(path: str, state, level, step: int, dt: float,
         f.attrs["num_levels"] = 1 + nfine
         f.attrs["ndim"] = grid.ndim
         f.attrs["config_json"] = json.dumps(extra or {})
-        _write_level_group(f, "level_0", state, grid)
+        _write_level_group(f, "level_0", state, grid,
+                           old_state=old_state)
         for k in range(nfine):
             _write_level_group(f, f"level_{k + 1}", fine_state[k],
                                fine_grid[k], origin[k],
                                weights=weights[k],
-                               parent_sel=parent_sels[k])
+                               parent_sel=parent_sels[k],
+                               old_state=(old_fine[k]
+                                          if old_fine is not None
+                                          else None))
 
 
 def _read_level_group(g, grid, dtype, nscal, time):

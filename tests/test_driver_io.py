@@ -267,3 +267,22 @@ def test_driver_pout_log_and_scheduler(tmp_path):
     assert [s for s, _ in fired] == [1, 2], fired
     log = (tmp_path / "pout.0").read_text()
     assert "step      1" in log and "total cell updates" in log
+
+
+def test_checkpoint_stores_old_time_state(tmp_path):
+    """Checkpoints carry old_* datasets alongside new_* (reference field
+    set: AMRNavierStokesIO.cpp:140 stores old AND new velocity); resume
+    remains exact from new_* alone."""
+    import h5py
+    ctx = ProblemContext.from_parmparse(ParmParse.from_string(AMR_CFG))
+    driver = RunDriver(ctx, out_dir=str(tmp_path))
+    driver.run(max_steps=2, verbose=False)
+    with h5py.File(tmp_path / "chkpt_final.hdf5") as f:
+        for lev in ("level_0", "level_1"):
+            assert "old_velocity_0" in f[lev], lev
+            assert "old_scalar_0" in f[lev]
+            assert "old_lambda" in f[lev]
+            a = np.asarray(f[lev]["old_velocity_0"])
+            b = np.asarray(f[lev]["new_velocity_0"])
+            assert a.shape == b.shape
+            assert np.any(a != b)     # genuinely the previous step
