@@ -252,7 +252,45 @@ print(json.dumps(dict(cups=grid.ncells * {nsteps} / el,
           f"({d['ms_per_step']:.0f} ms/step on {d['grid']})")
 
 
+def _backend_watchdog():
+    """The axon TPU tunnel can be down/hung; jax.devices() then BLOCKS
+    instead of erroring.  Probe the backend in a subprocess with a hard
+    timeout; on failure RE-EXEC the bench with the axon env scrubbed
+    (the plugin blocks at import while any AXON var points at the dead
+    tunnel) so the round still records a degraded CPU artifact."""
+    if os.environ.get("SOMAR_BENCH_DEGRADED"):
+        return "cpu-fallback", True
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, text=True, timeout=300,
+            env=dict(os.environ))
+        if probe.returncode == 0 and probe.stdout.strip():
+            return probe.stdout.strip(), False
+        _note("# TPU backend unavailable (probe failed); degraded "
+              "CPU-fallback bench")
+    except subprocess.TimeoutExpired:
+        _note("# TPU backend probe HUNG; degraded CPU-fallback bench")
+    env = {k: v for k, v in os.environ.items()
+           if not (k.startswith("PALLAS_AXON") or k.startswith("AXON")
+                   or k.startswith("TPU_"))}
+    env["JAX_PLATFORMS"] = "cpu"
+    env["SOMAR_BENCH_DEGRADED"] = "1"
+    env.setdefault("BENCH_STEPS", "1")
+    env.setdefault("BENCH_PATHS", "fft")
+    # shrink the grid: the artifact's job in this mode is to exist and
+    # be honest, not to be a chip number
+    env.setdefault("BENCH_NX", "128")
+    env.setdefault("BENCH_NY", "32")
+    env.setdefault("BENCH_NZ", "32")
+    r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                       env=env, timeout=1800)
+    sys.exit(r.returncode)
+
+
 def main():
+    platform, degraded = _backend_watchdog()
     nsteps = int(os.environ.get("BENCH_STEPS", 5))
     paths = os.environ.get("BENCH_PATHS", "fft,mg,mapped,amr").split(",")
 
@@ -272,6 +310,9 @@ def main():
     extra_all = {"fft": extra, "baseline_method": base_method,
                  "baseline_cups": base_cups,
                  "device": jax.devices()[0].platform}
+    if degraded:
+        extra_all["degraded"] = ("TPU backend unavailable at bench "
+                                 "time; CPU fallback, NOT a chip number")
     for name, fn in (("mg", _bench_mg), ("mapped", _bench_mapped),
                      ("amr", _bench_amr)):
         if name not in paths:
