@@ -1072,6 +1072,20 @@ class AMRHierarchy:
             return s0_new, fine_states[0]
         return s0_new, tuple(fine_states)
 
+    def init_project(self, s0: NSState, fine_states, origins, geos=None,
+                     weights=None, parent_sels=None, iters: int = 1):
+        """Composite initial projection over the freshly-built hierarchy
+        (reference: the AMRCCProjector init-projection iterations,
+        AMRNavierStokesInit.cpp:376-388) — the same top-down/bottom-up
+        composite pass the sync projection uses.  Returns
+        (s0, fine_states)."""
+        fine_states = list(fine_states) if isinstance(
+            fine_states, (list, tuple)) else [fine_states]
+        for _ in range(max(1, int(iters))):
+            s0 = self._sync_project(s0, fine_states, origins, geos,
+                                    weights, parent_sels=parent_sels)
+        return s0, tuple(fine_states)
+
     def _sync_project(self, s0: NSState, fine_states: list, origins,
                       geos=None, weights=None, parent_sels=None) -> NSState:
         """One composite sync-projection pass over the hierarchy (the

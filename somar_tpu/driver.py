@@ -195,6 +195,17 @@ class RunDriver:
                     fine_state, origin, weights = got
                 else:
                     fine_state, origin = got
+                # composite init projection over the fresh hierarchy
+                # (reference: AMRCCProjector init-projection iterations,
+                # AMRNavierStokesInit.cpp:376-388)
+                import jax as _jax
+                state, fine_state = _jax.jit(
+                    self.hierarchy.init_project,
+                    static_argnames=("iters",))(
+                        state, fine_state, origin,
+                        self.hierarchy.geo_bundles, weights,
+                        self.hierarchy.parent_sels,
+                        iters=max(1, ctx.amr.init_projection_iters))
             # substeps of coupling k per coarse step = prod of nt's above it
             self._amr_substeps = []
             factor = 1
