@@ -82,11 +82,16 @@ def test_prolong_quadratic_beats_linear_on_smooth_field():
 
 
 def _hierarchy(nx=64, nz=16):
+    return _hierarchy_solver(nx, nz)
+
+
+def _hierarchy_solver(nx=64, nz=16, solver="auto"):
     Lx, Lz = 15.0, 2.0
     g = Grid(nx=(nx, nz), dx=(Lx / nx, Lz / nz), x0=(-Lx / 2, 0.0))
     geo = build_level_geometry(g, CartesianMap())
     params = NSParams(nu=1e-4, kappa=(1e-4,), gravity_method=1,
-                      mg=MGParams(eps=1e-5, imax=12))
+                      pressure_solver=solver,
+                      mg=MGParams(eps=1e-6, imax=25))
     return AMRHierarchy(geo, LockExchange(pert_amp=0.0), params,
                         ratio=(4, 1),
                         tag_params=TagParams(buoyancy_tag_tol=0.2,
@@ -874,16 +879,23 @@ def test_multibox_intermediate_level_with_children():
         assert np.all(np.isfinite(np.asarray(f.vel)))
 
 
-def test_composite_amr_elliptic_solver_manufactured():
+import pytest
+
+
+@pytest.mark.parametrize("level_solver", ["auto", "mg", "leptic"])
+def test_composite_amr_elliptic_solver_manufactured(level_solver):
     """Composite multi-level elliptic solve (dense analog of
     MappedAMRMultiGrid's AMRVCycle, MappedAMRMultiGrid.H:238, and of
     AMRLepticSolver.cpp:188-324): on a 2-level hierarchy, solving
     L phi = f with the SAME continuum f on both levels must converge the
     composite residual and reproduce the analytic solution on level 0
-    AND inside the patch."""
+    AND inside the patch.  Parameterized over the per-level solver mux:
+    spectral (auto/Cartesian), MG V-cycles (the composite-multigrid
+    configuration), and leptic+finisher (the composite-leptic
+    configuration, AMRLepticSolver parity)."""
     from somar_tpu.amr.composite import AMRCompositeSolver, CompositeParams
 
-    h = _hierarchy(nx=64, nz=16)
+    h = _hierarchy_solver(nx=64, nz=16, solver=level_solver)
     s0 = h.level0.post_initialize(h.level0.initial_state())
     s1, origin = h.initial_patch_state(s0)
     c = h.couplings[0]
