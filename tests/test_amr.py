@@ -990,3 +990,48 @@ def test_rk3_amr_with_refluxing():
     drift_off = run(())
     drift_on = run(("scalars", "lam", "vel"))
     assert drift_on <= drift_off + 1e-4, (drift_on, drift_off)
+
+
+def test_amr_front_matches_uniform_fine_run():
+    """AMR solution quality (the reason AMR exists): the 2-level lock
+    exchange's front position — measured on the composite coarse field,
+    whose covered cells hold averaged-down fine data — matches a
+    UNIFORM-FINE run of the same effective resolution to within 2 coarse
+    cells over a 100-step horizon with periodic regrids."""
+    from somar_tpu.physics.navier_stokes import NSLevel
+    from somar_tpu.problems.lock_exchange import front_positions
+
+    Lx, Lz = 15.0, 2.0
+    mk_params = lambda: NSParams(nu=1e-4, kappa=(1e-4,), gravity_method=1,
+                                 mg=MGParams(eps=1e-6, imax=15))
+    dt = jnp.asarray(0.02)
+
+    gf = Grid(nx=(256, 16), dx=(Lx / 256, Lz / 16), x0=(-Lx / 2, 0.0))
+    lf = NSLevel(build_level_geometry(gf, CartesianMap()),
+                 LockExchange(pert_amp=0.0), mk_params())
+    sf = lf.post_initialize(lf.initial_state())
+    stepf = jax.jit(lambda s, d: lf.advance(s, d))
+    for _ in range(100):
+        sf = stepf(sf, dt)
+    _, xl_fine = front_positions(sf.scalars[0], lf.geo)
+
+    g0 = Grid(nx=(64, 16), dx=(Lx / 64, Lz / 16), x0=(-Lx / 2, 0.0))
+    h = AMRHierarchy(build_level_geometry(g0, CartesianMap()),
+                     LockExchange(pert_amp=0.0), mk_params(),
+                     ratio=(4, 1),
+                     tag_params=TagParams(buoyancy_tag_tol=0.2,
+                                          tags_grow=1))
+    s0 = h.level0.post_initialize(h.level0.initial_state())
+    s1, origin = h.initial_patch_state(s0)
+    step = jax.jit(h.advance)
+    for i in range(100):
+        s0, s1 = step(s0, s1, origin, dt)
+        if (i + 1) % 10 == 0:
+            s1, origin = h.regrid(s0, s1)
+    _, xl_amr = front_positions(s0.scalars[0], h.level0.geo)
+
+    dx_c = Lx / 64
+    assert abs(float(xl_amr) - float(xl_fine)) <= 2.0 * dx_c, \
+        (float(xl_amr), float(xl_fine), dx_c)
+    # and the fronts actually travelled a meaningful distance
+    assert float(xl_fine) > 4.0 * dx_c
