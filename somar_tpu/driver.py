@@ -310,6 +310,16 @@ class RunDriver:
 
                 line = (f"step {step:6d}  t = {float(state.time):.6g}  "
                         f"dt = {float(dt):.4g}  wall = {wc * 1e3:.1f} ms")
+                if ctx.amr.verbosity >= 2:
+                    # energy + divergence + lambda-drift diagnostics
+                    # (reference: the postTimeStep sync diagnostics,
+                    # AMRNavierStokesSync.cpp:1066-1246)
+                    e = float(self.level.total_energy(state))
+                    dmax = float(jnp.max(jnp.abs(
+                        self.level.cell_divergence(state))))
+                    ldrift = float(jnp.max(jnp.abs(state.lam - 1.0)))
+                    line += (f"  E = {e:.8g}  max|div| = {dmax:.3e}  "
+                             f"max|lambda-1| = {ldrift:.3e}")
                 pout(line)
                 if verbose and ctx.amr.verbosity > 0:
                     print(line)
