@@ -106,12 +106,19 @@ class RunDriver:
         ndev = len(jax.devices())
         if ndev > 1:
             from somar_tpu.parallel.mesh import make_mesh, shard_ns_state
-            self.mesh = make_mesh(ndev, axes=("x",))
+            use_island = (self.hierarchy is None and self.geo.is_uniform
+                          and ctx.ns.update_scheme == "ppm"
+                          and ctx.ns.nonlinear_differencing_form == 0)
+            # 3D GSPMD runs decompose BOTH horizontal directions (the
+            # near-square (ny, nx) factorization — ICI-friendly 2D
+            # torus); the shard_map island is 1-axis, and 2D domains
+            # only have x to shard
+            axes = (("y", "x") if (self.grid.ndim == 3 and not use_island
+                                   and ndev >= 4) else ("x",))
+            self.mesh = make_mesh(ndev, axes=axes)
             self._shard_state = lambda s: shard_ns_state(s, self.grid,
                                                          self.mesh)
-            if (self.hierarchy is None and self.geo.is_uniform
-                    and ctx.ns.update_scheme == "ppm"
-                    and ctx.ns.nonlinear_differencing_form == 0):
+            if use_island:
                 from somar_tpu.parallel.sharded_step import ShardedNSStep
                 self._sharded = ShardedNSStep(self.level, self.mesh)
                 self._step_fn = jax.jit(
