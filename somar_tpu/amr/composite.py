@@ -152,6 +152,69 @@ class AMRCompositeSolver:
         return worst
 
     # ------------------------------------------------------------- solve
+    def _effective_rhss(self, phis, rhss, origins, levels, weights,
+                        parent_sels):
+        """FAS tau-correction (the heart of MappedAMRMultiGrid's
+        AMRResidual/AMRRestrict cycle): the parent's COVERED-cell
+        equation becomes the restricted fine equation,
+
+            rhs_par(covered) := L_par(phi_par) + R(rhs_f - L_f(phi_f)),
+
+        so the coarse solve sees the fine operator's truth instead of
+        its own discretization there.  Without it the composite
+        iteration stalls at the O(h^2) coarse-fine mismatch (~1e-3
+        relative) no matter how many passes run.  Applied fine-to-coarse
+        so deeper corrections propagate; ancestors must be single-patch
+        chains (multi-patch parents keep the uncorrected fixed point)."""
+        from somar_tpu.amr.transfer import (extract_patch, insert_patch,
+                                            restrict_average)
+        h = self.h
+        eff = list(rhss)
+        for lev in range(len(h.couplings) - 1, -1, -1):
+            if any(h.couplings[j].K != 1 for j in range(lev)):
+                continue
+            c = h.couplings[lev]
+            level = levels[lev]
+            par_level = h.level0 if lev == 0 else levels[lev - 1]
+            ph_par = phis[lev]
+            apply_par = par_level.projector.op.apply(ph_par)
+            if lev > 0:
+                pring = h.couplings[lev - 1]._ring(phis[lev - 1],
+                                                   origins[lev - 1])
+                apply_par = apply_par +                     par_level.projector._rhs_ring_correction(pring)
+            K = c.K
+            org = origins[lev]
+            pgrid = c.parent_grid
+            ndim = pgrid.ndim
+            H = c.halo
+            int_start = tuple(
+                H if pgrid.dir_of_axis(ax) in c.cf_dirs else 0
+                for ax in range(ndim))
+            int_shape = tuple(c.interior_nx[pgrid.dir_of_axis(ax)]
+                              for ax in range(ndim))
+            new_par = eff[lev]
+            for k in range(K):
+                phi_f = phis[lev + 1][k] if K > 1 else phis[lev + 1]
+                rhs_f = eff[lev + 1][k] if K > 1 else eff[lev + 1]
+                ok = org[k] if K > 1 else org
+                ring = c._ring(ph_par, ok)
+                rf = rhs_f - (level.projector.op.apply(phi_f)
+                              + level.projector._rhs_ring_correction(ring))
+                block = extract_patch(rf, int_start, int_shape)
+                Rrf = restrict_average(block, c.ext_grid, c.ratio)
+                origin_c = tuple((ok[ax] + int_start[ax])
+                                 // c._axis_ratio(ax)
+                                 for ax in range(ndim))
+                tau = extract_patch(apply_par, origin_c, Rrf.shape) + Rrf
+                if weights is not None and K > 1:
+                    cur = extract_patch(new_par, origin_c, Rrf.shape)
+                    tau = cur + weights[lev][k] * (tau - cur)
+                new_par = insert_patch(new_par,
+                                       tau.astype(new_par.dtype),
+                                       origin_c)
+            eff[lev] = new_par
+        return eff
+
     def solve(self, rhss, origins, geos=None, weights=None,
               parent_sels=None, phis0=None):
         """Composite solve.  rhss: [rhs_level0, rhs_patch1, ...] (patch
@@ -165,8 +228,12 @@ class AMRCompositeSolver:
 
         def one_pass(phis):
             phis = list(phis)
-            # top-down: level solves with parent-ring CF ghosts
-            phi0, _ = h.level0.projector._solve(rhss[0], phi0=phis[0],
+            # FAS tau-correction from the CURRENT iterate (see
+            # _effective_rhss), then top-down level solves with
+            # parent-ring CF ghosts
+            eff = self._effective_rhss(phis, rhss, origins, levels,
+                                       weights, parent_sels)
+            phi0, _ = h.level0.projector._solve(eff[0], phi0=phis[0],
                                                 purpose=p.purpose)
             phis[0] = phi0
             parent_phis = phi0
@@ -181,7 +248,7 @@ class AMRCompositeSolver:
                 outs = []
                 for k in range(K):
                     phi_f = phis[lev + 1][k] if K > 1 else phis[lev + 1]
-                    rhs_f = rhss[lev + 1][k] if K > 1 else rhss[lev + 1]
+                    rhs_f = eff[lev + 1][k] if K > 1 else eff[lev + 1]
                     if parent_K == 1:
                         ph_par = parent_phis
                     else:

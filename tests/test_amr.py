@@ -927,7 +927,9 @@ def test_composite_amr_elliptic_solver_manufactured(level_solver):
     solver = AMRCompositeSolver(h, CompositeParams(iters=4, eps=1e-6))
     solve = jax.jit(lambda rs, orgs: solver.solve(rs, orgs))
     phis, (iters, rel) = solve([rhs0, rhs1], [origin])
-    assert float(rel) < 2e-2, (int(iters), float(rel))
+    # the FAS tau-correction keeps the iteration converging past the
+    # O(h^2) coarse-fine mismatch a plain Schwarz pass stalls at (~1e-3)
+    assert float(rel) < 2e-3, (int(iters), float(rel))
 
     # level-0 solution matches the analytic potential (2nd order)
     p0 = np.array(phis[0])
