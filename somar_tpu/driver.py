@@ -112,13 +112,26 @@ class RunDriver:
             # 3D GSPMD runs decompose BOTH horizontal directions (the
             # near-square (ny, nx) factorization — ICI-friendly 2D
             # torus); the shard_map island is 1-axis, and 2D domains
-            # only have x to shard
-            axes = (("y", "x") if (self.grid.ndim == 3 and not use_island
-                                   and ndev >= 4) else ("x",))
+            # only have x to shard.  amr.splitDirs masks which
+            # directions the decomposition may chop (reference:
+            # LoadBalance's box-chopping dirs; the vertical is never
+            # sharded regardless — line solves keep whole columns)
+            split = ctx.amr.split_dirs
+            allow_y = (self.grid.ndim == 3 and len(split) > 1
+                       and split[1])
+            allow_x = not split or split[0]
+            if allow_x and allow_y and not use_island and ndev >= 4:
+                axes = ("y", "x")
+            elif allow_x:
+                axes = ("x",)
+            elif allow_y:
+                axes = ("y",)
+            else:
+                axes = ("x",)   # nothing choppable: degenerate 1-axis
             self.mesh = make_mesh(ndev, axes=axes)
             self._shard_state = lambda s: shard_ns_state(s, self.grid,
                                                          self.mesh)
-            if use_island:
+            if use_island and self.mesh.axis_names == ("x",):
                 from somar_tpu.parallel.sharded_step import ShardedNSStep
                 self._sharded = ShardedNSStep(self.level, self.mesh)
                 self._step_fn = jax.jit(
