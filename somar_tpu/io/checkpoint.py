@@ -195,7 +195,19 @@ def _plot_fields(state, level, plot_cfg=None):
     for m in range(grid.ndim):
         fields[f"velocity_{'xyz'[m] if m < grid.ndim - 1 or grid.ndim == 3 else 'z'}"] = \
             np.asarray(state.vel[m])
-    fields["buoyancy"] = np.asarray(state.scalars[0])
+    # with a background split the plotted scalar is the TOTAL buoyancy
+    # bbar + b' (reference: getPlotData's scalars branch adds the
+    # background unless write_scalarsMinusBackground); the deviation is
+    # available as buoyancy_pert
+    b = np.asarray(state.scalars[0])
+    prob = getattr(level, "problem", None)
+    if (prob is not None and getattr(prob, "use_background_scalar", False)
+            and getattr(prob, "background", None) is not None):
+        import jax.numpy as _jnp
+        z = np.broadcast_to(geo.phys_coords_cc()[grid.ndim - 1],
+                            grid.shape)
+        b = b + np.asarray(prob.background.value(_jnp.asarray(z)))
+    fields["buoyancy"] = b
     if plot_cfg is None or plot_cfg.write_pressure:
         fields["pressure"] = np.asarray(state.pressure)
     if plot_cfg is not None and plot_cfg.write_lambda:

@@ -320,3 +320,42 @@ def test_init_projection_reduces_composite_divergence(tmp_path):
     d_after = fine_div(fines2[0])
     assert d_after < 0.1 * d_before, (d_before, d_after)
     assert np.isfinite(np.asarray(state2.vel)).all()
+
+
+def test_plotfile_buoyancy_includes_background(tmp_path):
+    """With a background-stratification split, plotfiles carry the TOTAL
+    buoyancy as 'buoyancy' (reference: getPlotData adds the background
+    unless write_scalarsMinusBackground) and the deviation as
+    buoyancy_pert."""
+    import dataclasses
+    import h5py
+    from somar_tpu.io.checkpoint import write_plotfile
+
+    cfg = """
+amr.nx = 16 16
+amr.length = 1.0 1.0
+amr.isPeriodic = 1 0
+ibc.problem = 3
+ibc.useBackgroundScalar = 1
+amr.gravityMethod = 1
+amr.viscosity = 0.0
+amr.scal_diffusion_coeffs = 0.0
+amr.fixed_dt = 0.001
+amr.maxsteps = 1
+AMRMG.eps = 1e-4
+amr.verbosity = 0
+"""
+    ctx = ProblemContext.from_parmparse(ParmParse.from_string(cfg))
+    driver = RunDriver(ctx, out_dir=str(tmp_path))
+    state, _ = driver.run(max_steps=1, verbose=False)
+    p = dataclasses.replace(ctx.plot,
+                            write_scalars_minus_background=True)
+    path = str(tmp_path / "plot_bg.hdf5")
+    write_plotfile(path, state, driver.level, 1, p)
+    with h5py.File(path) as f:
+        tot = np.asarray(f["level_0/buoyancy"])
+        pert = np.asarray(f["level_0/buoyancy_pert"])
+    # total = pert + bbar(z): the background varies with depth, the
+    # deviation is near zero away from the mixed region
+    assert np.abs(tot - pert).max() > 0.1      # background present
+    assert np.abs(pert).max() <= np.abs(tot).max() + 1.0
