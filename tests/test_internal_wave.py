@@ -124,3 +124,50 @@ def test_solitary_wave_propagates_at_mode_speed():
     speed = np.polyfit(ts, xs, 1)[0]
     assert abs(speed / c0 - 1.0) < 0.1, (speed, c0)
     assert np.all(np.isfinite(np.asarray(state.scalars[0])))
+
+
+def test_internal_wave_dispersion_3d_oblique():
+    """3D quantitative anchor: an OBLIQUE mode (kx = ky = 1, m = 1)
+    oscillates at omega = N k_h/|k| = sqrt(2/3) — exercises the full 3D
+    stencils, the 3D projection, and the w N^2 coupling together
+    (measured 0.810 vs 0.8165, 0.8%)."""
+    Lx = Ly = 2.0 * np.pi
+    H = np.pi
+    nx, ny, nz = 24, 24, 16
+    g = Grid(nx=(nx, ny, nz), dx=(Lx / nx, Ly / ny, H / nz),
+             x0=(0.0, 0.0, 0.0), periodic=(True, True, False))
+    geo = build_level_geometry(g, CartesianMap())
+    prob = InternalWave(background=LinearProfile(b0=0.0, slope=-1.0))
+    params = NSParams(nu=0.0, kappa=(0.0,), gravity_method=1,
+                      mg=MGParams(eps=1e-7, imax=20))
+    level = NSLevel(geo, prob, params)
+    state = level.initial_state()
+    xs = geo.phys_coords_cc()
+    x = np.broadcast_to(xs[0], g.shape)
+    y = np.broadcast_to(xs[1], g.shape)
+    z = np.broadcast_to(xs[2], g.shape)
+    b = 1e-3 * np.cos(x + y) * np.sin(z)
+    state = dataclasses.replace(
+        state, vel=jnp.zeros_like(state.vel),
+        scalars=state.scalars.at[0].set(jnp.asarray(b, jnp.float32)))
+    state = level.post_initialize(state)
+    step = jax.jit(lambda s, d: level.advance(s, d))
+    dt = jnp.asarray(0.05, jnp.float32)
+    probe = (nz // 3, ny // 8, nx // 8)
+    ts, sig = [], []
+    for _ in range(200):
+        state = step(state, dt)
+        ts.append(float(state.time))
+        sig.append(float(state.scalars[0][probe]))
+    ts, sig = np.array(ts), np.array(sig)
+    assert np.all(np.isfinite(sig))
+    omegas = np.linspace(0.4, 1.2, 801)
+
+    def lsq_err(om):
+        basis = np.stack([np.cos(om * ts), np.sin(om * ts)], axis=1)
+        coef = np.linalg.lstsq(basis, sig, rcond=None)[0]
+        return float(np.sum((sig - basis @ coef) ** 2))
+
+    om_fit = omegas[int(np.argmin([lsq_err(om) for om in omegas]))]
+    om_exact = np.sqrt(2.0 / 3.0)
+    assert abs(om_fit - om_exact) < 0.05 * om_exact, (om_fit, om_exact)
