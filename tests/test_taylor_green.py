@@ -162,3 +162,35 @@ def test_tg_rk3_implicit_viscosity_beyond_explicit_limit():
     # — any explicit-diffusion instability would blow up instead)
     e1 = float(jnp.sum(state.vel * state.vel))
     assert e1 < 0.05 * e0, (e0, e1)
+
+
+def test_tg_on_twisted_map_second_order():
+    """Mapped-operator ACCURACY anchor: the exact Taylor-Green solution
+    on the sinusoidally distorted TwistedMap (non-diagonal Jgup,
+    solver-stress map per the reference) converges at 2nd order —
+    measured order 2.04 (e24 = 7.0e-3, e48 = 1.7e-3).  This validates
+    the whole mapped pipeline (metric fills, basis transforms, mapped
+    traces, MAC/CC projections on the full Jgup) against a known
+    physical solution, not just manufactured operators."""
+    from somar_tpu.geometry.geo_source import TwistedMap
+
+    def run(n, nsteps, dt):
+        g = Grid(nx=(n, n), dx=(1.0 / n,) * 2, periodic=(True, True))
+        lg = build_level_geometry(g, TwistedMap((0.05, 0.05), (1.0, 1.0)))
+        prob = TaylorGreen(nu=0.0)
+        params = NSParams(nu=0.0, kappa=(0.0,), gravity_method=0,
+                          fixed_dt=dt, mg=MGParams(eps=1e-7, imax=30))
+        level = NSLevel(lg, prob, params)
+        state = level.post_initialize(level.initial_state())
+        step = jax.jit(lambda s: level.advance(s, jnp.asarray(dt)))
+        for _ in range(nsteps):
+            state = step(state)
+        exact = prob.vel_soln(lg, float(state.time))
+        return float(jnp.max(jnp.abs(state.vel - exact)))
+
+    T = 0.02
+    e_c = run(24, 8, T / 8)
+    e_f = run(48, 16, T / 16)
+    order = np.log2(e_c / e_f)
+    assert order > 1.6, (e_c, e_f, order)
+    assert e_f < 4e-3, e_f
