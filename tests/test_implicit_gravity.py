@@ -160,3 +160,28 @@ def test_ig_stable_at_large_dt_n_on_mapped_metric():
     b = np.asarray(s.scalars[0])
     assert np.isfinite(b).all()
     assert np.abs(b).max() < 0.05   # bounded (IC anomaly is 0.01)
+
+
+def test_ig_time_convergence():
+    """IG dt-refinement: errors vs a small-dt reference shrink at least
+    linearly per dt halving (theta = 0.6 is formally 1st order; measured
+    ratios ~2.4-3.1 per halving)."""
+    lev = _make_level(2, nsq=25.0)
+    s0 = lev.post_initialize(lev.initial_state())
+    T = 0.08
+
+    def run(nsteps):
+        dt = jnp.asarray(T / nsteps)
+        step = jax.jit(lambda s: lev.advance(s, dt))
+        s = s0
+        for _ in range(nsteps):
+            s = step(s)
+        return s
+
+    ref = run(64)
+    errs = []
+    for n in (8, 16, 32):
+        s = run(n)
+        errs.append(float(jnp.max(jnp.abs(s.scalars - ref.scalars))))
+    assert errs[0] / errs[1] > 1.8, errs
+    assert errs[1] / errs[2] > 1.8, errs
