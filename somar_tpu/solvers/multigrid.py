@@ -253,8 +253,10 @@ class LevelMultigrid:
             rnew = op.norm(op.residual(phi, rhs, alpha, beta, jgup_delta=jd0))
             if p.verbosity >= 2:
                 # per-V-cycle residual trace (reference: AMRMG.verbosity
-                # prints |r| each cycle, MappedAMRMultiGrid::solve)
-                jax.debug.print(
+                # prints |r| each cycle, MappedAMRMultiGrid::solve);
+                # no-ops on backends without host-callback support
+                from somar_tpu.utils.printing import debug_print
+                debug_print(
                     "    MG V-cycle {it}: |r|/|r0| = {r:.3e}",
                     it=it + 1, r=rnew / r0)
             return (phi, rnew, rnorm, it + 1)

@@ -34,6 +34,9 @@ def nan_check(x, name: str = "field"):
     enabled (zero cost when disabled — the branch is trace-time)."""
     if not CHECKS_ENABLED:
         return x
+    from somar_tpu.utils.printing import supports_host_callbacks
+    if not supports_host_callbacks():
+        return x
     bad = jnp.logical_not(jnp.all(jnp.isfinite(x)))
 
     def report(bad_val):

@@ -72,6 +72,48 @@ def tout(*args, rank: int = 0, verbosity: int = 1,
         sys.stdout.flush()
 
 
+_host_callbacks_ok: Optional[bool] = None
+
+
+def supports_host_callbacks() -> bool:
+    """True when the active jax backend can lower jax.debug.print /
+    jax.debug.callback (host send/recv).  The axon PJRT tunnel used for
+    single-chip TPU access cannot ("UNIMPLEMENTED: axon_pjrt does not
+    support host send/recv callbacks"), so inside-jit verbosity traces
+    (MG residual lines, NaN sweeps) must degrade to no-ops there instead
+    of killing the run.  Overridable with SOMAR_HOST_CALLBACKS=0/1."""
+    global _host_callbacks_ok
+    if _host_callbacks_ok is None:
+        env = os.environ.get("SOMAR_HOST_CALLBACKS")
+        if env is not None:
+            _host_callbacks_ok = env != "0"
+        else:
+            # functional probe: the axon plugin still reports platform
+            # "tpu", so the only reliable detection is to try one
+            try:
+                import jax
+                import jax.numpy as jnp
+
+                def _probe(x):
+                    jax.debug.print("", x=x)
+                    return x
+
+                jax.block_until_ready(
+                    jax.jit(_probe)(jnp.zeros((), jnp.float32)))
+                _host_callbacks_ok = True
+            except Exception:
+                _host_callbacks_ok = False
+    return _host_callbacks_ok
+
+
+def debug_print(fmt: str, **kw):
+    """jax.debug.print that no-ops (at trace time) on backends without
+    host-callback support rather than failing to compile."""
+    if supports_host_callbacks():
+        import jax
+        jax.debug.print(fmt, **kw)
+
+
 def write_text_file(path: str, array, fmt: str = "%.8g"):
     """Plain-text field dump (reference: writeTextFile)."""
     import numpy as np
