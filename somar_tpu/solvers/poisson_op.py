@@ -34,6 +34,21 @@ from somar_tpu.geometry.level_geometry import LevelGeometry
 from somar_tpu.ops.stencil import mac_divergence, mac_gradient, slc
 
 
+def _use_fused_gsrb() -> bool:
+    """Fused Pallas smoother/residual: default on TPU, env-overridable
+    (SOMAR_FUSED_GSRB=0/1)."""
+    import os
+    flag = os.environ.get("SOMAR_FUSED_GSRB", "")
+    if flag in ("0", "off"):
+        return False
+    if flag in ("1", "on"):
+        return True
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 class PoissonOp:
     """alpha*I + beta*div(Jgup grad) on one level, with BCs baked in."""
 
@@ -52,6 +67,13 @@ class PoissonOp:
             self._diag_lap = self._build_diag_lap()
             self._rb_masks = self._build_rb_masks()
             self._line_coefs = self._build_vertical_line_parts()
+        # fused Pallas GSRB/residual (uniform metric + simple BCs only;
+        # ops/gsrb_pallas.py): one HBM round trip per red+black sweep vs
+        # the jnp path's residual-per-half-sweep with pad relayouts
+        self._fused_plan = None
+        if _use_fused_gsrb():
+            from somar_tpu.ops.gsrb_pallas import make_plan
+            self._fused_plan = make_plan(self.grid, self.hom_bcs, geo)
 
     # ------------------------------------------------------------ operator
     def apply(self, phi, alpha=0.0, beta=1.0, homogeneous: bool = True,
@@ -64,6 +86,10 @@ class PoissonOp:
 
     def residual(self, phi, rhs, alpha=0.0, beta=1.0, homogeneous: bool = True,
                  jgup_delta=None):
+        if (self._fused_plan is not None and homogeneous
+                and jgup_delta is None):
+            from somar_tpu.ops.gsrb_pallas import helm_residual
+            return helm_residual(self._fused_plan, phi, rhs, alpha, beta)
         return rhs - self.apply(phi, alpha, beta, homogeneous, jgup_delta)
 
     def compat_project(self, rhs):
@@ -158,6 +184,10 @@ class PoissonOp:
     def relax_gsrb(self, phi, rhs, alpha, beta, iters: int,
                    weight: float = 1.0, jgup_delta=None):
         """Red-black Gauss-Seidel (reference: LevelGSRB, GSRBITER*)."""
+        if self._fused_plan is not None and jgup_delta is None:
+            from somar_tpu.ops.gsrb_pallas import gsrb_sweeps
+            return gsrb_sweeps(self._fused_plan, phi, rhs, alpha, beta,
+                               iters, weight)
         red, black = self._rb_masks
         inv_diag = weight / self.diag(alpha, beta, jgup_delta)
 
