@@ -50,6 +50,16 @@ class CompositeParams:
     iters: int = 4          # max composite passes (AMRMG.max_iter analog)
     eps: float = 1e-6       # composite relative residual target
     purpose: str = "sync"   # per-level solver-params namespace
+    #: FAS tau-correction of covered coarse cells.  True for direct
+    #: elliptic solves (converges past the O(h^2) Schwarz fixed point).
+    #: MUST be False for solves inside the approximate-CC-projection
+    #: feedback loop (sync projection, VD): replacing the covered coarse
+    #: RHS with the restricted fine equation there over-corrects
+    #: divergence the coarse velocity does not have, and the per-step
+    #: re-average feedback amplifies it into a CF-interface instability
+    #: (measured: 2-level lock exchange blows up by step ~60 with tau,
+    #: runs clean without).
+    use_tau: bool = True
 
 
 class AMRCompositeSolver:
@@ -164,26 +174,51 @@ class AMRCompositeSolver:
         its own discretization there.  Without it the composite
         iteration stalls at the O(h^2) coarse-fine mismatch (~1e-3
         relative) no matter how many passes run.  Applied fine-to-coarse
-        so deeper corrections propagate; ancestors must be single-patch
-        chains (multi-patch parents keep the uncorrected fixed point)."""
+        so deeper corrections propagate.  Multi-patch parents are
+        supported: each fine patch's tau lands in its selected parent
+        patch (parent_sels), whose own operator application carries that
+        parent's CF ring from ITS (possibly selected) parent."""
         from somar_tpu.amr.transfer import (extract_patch, insert_patch,
                                             restrict_average)
         h = self.h
         eff = list(rhss)
         for lev in range(len(h.couplings) - 1, -1, -1):
-            if any(h.couplings[j].K != 1 for j in range(lev)):
-                continue
             c = h.couplings[lev]
             level = levels[lev]
             par_level = h.level0 if lev == 0 else levels[lev - 1]
-            ph_par = phis[lev]
-            apply_par = par_level.projector.op.apply(ph_par)
-            if lev > 0:
-                pring = h.couplings[lev - 1]._ring(phis[lev - 1],
-                                                   origins[lev - 1])
-                apply_par = apply_par +                     par_level.projector._rhs_ring_correction(pring)
+            parent_K = 1 if lev == 0 else h.couplings[lev - 1].K
+            # per-parent-patch operator application L_par(phi_par) + the
+            # parent's own CF-ring contribution (stacked when parent_K>1)
+            gsel = (parent_sels[lev - 1]
+                    if (lev > 0 and parent_sels is not None
+                        and parent_sels[lev - 1] is not None) else None)
+            apply_pars = []
+            for kp in range(parent_K):
+                ph_par_kp = phis[lev][kp] if parent_K > 1 else phis[lev]
+                ap = par_level.projector.op.apply(ph_par_kp)
+                if lev > 0:
+                    cp = h.couplings[lev - 1]
+                    gp_K = 1 if lev == 1 else h.couplings[lev - 2].K
+                    if gp_K == 1:
+                        ph_gp = phis[lev - 1]
+                    else:
+                        g = (gsel[kp] if gsel is not None
+                             else jnp.zeros((), jnp.int32))
+                        ph_gp = jax.lax.dynamic_index_in_dim(
+                            phis[lev - 1], g, 0, keepdims=False)
+                    oo = (origins[lev - 1][kp] if cp.K > 1
+                          else origins[lev - 1])
+                    pring = cp._ring(ph_gp, oo)
+                    ap = ap + par_level.projector._rhs_ring_correction(
+                        pring)
+                apply_pars.append(ap)
+            apply_par_stack = (jnp.stack(apply_pars) if parent_K > 1
+                               else apply_pars[0])
             K = c.K
             org = origins[lev]
+            psel = (parent_sels[lev]
+                    if (parent_sels is not None and parent_K > 1
+                        and parent_sels[lev] is not None) else None)
             pgrid = c.parent_grid
             ndim = pgrid.ndim
             H = c.halo
@@ -197,6 +232,19 @@ class AMRCompositeSolver:
                 phi_f = phis[lev + 1][k] if K > 1 else phis[lev + 1]
                 rhs_f = eff[lev + 1][k] if K > 1 else eff[lev + 1]
                 ok = org[k] if K > 1 else org
+                if parent_K == 1:
+                    ph_par = phis[lev]
+                    apply_par = apply_par_stack
+                    par_entry = new_par
+                else:
+                    pk = (psel[k] if psel is not None
+                          else jnp.zeros((), jnp.int32))
+                    ph_par = jax.lax.dynamic_index_in_dim(
+                        phis[lev], pk, 0, keepdims=False)
+                    apply_par = jax.lax.dynamic_index_in_dim(
+                        apply_par_stack, pk, 0, keepdims=False)
+                    par_entry = jax.lax.dynamic_index_in_dim(
+                        new_par, pk, 0, keepdims=False)
                 ring = c._ring(ph_par, ok)
                 rf = rhs_f - (level.projector.op.apply(phi_f)
                               + level.projector._rhs_ring_correction(ring))
@@ -207,11 +255,16 @@ class AMRCompositeSolver:
                                  for ax in range(ndim))
                 tau = extract_patch(apply_par, origin_c, Rrf.shape) + Rrf
                 if weights is not None and K > 1:
-                    cur = extract_patch(new_par, origin_c, Rrf.shape)
+                    cur = extract_patch(par_entry, origin_c, Rrf.shape)
                     tau = cur + weights[lev][k] * (tau - cur)
-                new_par = insert_patch(new_par,
-                                       tau.astype(new_par.dtype),
-                                       origin_c)
+                par_entry = insert_patch(par_entry,
+                                         tau.astype(par_entry.dtype),
+                                         origin_c)
+                if parent_K == 1:
+                    new_par = par_entry
+                else:
+                    new_par = jax.lax.dynamic_update_index_in_dim(
+                        new_par, par_entry, pk, 0)
             eff[lev] = new_par
         return eff
 
@@ -231,8 +284,11 @@ class AMRCompositeSolver:
             # FAS tau-correction from the CURRENT iterate (see
             # _effective_rhss), then top-down level solves with
             # parent-ring CF ghosts
-            eff = self._effective_rhss(phis, rhss, origins, levels,
-                                       weights, parent_sels)
+            if p.use_tau:
+                eff = self._effective_rhss(phis, rhss, origins, levels,
+                                           weights, parent_sels)
+            else:
+                eff = list(rhss)
             phi0, _ = h.level0.projector._solve(eff[0], phi0=phis[0],
                                                 purpose=p.purpose)
             phis[0] = phi0

@@ -694,6 +694,7 @@ class AMRHierarchy:
                  max_grid_size: int = 0,
                  do_sync_projection: bool = True,
                  sync_projection_iters: int = 1,
+                 sync_composite_iters: int = 2,
                  grid_buffer_size: int = 0):
         """reflux: which advective fluxes get CF conservation corrections
         — any of "vel", "scalars", "lam" (reference knobs
@@ -717,6 +718,9 @@ class AMRHierarchy:
         # reference: projection.doSyncProjection / sync_projection_iters
         self.do_sync_projection = bool(do_sync_projection)
         self.sync_projection_iters = max(1, int(sync_projection_iters))
+        #: tau-corrected passes inside each sync/init projection's
+        #: composite potential solve (AMRMG AMRVCycle count analog)
+        self.sync_composite_iters = max(1, int(sync_composite_iters))
         if self.eta_lambda > 0.0:
             self.level0.use_vd_correction = True
         self.grid0: Grid = geo0.grid
@@ -1066,7 +1070,8 @@ class AMRHierarchy:
             from somar_tpu.amr.composite import (AMRCompositeSolver,
                                                  CompositeParams)
             solver = AMRCompositeSolver(
-                self, CompositeParams(iters=1, purpose="vd"))
+                self, CompositeParams(iters=1, purpose="vd",
+                                      use_tau=False))
             rhss = [self.eta_lambda * (s0_new.lam - 1.0) / dt]
             phis0 = [s0_new.e_lambda]
             for lev, c in enumerate(self.couplings):
@@ -1105,35 +1110,59 @@ class AMRHierarchy:
         dense-patch analog of AMRCCProjector::project,
         AMRNavierStokesSync.cpp:276-295 / MappedAMRMultiGrid's AMRVCycle):
 
-          top-down — project level 0 (whose divergence already sees the
-          composite field: covered cells hold the averaged-down fine
-          velocity), then each finer level's patches with quadratic CF
-          ghost rings of the parent patch's freshly-solved sync
-          potential, so the fine velocity receives the sync correction
-          DIRECTLY;
+          solve — ONE composite potential solve of L[phi] = div(u) over
+          all levels via AMRCompositeSolver (FAS tau-corrected passes +
+          quadratic CF ghost rings), the dense analog of the
+          AMRPressureSolver the AMRCCProjector rides;
+          correct — every level subtracts its own gradient of the
+          composite potential (fine levels with parent-phi CF rings), so
+          the fine velocity receives the sync correction DIRECTLY;
           bottom-up — J-weighted re-average of the corrected velocities.
 
         Mutates fine_states in place; returns the corrected level-0
         state."""
+        from somar_tpu.amr.composite import (AMRCompositeSolver,
+                                             CompositeParams)
         level0 = self.level0
-        vel0, phi0, _ = level0.projector.project_cc(
-            s0.vel, level0.vel_bcs_trace, phi0=s0.cc_phi, purpose="sync")
-        s0 = dataclasses.replace(s0, vel=vel0)
-
-        # top-down: correct every patch with its parent patch's potential
-        phi_par = phi0                     # array, or (Kp,)+shape stack
-        parent_K = 1
+        levels = []
+        rhss = [level0.projector.cc_div(s0.vel, level0.vel_bcs_trace)]
         for lev, c in enumerate(self.couplings):
             if c.is_mapped and geos is not None:
                 level = c.make_level(geos[lev]["geo"], geos[lev]["aux"])
             else:
                 level = c.level
+            levels.append(level)
+            K = c.K
+            if K > 1:
+                rhs = jnp.stack([
+                    level.projector.cc_div(
+                        _tree_index(fine_states[lev], k).vel,
+                        level.vel_bcs_trace)
+                    for k in range(K)])
+            else:
+                rhs = level.projector.cc_div(fine_states[lev].vel,
+                                             level.vel_bcs_trace)
+            rhss.append(rhs)
+        solver = AMRCompositeSolver(
+            self, CompositeParams(iters=self.sync_composite_iters,
+                                  purpose="sync", use_tau=False))
+        phis, _ = solver.solve(rhss, origins, geos=geos, weights=weights,
+                               parent_sels=parent_sels)
+
+        # correct: every level subtracts its gradient of the composite
+        # potential (fine patches with parent-phi CF ghost rings)
+        s0 = dataclasses.replace(
+            s0, vel=s0.vel - level0.projector.cc_correction(phis[0]))
+        phi_par = phis[0]                  # array, or (Kp,)+shape stack
+        parent_K = 1
+        for lev, c in enumerate(self.couplings):
+            level = levels[lev]
             K = c.K
             org = origins[lev]
             psel = (parent_sels[lev]
                     if (parent_sels is not None and parent_K > 1
                         and parent_sels[lev] is not None) else None)
-            pats, phis = [], []
+            pats = []
             for k in range(K):
                 s_f = (_tree_index(fine_states[lev], k) if K > 1
                        else fine_states[lev])
@@ -1145,13 +1174,11 @@ class AMRHierarchy:
                     ph_src = jax.lax.dynamic_index_in_dim(
                         phi_par, p, 0, keepdims=False)
                 ring = c._ring(ph_src, org[k] if K > 1 else org)
-                vel_f, phi_f, _ = level.projector.project_cc(
-                    s_f.vel, level.vel_bcs_trace, phi0=s_f.cc_phi,
-                    ring=ring, purpose="sync")
-                pats.append(dataclasses.replace(s_f, vel=vel_f))
-                phis.append(phi_f)
+                phi_f = phis[lev + 1][k] if K > 1 else phis[lev + 1]
+                corr = level.projector.cc_correction(phi_f, ring)
+                pats.append(dataclasses.replace(s_f, vel=s_f.vel - corr))
             fine_states[lev] = _tree_stack(pats) if K > 1 else pats[0]
-            phi_par = jnp.stack(phis) if K > 1 else phis[0]
+            phi_par = phis[lev + 1]
             parent_K = K
 
         # bottom-up: re-average the corrected velocities (the projection

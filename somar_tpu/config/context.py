@@ -155,6 +155,7 @@ class AMRConfig:
     init_pressure_iters: int = 1
     do_sync_projection: bool = True
     sync_projection_iters: int = 1
+    sync_composite_iters: int = 2
     apply_sync_correction: bool = True
 
 
@@ -302,6 +303,8 @@ class ProblemContext:
                 pp.get_int("projection.doSyncProjection", 1)),
             sync_projection_iters=pp.get_int(
                 "projection.sync_projection_iters", 1),
+            sync_composite_iters=pp.get_int(
+                "projection.syncCompositeIters", 2),
             apply_sync_correction=bool(
                 pp.get_int("projection.applySyncCorrection", 1)),
         )

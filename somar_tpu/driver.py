@@ -78,6 +78,7 @@ class RunDriver:
                                     and ctx.amr.apply_sync_correction),
                 grid_buffer_size=ctx.amr.grid_buffer_size,
                 sync_projection_iters=ctx.amr.sync_projection_iters,
+                sync_composite_iters=ctx.amr.sync_composite_iters,
                 eta_lambda=(ctx.amr.eta_lambda
                             if ctx.amr.apply_vd_correction else 0.0))
             self.level = self.hierarchy.level0

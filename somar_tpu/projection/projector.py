@@ -181,6 +181,28 @@ class LevelProjector:
         return out, phi, info
 
     # ------------------------------------------------------- CC projection
+    def cc_div(self, vel_cart, vel_bcs: Sequence[FieldBCs]):
+        """Divergence of the face-averaged MAC flux J u^d of a CC
+        Cartesian-basis velocity — the CC-projection Poisson RHS."""
+        geo, grid = self.geo, self.grid
+        u_mapped = geo.to_mapped(vel_cart)
+        fluxes = []
+        for d in range(grid.ndim):
+            f = cc_to_fc(geo.mult_by_J(u_mapped[d]), d, grid, vel_bcs[d])
+            fluxes.append(f)
+        return mac_divergence(fluxes, geo)
+
+    def cc_correction(self, phi, ring=None, jd0=None):
+        """Cartesian-basis CC correction velocity
+        to_cartesian(g^{dj} d_j phi |_cc) for a solved potential (ring:
+        optional CF ghost-potential data)."""
+        geo, grid = self.geo, self.grid
+        grad_fc = self._grad_with_ring(phi, ring, jd0)
+        grad_cc = jnp.stack([
+            fc_to_cc(grad_fc[d], d, grid) * geo.Jinv
+            for d in range(grid.ndim)])     # contravariant g^{dj} d_j phi
+        return geo.to_cartesian(grad_cc)
+
     def project_cc(self, vel_cart, vel_bcs: Sequence[FieldBCs], phi0=None,
                    scale: float = 1.0, jgup_deltas=None, ring=None,
                    purpose: str = "cc"):
@@ -192,20 +214,10 @@ class LevelProjector:
         (AMRNavierStokesAdvancePPM.cpp:1513-1590).
         Returns (vel_corrected, phi, info).
         """
-        geo, grid = self.geo, self.grid
         jd0 = jgup_deltas[0] if jgup_deltas is not None else None
-        u_mapped = geo.to_mapped(vel_cart)
-        fluxes = []
-        for d in range(grid.ndim):
-            f = cc_to_fc(geo.mult_by_J(u_mapped[d]), d, grid, vel_bcs[d])
-            fluxes.append(f)
-        div = mac_divergence(fluxes, geo)
+        div = self.cc_div(vel_cart, vel_bcs)
         if ring is not None:
             div = div - self._rhs_ring_correction(ring, jd0)
         phi, info = self._solve(div, phi0, jgup_deltas, purpose=purpose)
-        grad_fc = self._grad_with_ring(phi, ring, jd0)
-        grad_cc = jnp.stack([
-            fc_to_cc(grad_fc[d], d, grid) * geo.Jinv
-            for d in range(grid.ndim)])     # contravariant g^{dj} d_j phi
-        corr = geo.to_cartesian(grad_cc)
+        corr = self.cc_correction(phi, ring, jd0)
         return vel_cart - scale * corr, phi, info

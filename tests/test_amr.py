@@ -1072,3 +1072,98 @@ def test_nest_buffer_pushes_patch_inward():
     # the buffered placement is never closer to the CF edge than unbuffered
     # (identical tags, so usually equal or pushed inward)
     assert np.asarray(build(2).couplings[1].nest_buffer) == 2
+
+
+def test_composite_tau_multi_patch_ancestors():
+    """FAS tau-correction through MULTI-PATCH ancestors: a 3-level chain
+    whose level-1 holds TWO patches, each the parent (parent_sel 0 and 1)
+    of a level-2 patch.  The composite solve must converge past the
+    plain-Schwarz fixed point (the tau path must route each level-2
+    patch's restricted equation into ITS OWN parent patch) and reproduce
+    the analytic solution inside the level-2 patches (reference: the
+    AMRVCycle runs over arbitrary box hierarchies,
+    MappedAMRMultiGrid.H:238)."""
+    import dataclasses
+    from somar_tpu.amr.composite import AMRCompositeSolver, CompositeParams
+
+    Lx, Lz = 15.0, 2.0
+    nx, nz = 96, 8
+    g = Grid(nx=(nx, nz), dx=(Lx / nx, Lz / nz), x0=(-Lx / 2, 0.0))
+    geo = build_level_geometry(g, CartesianMap())
+    params = NSParams(nu=1e-4, kappa=(1e-4,), gravity_method=1,
+                      mg=MGParams(eps=1e-6, imax=20))
+    h = AMRHierarchy(geo, LockExchange(pert_amp=0.0), params,
+                     ratios=[(2, 1), (2, 1)], patch_frac=0.2,
+                     tag_params=TagParams(buoyancy_tag_tol=0.12,
+                                          tags_grow=1),
+                     num_patches=(2, 2))
+    s0 = h.level0.post_initialize(h.level0.initial_state())
+    x = np.asarray(geo.phys_coords_cc()[0])
+    b = ((np.abs(x + 4.0) < 0.8) | (np.abs(x - 4.0) < 0.8))
+    s0 = dataclasses.replace(s0, scalars=s0.scalars.at[0].set(
+        jnp.asarray(np.broadcast_to(b, g.shape).astype(np.float32))))
+    fines, origins, weights = h.initial_patch_states(s0)
+    psels = h.parent_sels
+    c0, c1 = h.couplings
+    assert c0.K == 2 and c1.K == 2
+    # both level-2 patches active, nested in DIFFERENT level-1 parents —
+    # otherwise this test does not exercise the multi-ancestor tau path
+    w1 = np.asarray(weights[1])
+    psel = np.asarray(c1.parent_sel)
+    active_parents = sorted(set(int(p) for p, wk in zip(psel, w1)
+                                if wk > 0))
+    assert active_parents == [0, 1], (psel, w1)
+
+    kx, kz = np.pi / Lx, np.pi / Lz
+
+    def phi_star(xc, zc):
+        # homogeneous Neumann at all four walls
+        return (np.cos(kx * (xc - g.x0[0]))
+                * np.cos(kz * (zc - g.x0[1])))
+
+    lam = -(kx * kx + kz * kz)
+
+    def patch_coords(lev, k):
+        c = h.couplings[lev]
+        gf = h._global_origin(lev, patch=k)
+        dxf = c.ext_grid.dx
+        zf = g.x0[1] + (gf[0] + np.arange(c.ext_grid.shape[0]) + 0.5) \
+            * dxf[1]
+        xf = g.x0[0] + (gf[1] + np.arange(c.ext_grid.shape[1]) + 0.5) \
+            * dxf[0]
+        return np.meshgrid(zf, xf, indexing="ij")
+
+    x0c, z0c = g.coords()
+    x0c = np.broadcast_to(np.asarray(x0c), g.shape)
+    z0c = np.broadcast_to(np.asarray(z0c), g.shape)
+    rhss = [jnp.asarray(lam * phi_star(x0c, z0c), jnp.float32)]
+    for lev in range(2):
+        pats = []
+        for k in range(h.couplings[lev].K):
+            Zf, Xf = patch_coords(lev, k)
+            pats.append(lam * phi_star(Xf, Zf))
+        rhss.append(jnp.asarray(np.stack(pats), jnp.float32))
+
+    solver = AMRCompositeSolver(h, CompositeParams(iters=5, eps=1e-6))
+    solve = jax.jit(lambda rs: solver.solve(
+        rs, origins, weights=weights, parent_sels=psels))
+    phis, (iters, rel) = solve(rhss)
+    # converged past the ~1e-3 Schwarz fixed point: tau reached the
+    # multi-patch parents
+    assert float(rel) < 2e-3, (int(iters), float(rel))
+
+    e0 = phi_star(x0c, z0c)
+    scale = np.abs(e0 - e0.mean()).max()
+    p0 = np.asarray(phis[0])
+    assert np.max(np.abs((p0 - p0.mean()) - (e0 - e0.mean()))) \
+        < 0.05 * scale
+
+    # each level-2 patch interior matches the analytic potential
+    H = h.halo
+    for k in range(2):
+        Zf, Xf = patch_coords(1, k)
+        e2 = phi_star(Xf, Zf)[:, H:-H]
+        p2 = np.asarray(phis[2][k])[:, H:-H]
+        diff = (p2 - p2.mean()) - (e2 - e2.mean())
+        assert np.max(np.abs(diff)) < 0.05 * scale, \
+            (k, np.max(np.abs(diff)) / scale)

@@ -95,6 +95,11 @@ def main():
     mg = level.projector.mg
     timeit(jax.jit(lambda r: mg.solve(r, singular=True)[0]),
            [(rhs1,), (rhs2,)], "mg_solve")
+    _, (its, rel) = jax.jit(lambda r: mg.solve(r, singular=True))(rhs1)
+    print(f"(mg_solve: {int(its)} V-cycles to rel={float(rel):.2e})")
+    timeit(jax.jit(lambda r: mg._vcycle(0, jnp.zeros_like(r), r, 0.0, 1.0,
+                                        True)),
+           [(rhs1,), (rhs2,)], "mg_vcycle1")
     op = mg.ops[0]
     timeit(jax.jit(lambda r: op.relax(jnp.zeros_like(r), r, 0.0, 1.0, 8,
                                       "gsrb")),
