@@ -146,6 +146,22 @@ class RunDriver:
         from somar_tpu.utils.printing import set_pout_dir
         set_pout_dir(out_dir)
 
+    def _shard_fine(self, fine_state):
+        """Place AMR patch states on the device mesh (same horizontal
+        layout as the base level: x/y sharded, vertical + patch axis
+        replicated) — without this the patch levels' arrays, the bulk of
+        the AMR work, stay wherever GSPMD's output shardings left them
+        (typically replicated).  Reference analog: LoadBalance assigns
+        FINE-level boxes to ranks too (AMRNavierStokesRegrid.cpp:40-56)."""
+        if self.mesh is None or fine_state is None:
+            return fine_state
+        from somar_tpu.parallel.mesh import shard_ns_state
+        single = not isinstance(fine_state, (list, tuple))
+        fines = [fine_state] if single else list(fine_state)
+        fines = [shard_ns_state(s, c.ext_grid, self.mesh)
+                 for s, c in zip(fines, self.hierarchy.couplings)]
+        return fines[0] if single else tuple(fines)
+
     # ---------------------------------------------------------------- run
     def run(self, max_steps: Optional[int] = None,
             final_time: Optional[float] = None, verbose: bool = True):
@@ -233,6 +249,7 @@ class RunDriver:
                         self.hierarchy.geo_bundles, weights,
                         self.hierarchy.parent_sels,
                         iters=max(1, ctx.amr.init_projection_iters))
+            fine_state = self._shard_fine(fine_state)
             # substeps of coupling k per coarse step = prod of nt's above it
             self._amr_substeps = []
             factor = 1
@@ -312,6 +329,7 @@ class RunDriver:
                             fine_state, origin, weights = got
                         else:
                             fine_state, origin = got
+                        fine_state = self._shard_fine(fine_state)
 
                 # next dt: CFL-limited, growth-capped (per-level dts
                 # feed both the coarse dt and next step's dynamic-
