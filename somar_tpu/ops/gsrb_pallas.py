@@ -47,10 +47,11 @@ from jax.experimental.pallas import tpu as pltpu
 from somar_tpu.core.bc import BCType, FieldBCs
 from somar_tpu.core.grid import Grid
 
-#: VMEM working-set budget (bytes) for variant selection; tests shrink it
-#: to force the slab path on small grids.
+#: VMEM working-set budget (bytes) for variant selection (the Mosaic
+#: scoped-vmem limit is 16M; leave headroom); tests shrink it to force
+#: the slab path on small grids.
 import os as _os
-_VMEM_BUDGET = int(_os.environ.get("SOMAR_GSRB_VMEM", 12 * 1024 * 1024))
+_VMEM_BUDGET = int(_os.environ.get("SOMAR_GSRB_VMEM", 15 * 1024 * 1024))
 
 _FACTOR = {BCType.DIRICHLET: 2.0, BCType.NEUMANN: 0.0, BCType.CF: 1.0}
 
@@ -113,10 +114,12 @@ class FusedPlan:
     def _pick_bz(self, shape) -> Optional[int]:
         nz, ny, nx = shape
         plane = 4 * ((ny + 7) // 8 * 8) * ((nx + 127) // 128 * 128)
-        # double-buffered blocked bufs (phi, rhs, out ~ 6*bz planes) +
-        # halo blocks (~12) + W/RW scratch (2*bz+6) + plane temps (~8)
+        # empirical Mosaic live-set model for the vectorized kernel:
+        # ~4 window-sized buffers (window = bz + 2*hw + double-buffer
+        # slack); measured 23.4M at bz=16 W=20 on (128,128,512) vs the
+        # 16M scoped-vmem limit, and bz=8 (14.7M by this model) compiles
         for bz in range(min(nz // 2, 16), 1, -1):
-            if nz % bz == 0 and plane * (8 * bz + 26) <= _VMEM_BUDGET:
+            if nz % bz == 0 and 4 * plane * (bz + 6) <= _VMEM_BUDGET:
                 return bz
         return None
 
@@ -240,91 +243,85 @@ def _halo(arr, bz: int, width: int):
 
 
 def _slab_kernel(scal_ref, phi_ref, hm_ref, hp_ref, rhs_ref, rm_ref, rp_ref,
-                 out_ref, w_ref, rw_ref, *, plan: FusedPlan, weight: float,
+                 out_ref, *, plan: FusedPlan, weight: float,
                  residual_only: bool):
     """One full RB sweep (or residual) on slab i of bz planes.
 
-    w_ref: (bz + 2*hw, ny, nx) scratch assembled as [halo_lo | slab |
-    halo_hi]; the red pass runs one plane into each halo so the black pass
-    sees red-updated z-neighbors; out gets the slab planes only.
-    rw_ref: (bz + 2, ny, nx) rhs window [rm | rhs | rp]."""
+    Fully vectorized over the extended window [halo_lo | slab | halo_hi]
+    (no per-plane loop, no dynamic VMEM indexing — Mosaic pipelines whole-
+    block vector ops far better): the red half-update runs on the whole
+    window (one plane into each halo so the black half sees red-updated
+    z-neighbors), then the black half, then the slab interior is written
+    out."""
     alpha = scal_ref[0]
     beta = scal_ref[1]
     nz, ny, nx = plan.shape
     bz = plan.bz
     hw = 1 if residual_only else 2
+    W = bz + 2 * hw
     i = pl.program_id(0)
     z0 = i * bz
 
-    w_ref[0:hw] = hm_ref[0]
-    w_ref[hw:hw + bz] = phi_ref[...]
-    w_ref[hw + bz:bz + 2 * hw] = hp_ref[0]
-    rw_ref[0:1] = rm_ref[0]
-    rw_ref[1:1 + bz] = rhs_ref[...]
-    rw_ref[1 + bz:2 + bz] = rp_ref[0]
+    w = jnp.concatenate([hm_ref[0], phi_ref[...], hp_ref[0]], axis=0)
+    rw = jnp.concatenate([rm_ref[0], rhs_ref[...], rp_ref[0]], axis=0)
+    if hw == 2:
+        # rhs window carries 1 halo plane/side; pad to the phi window
+        zpad = jnp.zeros((1, ny, nx), rw.dtype)
+        rw = jnp.concatenate([zpad, rw, zpad], axis=0)
 
+    # masks at minimal rank ((W,1,1) z-varying, (ny,nx) in-plane) so the
+    # broadcasts happen at use sites instead of materializing full-window
+    # temporaries in VMEM
+    iz = jax.lax.broadcasted_iota(jnp.int32, (W, 1, 1), 0)
     iy = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 0)
     ix = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 1)
-    # in-plane (y, x) coefficients and face factors; z per plane
+    zg = iz + (z0 - hw)                   # global z index per plane
     cz, cy, cx = plan.coef
     wylo, wyhi = _w_lo_hi(iy, ny, plan.flo[1], plan.fhi[1], plan.periodic[1])
     wxlo, wxhi = _w_lo_hi(ix, nx, plan.flo[2], plan.fhi[2], plan.periodic[2])
-    diag2 = -(cy * (wylo + wyhi) + cx * (wxlo + wxhi))
-    par2 = iy + ix
+    wzlo = jnp.where(zg == 0, plan.flo[0], 1.0)
+    wzhi = jnp.where(zg == nz - 1, plan.fhi[0], 1.0)
+    diag = -(cy * (wylo + wyhi) + cx * (wxlo + wxhi)
+             + cz * (wzlo + wzhi))
+    valid = (zg >= 0) & (zg < nz)
+    parity = (ix + iy + zg) % 2
 
-    def plane_update(z, parity, write_out):
-        p = w_ref[z]
-        zg = z0 + z - hw     # global z index of this plane
-        yhi = _nbr(p, 0, +1, plan.periodic[1], iy)
-        ylo = _nbr(p, 0, -1, plan.periodic[1], iy)
-        xhi = _nbr(p, 1, +1, plan.periodic[2], ix)
-        xlo = _nbr(p, 1, -1, plan.periodic[2], ix)
+    def resid(p):
+        yhi = _nbr(p, 1, +1, plan.periodic[1], iy)
+        ylo = _nbr(p, 1, -1, plan.periodic[1], iy)
+        xhi = _nbr(p, 2, +1, plan.periodic[2], ix)
+        xlo = _nbr(p, 2, -1, plan.periodic[2], ix)
+        # z: window-internal shifts; halo planes are zero outside the
+        # domain and the boundary factor handles domain-edge coupling
+        zhi = _nbr(p, 0, +1, False, iz)
+        zlo = _nbr(p, 0, -1, False, iz)
         lap = (cy * (wyhi * (yhi - p) - wylo * (p - ylo))
-               + cx * (wxhi * (xhi - p) - wxlo * (p - xlo)))
-        # z neighbors: halo planes are zero outside the domain, and the
-        # boundary factor handles the domain-edge coupling
-        wzlo = jnp.where(zg == 0, plan.flo[0], 1.0)
-        wzhi = jnp.where(zg == nz - 1, plan.fhi[0], 1.0)
-        lap = lap + cz * (wzhi * (w_ref[z + 1] - p)
-                          - wzlo * (p - w_ref[z - 1]))
-        diag = diag2 - cz * (wzlo + wzhi)
-        r = rw_ref[zg - z0 + 1] - alpha * p - beta * lap
-        if residual_only:
-            out_ref[z - hw] = r
-            return 0
-        upd = p + (weight / (alpha + beta * diag)) * r
-        # out-of-domain halo planes must stay zero (the z-neighbor terms
-        # of the domain-edge planes rely on it), so gate on validity
-        valid = (zg >= 0) & (zg < nz)
-        mask = jnp.logical_and(((par2 + zg) % 2) == parity, valid)
-        res = jnp.where(mask, upd, p)
-        if write_out:
-            out_ref[z - hw] = res
-        else:
-            w_ref[z] = res
-        return 0
+               + cx * (wxhi * (xhi - p) - wxlo * (p - xlo))
+               + cz * (wzhi * (zhi - p) - wzlo * (p - zlo)))
+        return rw - alpha * p - beta * lap
 
     if residual_only:
-        jax.lax.fori_loop(hw, hw + bz,
-                          lambda z, _: plane_update(z, 0, True), 0)
+        out_ref[...] = resid(w)[hw:hw + bz]
         return
-    # red on the slab + 1 plane into each halo (in place in w): red cells
-    # read only opposite-parity neighbors, so in-place is exact
-    jax.lax.fori_loop(1, bz + 2 * hw - 1,
-                      lambda z, _: plane_update(z, 0, False), 0)
-    # black on the slab, straight to the output block
-    jax.lax.fori_loop(hw, hw + bz,
-                      lambda z, _: plane_update(z, 1, True), 0)
+
+    inv_den = weight / (alpha + beta * diag)
+
+    def half(p, par):
+        mask = jnp.logical_and(parity == par, valid)
+        return jnp.where(mask, p + inv_den * resid(p), p)
+
+    w = half(half(w, 0), 1)
+    out_ref[...] = w[hw:hw + bz]
 
 
 def _run_slab(plan: FusedPlan, phi, rhs, alpha, beta, weight,
-              residual_only, interpret):
+              residual_only, interpret, rhs_halo=None):
     bz = plan.bz
     nz, ny, nx = plan.shape
     nslab = nz // bz
     hw = 1 if residual_only else 2
     hm, hp = _halo(phi, bz, hw)
-    rm, rp = _halo(rhs, bz, 1)
+    rm, rp = rhs_halo if rhs_halo is not None else _halo(rhs, bz, 1)
     scal = jnp.stack([jnp.asarray(alpha, phi.dtype),
                       jnp.asarray(beta, phi.dtype)])
 
@@ -341,8 +338,6 @@ def _run_slab(plan: FusedPlan, phi, rhs, alpha, beta, weight,
                   sblk, hblk(hw), hblk(hw), sblk, hblk(1), hblk(1)],
         out_specs=sblk,
         out_shape=jax.ShapeDtypeStruct(phi.shape, phi.dtype),
-        scratch_shapes=[pltpu.VMEM((bz + 2 * hw, ny, nx), phi.dtype),
-                        pltpu.VMEM((bz + 2, ny, nx), phi.dtype)],
         interpret=interpret,
     )(scal, phi, hm, hp, rhs, rm, rp)
 
@@ -371,8 +366,11 @@ def gsrb_sweeps(plan: FusedPlan, phi, rhs, alpha, beta, iters: int,
         return _run_small(plan, phi, rhs, alpha, beta, iters, weight,
                           False, interpret)
 
+    rhs_halo = _halo(rhs, plan.bz, 1)   # loop-invariant: assemble once
+
     def body(_, p):
-        return _run_slab(plan, p, rhs, alpha, beta, weight, False, interpret)
+        return _run_slab(plan, p, rhs, alpha, beta, weight, False,
+                         interpret, rhs_halo=rhs_halo)
 
     return jax.lax.fori_loop(0, iters, body, phi)
 
