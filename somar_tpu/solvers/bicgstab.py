@@ -35,10 +35,22 @@ class BiCGStabParams:
     small: float = 1e-30   # bottom.small
     num_restarts: int = 5  # bottom.numRestarts
     stall_iters: int = 8   # iterations without a new best before restart
+    #: bottom.reps: secondary convergence floor relative to |rhs| — the
+    #: solve also exits when |r| <= reps * |rhs| (Chombo BiCGStabSolver's
+    #: m_reps small-RHS escape)
+    reps: float = 1e-12
+    #: bottom.normType: 0 = max norm, otherwise L2 (Chombo m_normType)
+    norm_type: int = 2
 
 
 def _dot(a, b):
     return jnp.sum(a.astype(jnp.float32) * b.astype(jnp.float32))
+
+
+def _norm(a, norm_type: int):
+    if norm_type == 0:
+        return jnp.max(jnp.abs(a))
+    return jnp.sqrt(_dot(a, a))
 
 
 def bicgstab(A: Callable, rhs, x0=None, M: Optional[Callable] = None,
@@ -57,8 +69,9 @@ def bicgstab(A: Callable, rhs, x0=None, M: Optional[Callable] = None,
     r = rhs - A(x)
     r0 = r                      # shadow residual
     rho = _dot(r0, r)
-    norm0 = jnp.sqrt(_dot(r, r))
+    norm0 = _norm(r, p.norm_type)
     norm0s = jnp.maximum(norm0, p.small)
+    normb = jnp.maximum(_norm(rhs, p.norm_type), p.small)
 
     prec = (lambda v: v) if M is None else M
 
@@ -72,7 +85,7 @@ def bicgstab(A: Callable, rhs, x0=None, M: Optional[Callable] = None,
 
     def cond(s):
         (_, _, _, _, _, _, _, _, rnorm, _, _, restarts, it) = s
-        unconverged = rnorm > p.eps * norm0s
+        unconverged = (rnorm > p.eps * norm0s) & (rnorm > p.reps * normb)
         return (it < p.imax) & unconverged & (restarts <= p.num_restarts)
 
     def body(s):
@@ -95,7 +108,7 @@ def bicgstab(A: Callable, rhs, x0=None, M: Optional[Callable] = None,
         if remove_mean:
             x = x - jnp.mean(x)
         r = s_vec - omega * t
-        rnew = jnp.sqrt(_dot(r, r))
+        rnew = _norm(r, p.norm_type)
 
         improved = rnew < (1.0 - p.hang) * rbest
         rbest = jnp.minimum(rbest, rnew)
@@ -108,7 +121,7 @@ def bicgstab(A: Callable, rhs, x0=None, M: Optional[Callable] = None,
             r = rhs - A(x)
             rho = _dot(r, r)
             return (x, r, r, jnp.zeros_like(r), jnp.zeros_like(r), rho,
-                    one, one, jnp.sqrt(_dot(r, r)), restarts + 1,
+                    one, one, _norm(r, p.norm_type), restarts + 1,
                     jnp.asarray(0))
 
         def no_restart(args):

@@ -123,10 +123,14 @@ class MGParams:
     max_depth: int = -1          # AMRMG.maxDepth
     relax_mode: str = "gsrb"     # -1 none / 0 jacobi / 1 gsrb / 3 line
     verbosity: int = 0
-    # AMRMG.num_smooth_precond / AMRMG.precond_mode: accepted for input
-    # -file compatibility (the reference preconditions its Krylov solvers
-    # with MG sweeps / DIAGPRECOND, MappedAMRPoissonOp.H); this MG uses
-    # its relax_mode smoother directly.
+    #: MG bottom solver: "bicgstab" (reference parity — AMRPressureSolver
+    #: registers a BiCGStabSolver as the AMRMG bottom,
+    #: AMRPressureSolver.cpp:253-287) or "smooth" (num_smooth_bottom
+    #: sweeps only; adequate on isotropic Cartesian coarse levels)
+    bottom_solver: str = "bicgstab"
+    # Preconditioning of the Krylov bottom solve: num_smooth_precond
+    # relax sweeps in precond_mode (-1 none / 0 jacobi / 1 gsrb / 3
+    # line), mirroring MappedAMRPoissonOp::preCond's smoother hooks.
     num_smooth_precond: int = 2
     precond_mode: int = 1
     # Krylov (BiCGStab) bottom/fallback solver knobs (reference: the
@@ -135,10 +139,18 @@ class MGParams:
     bottom_imax: int = 80        # bottom.imax
     bottom_hang: float = 1e-8    # bottom.hang
     bottom_small: float = 1e-30  # bottom.small
-    bottom_reps: float = 1e-12   # bottom.reps (relative eps)
-    bottom_num_restarts: int = 5     # bottom.numRestarts (accepted)
-    bottom_norm_type: int = 2        # bottom.normType (accepted; L2 used)
+    bottom_reps: float = 1e-12   # bottom.reps (secondary |rhs|-rel floor)
+    bottom_num_restarts: int = 5     # bottom.numRestarts
+    bottom_norm_type: int = 2        # bottom.normType (0 max / 2 L2)
     bottom_verbosity: int = 0        # bottom.verbosity
+
+    def bottom_params(self):
+        from somar_tpu.solvers.bicgstab import BiCGStabParams
+        return BiCGStabParams(
+            eps=self.bottom_eps, imax=self.bottom_imax,
+            hang=self.bottom_hang, small=self.bottom_small,
+            num_restarts=self.bottom_num_restarts,
+            reps=self.bottom_reps, norm_type=self.bottom_norm_type)
 
 
 class LevelMultigrid:
@@ -186,8 +198,8 @@ class LevelMultigrid:
         p = self.params
         jd = deltas[lev] if deltas is not None else None
         if lev == self.depth - 1:
-            return op.relax(phi, rhs, alpha, beta, p.num_smooth_bottom,
-                            p.relax_mode, jgup_delta=jd)
+            return self._bottom_solve(op, phi, rhs, alpha, beta, singular,
+                                      jd)
 
         phi = op.relax(phi, rhs, alpha, beta, p.num_smooth_down, p.relax_mode,
                        jgup_delta=jd)
@@ -205,6 +217,48 @@ class LevelMultigrid:
         phi = op.relax(phi, rhs, alpha, beta, p.num_smooth_up, p.relax_mode,
                        jgup_delta=jd)
         return phi
+
+    # -------------------------------------------------------- bottom solve
+    def _bottom_solve(self, op: PoissonOp, phi, rhs, alpha, beta,
+                      singular: bool, jd):
+        """Coarsest-level solve.  Default: a few smooths then BiCGStab to
+        bottom.eps, relax-preconditioned — the reference feeds a
+        BiCGStabSolver to AMRMG as the bottom solver
+        (AMRPressureSolver.cpp:253-287); smoothing-only bottoms stall MG
+        on stretched/terrain-following coarse levels where the coarsest
+        operator is still strongly anisotropic."""
+        p = self.params
+        if p.bottom_solver != "bicgstab":
+            return op.relax(phi, rhs, alpha, beta, p.num_smooth_bottom,
+                            p.relax_mode, jgup_delta=jd)
+        # cheap pre-smooth knocks out the high-frequency component
+        phi = op.relax(phi, rhs, alpha, beta, max(2, p.num_smooth_down),
+                       p.relax_mode, jgup_delta=jd)
+
+        def A(x):
+            return op.apply(x, alpha, beta, jgup_delta=jd)
+
+        M = None
+        if p.num_smooth_precond > 0 and p.precond_mode >= 0:
+            pm = {0: "jacobi", 1: "gsrb", 3: "line"}.get(
+                p.precond_mode, p.relax_mode)
+
+            def M(v):
+                return op.relax(jnp.zeros_like(v), v, alpha, beta,
+                                p.num_smooth_precond, pm, jgup_delta=jd)
+
+        from somar_tpu.solvers.bicgstab import bicgstab
+        r = op.residual(phi, rhs, alpha, beta, jgup_delta=jd)
+        if singular:
+            r = op.compat_project(r)
+        e, (its, relres) = bicgstab(A, r, M=M, params=p.bottom_params())
+        if p.bottom_verbosity >= 2:
+            from somar_tpu.utils.printing import debug_print
+            debug_print("    MG bottom BiCGStab: {it} iters, relres {r:.2e}",
+                        it=its, r=relres)
+        if singular:
+            e = e - jnp.mean(e)
+        return phi + e
 
     # --------------------------------------------------------------- solve
     def solve(self, rhs, phi0=None, alpha=0.0, beta=1.0,
