@@ -35,8 +35,10 @@ from somar_tpu.ops.stencil import mac_divergence, mac_gradient, slc
 
 
 def _use_fused_gsrb() -> bool:
-    """Fused Pallas smoother/residual: default on TPU, env-overridable
-    (SOMAR_FUSED_GSRB=0/1)."""
+    """Fused Pallas smoother/residual: on TPU when the trace is
+    shard-local (parallel/pallas_gate.py — Pallas custom calls are
+    unpartitionable under GSPMD).  Env-overridable (SOMAR_FUSED_GSRB=0/1).
+    """
     import os
     flag = os.environ.get("SOMAR_FUSED_GSRB", "")
     if flag in ("0", "off"):
@@ -44,9 +46,12 @@ def _use_fused_gsrb() -> bool:
     if flag in ("1", "on"):
         return True
     try:
-        return jax.default_backend() == "tpu"
+        if jax.default_backend() != "tpu":
+            return False
     except Exception:
         return False
+    from somar_tpu.parallel.pallas_gate import default_allowed
+    return default_allowed()
 
 
 class PoissonOp:
@@ -71,9 +76,18 @@ class PoissonOp:
         # ops/gsrb_pallas.py): one HBM round trip per red+black sweep vs
         # the jnp path's residual-per-half-sweep with pad relayouts
         self._fused_plan = None
+        self._stencil_plan = None
         if _use_fused_gsrb():
             from somar_tpu.ops.gsrb_pallas import make_plan
             self._fused_plan = make_plan(self.grid, self.hom_bcs, geo)
+            if self._fused_plan is None:
+                # mapped metrics (array-coefficient / non-diagonal Jgup):
+                # probe-extracted stencil kernels, exact vs the jnp path
+                # (ops/stencil_gsrb_pallas.py); requires concrete geometry
+                from somar_tpu.ops.stencil_gsrb_pallas import \
+                    build_stencil_plan
+                with jax.ensure_compile_time_eval():
+                    self._stencil_plan = build_stencil_plan(self)
 
     # ------------------------------------------------------------ operator
     def apply(self, phi, alpha=0.0, beta=1.0, homogeneous: bool = True,
@@ -86,10 +100,14 @@ class PoissonOp:
 
     def residual(self, phi, rhs, alpha=0.0, beta=1.0, homogeneous: bool = True,
                  jgup_delta=None):
-        if (self._fused_plan is not None and homogeneous
-                and jgup_delta is None):
-            from somar_tpu.ops.gsrb_pallas import helm_residual
-            return helm_residual(self._fused_plan, phi, rhs, alpha, beta)
+        if homogeneous and jgup_delta is None:
+            if self._fused_plan is not None:
+                from somar_tpu.ops.gsrb_pallas import helm_residual
+                return helm_residual(self._fused_plan, phi, rhs, alpha, beta)
+            if self._stencil_plan is not None:
+                from somar_tpu.ops.stencil_gsrb_pallas import helm_residual
+                return helm_residual(self._stencil_plan, phi, rhs, alpha,
+                                     beta)
         return rhs - self.apply(phi, alpha, beta, homogeneous, jgup_delta)
 
     def compat_project(self, rhs):
@@ -184,10 +202,15 @@ class PoissonOp:
     def relax_gsrb(self, phi, rhs, alpha, beta, iters: int,
                    weight: float = 1.0, jgup_delta=None):
         """Red-black Gauss-Seidel (reference: LevelGSRB, GSRBITER*)."""
-        if self._fused_plan is not None and jgup_delta is None:
-            from somar_tpu.ops.gsrb_pallas import gsrb_sweeps
-            return gsrb_sweeps(self._fused_plan, phi, rhs, alpha, beta,
-                               iters, weight)
+        if jgup_delta is None:
+            if self._fused_plan is not None:
+                from somar_tpu.ops.gsrb_pallas import gsrb_sweeps
+                return gsrb_sweeps(self._fused_plan, phi, rhs, alpha, beta,
+                                   iters, weight)
+            if self._stencil_plan is not None:
+                from somar_tpu.ops.stencil_gsrb_pallas import gsrb_sweeps
+                return gsrb_sweeps(self._stencil_plan, phi, rhs, alpha,
+                                   beta, iters, weight)
         red, black = self._rb_masks
         inv_diag = weight / self.diag(alpha, beta, jgup_delta)
 
