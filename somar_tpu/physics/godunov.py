@@ -41,7 +41,10 @@ ADVECT_GROW = 4
 
 
 def _use_pallas_predictor() -> bool:
-    """Fused Pallas PPM predictor: default on TPU, env-overridable."""
+    """Fused Pallas PPM predictor: on TPU when the trace is shard-local
+    (inside a shard_map island, or the process owns one device — see
+    parallel/pallas_gate.py: Pallas custom calls are unpartitionable
+    under GSPMD).  Env-overridable with SOMAR_PALLAS=0/1."""
     import os
     flag = os.environ.get("SOMAR_PALLAS", "")
     if flag in ("0", "off"):
@@ -50,9 +53,21 @@ def _use_pallas_predictor() -> bool:
         return True
     import jax
     try:
-        return jax.default_backend() == "tpu"
+        if jax.default_backend() != "tpu":
+            return False
     except Exception:
         return False
+    from somar_tpu.parallel.pallas_gate import default_allowed
+    return default_allowed()
+
+
+def _pallas_interpret() -> bool:
+    """Off-TPU (e.g. SOMAR_PALLAS=on in a CPU multichip dryrun) the CTU
+    kernels run through the Pallas interpreter."""
+    try:
+        return jax.default_backend() != "tpu"
+    except Exception:
+        return True
 
 
 @dataclasses.dataclass(frozen=True)
@@ -116,6 +131,37 @@ def _fourth_order_slope(smm, sm, s0, sp, spp, limit: bool):
     lim = 2.0 * jnp.minimum(jnp.abs(dl), jnp.abs(dr))
     mono = (dl * dr) > 0.0
     return jnp.where(mono, jnp.sign(d4) * jnp.minimum(jnp.abs(d4), lim), 0.0)
+
+
+def _ext_preserving_slope(dwc, smm, sm, s0, sp, spp):
+    """Extremum-preserving van Leer limiting of a centered (or 4th-order)
+    slope `dwc` (reference: slopeLimiterExtPreserving /
+    ExtPreservingVanLeerLimiterF, MappedGodunovUtilities.H:155,
+    MappedGodunovUtilitiesF.ChF:188; Colella & Sekora 2008): where
+    adjacent one-sided differences change sign (a resolved extremum) the
+    slope is limited by SECOND differences instead of being zeroed, so
+    genuine smooth extrema keep their accuracy while discontinuities
+    remain clipped."""
+    dwl = s0 - sm
+    dwll = sm - smm
+    dwr = sp - s0
+    dwrr = spp - sp
+    dpmin = jnp.minimum(dwl * dwr, dwll * dwrr)
+    # extremum branch: limit via second differences
+    dw2l = dwl - dwll
+    dw2c = 0.5 * (dwr - dwl)
+    dw2r = dwrr - dwr
+    s2 = jnp.sign(dw2c)
+    dw2lim = jnp.minimum(jnp.abs(dw2c),
+                         jnp.minimum(jnp.maximum(s2 * dw2l, 0.0),
+                                     jnp.maximum(s2 * dw2r, 0.0)))
+    dwvl = 1.25 * 1.5 * dw2lim
+    dwlim_ext = jnp.where(s2 * dwc < 0.0,
+                          jnp.minimum(dwvl, 2.0 * jnp.abs(dwl)),
+                          jnp.minimum(dwvl, 2.0 * jnp.abs(dwr)))
+    dwlim_mono = 2.0 * jnp.minimum(jnp.abs(dwl), jnp.abs(dwr))
+    dwlim = jnp.where(dpmin < 0.0, dwlim_ext, dwlim_mono)
+    return jnp.sign(dwc) * jnp.minimum(jnp.abs(dwc), dwlim)
 
 
 def _cc_deriv(face_arr, ax: int, dx: float):
@@ -217,6 +263,7 @@ def trace_face_states(
     # CTU stage 2 / dt/2 in 2D where it IS the stage-3 correction)
     use_pallas = (params.normal_pred_order == 2
                   and params.use_upwinding
+                  and not params.use_high_order_limiter
                   and _use_pallas_predictor())
     coef = dt / 3.0 if ndim == 3 else dt / 2.0
     lo1, hi1, corr2 = [], [], []
@@ -227,7 +274,8 @@ def trace_face_states(
             from somar_tpu.ops.pallas_kernels import ppm_predict_pallas
             got = ppm_predict_pallas(
                 sp, u_pad[d], dt / grid.dx[d], ax, params.use_limiting,
-                corr_coef_over_dx=coef / grid.dx[d])
+                corr_coef_over_dx=coef / grid.dx[d],
+                interpret=_pallas_interpret())
         if got is None:
             # jnp predictor (full padded tangential extent kept: the
             # transverse stages need ghost coverage)
@@ -262,7 +310,8 @@ def trace_face_states(
                 from somar_tpu.ops.pallas_kernels import ctu_corr3_pallas
                 got = ctu_corr3_pallas(
                     lo1[j], hi1[j], u_pad[j], [corr2[k] for k in ks],
-                    (dt / 2.0) / grid.dx[j], axj)
+                    (dt / 2.0) / grid.dx[j], axj,
+                    interpret=_pallas_interpret())
             if got is None:
                 got = []
                 for k in ks:
@@ -292,7 +341,8 @@ def trace_face_states(
                                    src_pad, 0.5 * dt, ax,
                                    want_pre=return_pre_riemann,
                                    want_rie=want_rie_d,
-                                   want_div=want_div)
+                                   want_div=want_div,
+                                   interpret=_pallas_interpret())
         if got is not None:
             i = 0
             if want_rie_d or want_div:
@@ -348,8 +398,11 @@ def _normal_predict_fullpad(sp, u_pad, ax: int, G: int, dx: float, dt: float,
     """Like _normal_predict but on the full padded array: produces face
     states on all interior-computable faces of the padded array (losing
     `need` cells each side along ax, keeping tangential padding)."""
-    need = 2 if params.normal_pred_order == 2 else (
-        2 if params.use_fourth_order_slopes else 1)
+    hol = params.use_high_order_limiter and params.use_limiting
+    if params.normal_pred_order == 2:
+        need = 3 if hol else 2
+    else:
+        need = 2 if (params.use_fourth_order_slopes or hol) else 1
     n_pad = sp.shape[ax]
     ncell = n_pad - 2 * need
 
@@ -364,7 +417,16 @@ def _normal_predict_fullpad(sp, u_pad, ax: int, G: int, dx: float, dt: float,
         splus = s0
         sminus = s0
     elif params.normal_pred_order == 1:
-        if params.use_fourth_order_slopes:
+        if hol:
+            # extremum-preserving limit of the raw (unlimited) slope
+            if params.use_fourth_order_slopes:
+                raw = _fourth_order_slope(cell(-2), cell(-1), s0, cell(1),
+                                          cell(2), False)
+            else:
+                raw = 0.5 * (cell(1) - cell(-1))
+            d = _ext_preserving_slope(raw, cell(-2), cell(-1), s0,
+                                      cell(1), cell(2))
+        elif params.use_fourth_order_slopes:
             d = _fourth_order_slope(cell(-2), cell(-1), s0, cell(1), cell(2),
                                     params.use_limiting)
         else:
@@ -378,7 +440,69 @@ def _normal_predict_fullpad(sp, u_pad, ax: int, G: int, dx: float, dt: float,
 
         sR = face(0)
         sL = face(-1)
-        if params.use_limiting:
+        if hol:
+            # Colella-Sekora (2008) extremum-preserving cubic limiter
+            # (reference: MappedGodunovUtilities::PPMLimiter high-order
+            # branch + CheckCubicLimiterF, limitC=1.25 c3=0.1 eps=1e-12):
+            # genuine smooth extrema are rescaled by rho = D2lim/D2fcf
+            # instead of flattened; discontinuities still clip to the
+            # standard parabola bounds.
+            limitC, c3, eps = 1.25, 0.1, 1e-12
+            dWM = sL - s0
+            dWP = sR - s0
+
+            def d2(k):
+                return cell(k - 1) - 2.0 * cell(k) + cell(k + 1)
+
+            d2WLL, d2WL, d2WC = d2(-2), d2(-1), d2(0)
+            d2WR, d2WRR = d2(1), d2(2)
+            fcf = 6.0 * (dWM + dWP)     # D2 of the face-cell-face parabola
+            bigM = jnp.abs(dWM) > 2.0 * jnp.abs(dWP)
+            bigP = jnp.abs(dWP) > 2.0 * jnp.abs(dWM)
+            prodE1 = dWM * dWP
+            prodE2 = (s0 - cell(-2)) * (cell(2) - s0)
+            extremum = (prodE1 >= 0.0) | (prodE2 <= 0.0)
+            sC = jnp.sign(d2WC)
+            same = ((jnp.sign(d2WL) == sC) & (jnp.sign(d2WR) == sC)
+                    & (jnp.sign(fcf) == sC))
+            d2Wlim = sC * jnp.minimum(
+                jnp.abs(fcf),
+                limitC * jnp.minimum(jnp.abs(d2WC),
+                                     jnp.minimum(jnp.abs(d2WL),
+                                                 jnp.abs(d2WR))))
+            nonzero = jnp.abs(fcf) >= eps
+            rho = jnp.where(same & nonzero,
+                            d2Wlim / jnp.where(nonzero, fcf, 1.0), 0.0)
+            # third-derivative check: near a cubic profile, leave alone
+            d3WLL = d2WL - d2WLL
+            d3WL = d2WC - d2WL
+            d3WR = d2WR - d2WC
+            d3WRR = d2WRR - d2WR
+            d3min = jnp.minimum(jnp.minimum(d3WLL, d3WL),
+                                jnp.minimum(d3WR, d3WRR))
+            d3max = jnp.maximum(jnp.maximum(d3WLL, d3WL),
+                                jnp.maximum(d3WR, d3WRR))
+            prodD3 = (c3 * jnp.maximum(jnp.abs(d3max), jnp.abs(d3min))
+                      - jnp.abs(d3max - d3min))
+            mod = extremum & (rho < 1.0 - eps) & (prodD3 <= 0.0)
+            shrink = prodE1 > 0.0
+            dWMn = jnp.where(
+                mod,
+                jnp.where(shrink, dWM * rho,
+                          jnp.where(bigM,
+                                    dWM * rho - 2.0 * dWP * (1.0 - rho),
+                                    dWM)),
+                jnp.where(~extremum & bigM, -2.0 * dWP, dWM))
+            dWPn = jnp.where(
+                mod,
+                jnp.where(shrink, dWP * rho,
+                          jnp.where(bigP,
+                                    dWP * rho - 2.0 * dWM * (1.0 - rho),
+                                    dWP)),
+                jnp.where(~extremum & bigP, -2.0 * dWM, dWP))
+            sL = s0 + dWMn
+            sR = s0 + dWPn
+        elif params.use_limiting:
             flat = (sR - s0) * (s0 - sL) <= 0.0
             dsum = sR - sL
             s6_t = 6.0 * (s0 - 0.5 * (sL + sR))
@@ -567,6 +691,7 @@ def trace_face_states_batched(
 
     use_pallas = (params.normal_pred_order == 2
                   and params.use_upwinding
+                  and not params.use_high_order_limiter
                   and _use_pallas_predictor())
     riem = _riemann if params.use_upwinding else _riemann_avg
     coef = dt / 3.0 if ndim == 3 else dt / 2.0
