@@ -52,14 +52,20 @@ class CompositeParams:
     purpose: str = "sync"   # per-level solver-params namespace
     #: FAS tau-correction of covered coarse cells.  True for direct
     #: elliptic solves (converges past the O(h^2) Schwarz fixed point).
-    #: MUST be False for solves inside the approximate-CC-projection
-    #: feedback loop (sync projection, VD): replacing the covered coarse
-    #: RHS with the restricted fine equation there over-corrects
-    #: divergence the coarse velocity does not have, and the per-step
-    #: re-average feedback amplifies it into a CF-interface instability
-    #: (measured: 2-level lock exchange blows up by step ~60 with tau,
-    #: runs clean without).
     use_tau: bool = True
+    #: Elliptic reflux: replace the coarse flux on coarse-fine interface
+    #: faces with the averaged fine flux in the coarse equation at the
+    #: UNCOVERED cells adjacent to the interface (reference:
+    #: MappedAMRPoissonOp::AMRResidual's reflux step,
+    #: MappedAMRPoissonOp.cpp AMROperator/reflux).  Without it the tau
+    #: correction alone leaves the composite operator flux-inconsistent
+    #: exactly at the interface: the covered-cell equation is the fine
+    #: operator's, but the neighboring uncovered cell still differences
+    #: the COARSE flux across the shared face — the mismatch acts as a
+    #: spurious interface source, which the sync-projection feedback loop
+    #: amplifies step over step (round-2 measured blow-up of the 2-level
+    #: lock exchange by step ~60 with tau on / reflux absent).
+    use_reflux: bool = True
 
 
 class AMRCompositeSolver:
@@ -114,51 +120,107 @@ class AMRCompositeSolver:
                 origin_c)
         return mask
 
+    def _reflux_fold(self, c, level, par_level, phi_f, ring, ph_par,
+                     origin_f, target, sign, weight=None):
+        """Fold the CF-interface flux deficit
+
+            delta F = <F_fine(phi_f; ring ghosts)> - F_coarse(phi_par)
+
+        into `target` (a parent-shaped CC array) at the uncovered cells
+        adjacent to the interface: target += sign * Jinv * (+/-)deltaF/dx
+        with `sign=-1` building the composite OPERATOR L_comp = L_par +
+        refluxcorr and `sign=+1` the residual/RHS fold rhs - refluxcorr.
+        The dense analog of MappedAMRPoissonOp's elliptic reflux
+        (LevelFluxRegister fed with Jgup grad phi on both sides,
+        MappedAMRPoissonOp.cpp reflux); reuses the advective
+        PatchFluxRegister since the deficit algebra is identical."""
+        from somar_tpu.amr.flux_register import PatchFluxRegister
+        fr = PatchFluxRegister(c)
+        reg = fr.zeros()
+        grad_f = level.projector._grad_with_ring(phi_f, ring)
+        reg = fr.increment_fine(reg, grad_f, 1.0)
+        grad_c = par_level.projector._grad_with_ring(ph_par, None)
+        reg = fr.increment_coarse(reg, grad_c, origin_f)
+        dt = sign if weight is None else sign * weight
+        return fr.reflux(target, reg, origin_f, dt,
+                         par_level.projector.op.geo)
+
     def composite_residual(self, phis, rhss, origins, geos=None,
                            weights=None, parent_sels=None):
         """Max-norm of the composite residual (covered parent cells
-        masked; CF ghosts from the parent's current solution)."""
+        masked; CF ghosts from the parent's current solution; parent
+        cells adjacent to the interface reflux-corrected so the norm
+        measures the COMPOSITE operator — reference: AMRResidual's
+        reflux step)."""
         h = self.h
+        p = self.params
         levels = self._levels(geos)
-        r0 = h.level0.projector.op.residual(phis[0], rhss[0])
-        if len(h.couplings) > 0:
-            r0 = jnp.where(self._covered_mask(-1, origins, weights),
-                           0.0, r0)
-        worst = jnp.max(jnp.abs(r0))
-        parent_phis = [phis[0]]
+        # pass 1: per-level residual arrays (stacked over K when K > 1),
+        # parents reflux-corrected at CF-adjacent cells
+        res = [h.level0.projector.op.residual(phis[0], rhss[0])]
         parent_K = 1
         for lev, c in enumerate(h.couplings):
             level = levels[lev]
+            par_level = h.level0 if lev == 0 else levels[lev - 1]
             K = c.K
             org = origins[lev]
             psel = (parent_sels[lev]
                     if (parent_sels is not None and parent_K > 1
                         and parent_sels[lev] is not None) else None)
-            new_parents = []
+            rrs = []
+            par_res = res[lev]
             for k in range(K):
                 phi_f = phis[lev + 1][k] if K > 1 else phis[lev + 1]
                 rhs_f = rhss[lev + 1][k] if K > 1 else rhss[lev + 1]
+                ok = org[k] if K > 1 else org
                 if parent_K == 1:
-                    ph_par = parent_phis[0]
+                    ph_par = phis[lev]
+                    pk = None
                 else:
-                    p = (psel[k] if psel is not None
-                         else jnp.zeros((), jnp.int32))
+                    pk = (psel[k] if psel is not None
+                          else jnp.zeros((), jnp.int32))
                     ph_par = jax.lax.dynamic_index_in_dim(
-                        jnp.stack(parent_phis), p, 0, keepdims=False) \
-                        if len(parent_phis) > 1 else parent_phis[0]
-                ring = c._ring(ph_par, org[k] if K > 1 else org)
+                        phis[lev], pk, 0, keepdims=False)
+                ring = c._ring(ph_par, ok)
                 rr = level.projector.op.residual(
                     phi_f, rhs_f - level.projector._rhs_ring_correction(
                         ring))
-                if lev + 1 < len(h.couplings):
-                    rr = jnp.where(self._covered_mask(lev, origins,
-                                                      weights), 0.0, rr)
-                wk = (weights[lev][k]
-                      if (weights is not None and K > 1) else 1.0)
-                worst = jnp.maximum(worst, jnp.max(jnp.abs(rr)) * wk)
-                new_parents.append(phi_f)
-            parent_phis = new_parents
+                rrs.append(rr)
+                if p.use_reflux:
+                    wk = (weights[lev][k]
+                          if (weights is not None and K > 1) else None)
+                    if parent_K == 1:
+                        par_res = self._reflux_fold(
+                            c, level, par_level, phi_f, ring, ph_par, ok,
+                            par_res, +1.0, wk)
+                    else:
+                        cur = jax.lax.dynamic_index_in_dim(
+                            par_res, pk, 0, keepdims=False)
+                        cur = self._reflux_fold(
+                            c, level, par_level, phi_f, ring, ph_par, ok,
+                            cur, +1.0, wk)
+                        par_res = jax.lax.dynamic_update_index_in_dim(
+                            par_res, cur, pk, 0)
+            res[lev] = par_res
+            res.append(jnp.stack(rrs) if K > 1 else rrs[0])
             parent_K = K
+        # pass 2: covered-cell masking, per-patch weighting, max norm
+        worst = None
+        for lv, r in enumerate(res):
+            if lv < len(h.couplings):
+                mask = self._covered_mask(lv - 1, origins, weights)
+                r = jnp.where(mask, 0.0, r)
+            if lv == 0:
+                worst = jnp.max(jnp.abs(r))
+                continue
+            K = h.couplings[lv - 1].K
+            if K > 1:
+                m = jnp.max(jnp.abs(r), axis=tuple(range(1, r.ndim)))
+                w = (weights[lv - 1] if weights is not None
+                     else jnp.ones_like(m))
+                worst = jnp.maximum(worst, jnp.max(m * w))
+            else:
+                worst = jnp.maximum(worst, jnp.max(jnp.abs(r)))
         return worst
 
     # ------------------------------------------------------------- solve
@@ -246,20 +308,33 @@ class AMRCompositeSolver:
                     par_entry = jax.lax.dynamic_index_in_dim(
                         new_par, pk, 0, keepdims=False)
                 ring = c._ring(ph_par, ok)
-                rf = rhs_f - (level.projector.op.apply(phi_f)
-                              + level.projector._rhs_ring_correction(ring))
-                block = extract_patch(rf, int_start, int_shape)
-                Rrf = restrict_average(block, c.ext_grid, c.ratio)
-                origin_c = tuple((ok[ax] + int_start[ax])
-                                 // c._axis_ratio(ax)
-                                 for ax in range(ndim))
-                tau = extract_patch(apply_par, origin_c, Rrf.shape) + Rrf
-                if weights is not None and K > 1:
-                    cur = extract_patch(par_entry, origin_c, Rrf.shape)
-                    tau = cur + weights[lev][k] * (tau - cur)
-                par_entry = insert_patch(par_entry,
-                                         tau.astype(par_entry.dtype),
-                                         origin_c)
+                wk = (weights[lev][k]
+                      if (weights is not None and K > 1) else None)
+                if self.params.use_tau:
+                    rf = rhs_f - (level.projector.op.apply(phi_f)
+                                  + level.projector._rhs_ring_correction(
+                                      ring))
+                    block = extract_patch(rf, int_start, int_shape)
+                    Rrf = restrict_average(block, c.ext_grid, c.ratio)
+                    origin_c = tuple((ok[ax] + int_start[ax])
+                                     // c._axis_ratio(ax)
+                                     for ax in range(ndim))
+                    tau = extract_patch(apply_par, origin_c, Rrf.shape) \
+                        + Rrf
+                    if wk is not None:
+                        cur = extract_patch(par_entry, origin_c, Rrf.shape)
+                        tau = cur + wk * (tau - cur)
+                    par_entry = insert_patch(par_entry,
+                                             tau.astype(par_entry.dtype),
+                                             origin_c)
+                if self.params.use_reflux:
+                    # defect-correct the UNCOVERED interface-adjacent
+                    # cells: the coarse solve's rhs carries the (lagged)
+                    # fine-vs-coarse flux deficit so its solution matches
+                    # the composite operator (AMRResidual's reflux)
+                    par_entry = self._reflux_fold(
+                        c, level, par_level, phi_f, ring, ph_par, ok,
+                        par_entry, +1.0, wk)
                 if parent_K == 1:
                     new_par = par_entry
                 else:
@@ -281,10 +356,10 @@ class AMRCompositeSolver:
 
         def one_pass(phis):
             phis = list(phis)
-            # FAS tau-correction from the CURRENT iterate (see
-            # _effective_rhss), then top-down level solves with
-            # parent-ring CF ghosts
-            if p.use_tau:
+            # FAS tau-correction + elliptic-reflux defect correction from
+            # the CURRENT iterate (see _effective_rhss), then top-down
+            # level solves with parent-ring CF ghosts
+            if p.use_tau or p.use_reflux:
                 eff = self._effective_rhss(phis, rhss, origins, levels,
                                            weights, parent_sels)
             else:

@@ -695,7 +695,9 @@ class AMRHierarchy:
                  do_sync_projection: bool = True,
                  sync_projection_iters: int = 1,
                  sync_composite_iters: int = 2,
-                 grid_buffer_size: int = 0):
+                 grid_buffer_size: int = 0,
+                 sync_use_tau: bool = True,
+                 sync_use_reflux: bool = True):
         """reflux: which advective fluxes get CF conservation corrections
         — any of "vel", "scalars", "lam" (reference knobs
         amr.advective_momentum/scalar/lambda_reflux; the shipped
@@ -721,6 +723,16 @@ class AMRHierarchy:
         #: tau-corrected passes inside each sync/init projection's
         #: composite potential solve (AMRMG AMRVCycle count analog)
         self.sync_composite_iters = max(1, int(sync_composite_iters))
+        #: FAS tau + elliptic reflux inside the sync/VD composite solves
+        #: (reference: MappedAMRMultiGrid's AMRVCycle is FAS everywhere
+        #: and AMRResidual refluxes).  Round 2 gated tau OFF after a
+        #: measured blow-up; root cause was the MISSING elliptic reflux —
+        #: tau without it leaves the composite operator flux-inconsistent
+        #: at the interface (see amr/composite.py CompositeParams).
+        self.sync_use_tau = bool(sync_use_tau)
+        self.sync_use_reflux = bool(sync_use_reflux)
+        #: shard_map advection island for the base level (attach_mesh)
+        self._sharded0 = None
         if self.eta_lambda > 0.0:
             self.level0.use_vd_correction = True
         self.grid0: Grid = geo0.grid
@@ -905,7 +917,12 @@ class AMRHierarchy:
                         regs_pp[k][key] = freg.increment_fine(
                             regs_pp[k][key], flux, 1.0 / nt)
                 else:
-                    s_f = level.advance(s_f, dt_f, rings=rings)
+                    sh = (getattr(c, "_sharded_step", None)
+                          if level is c.level else None)
+                    if sh is not None:
+                        s_f = sh.advance(s_f, dt_f, rings=rings)
+                    else:
+                        s_f = level.advance(s_f, dt_f, rings=rings)
                 patches[k] = s_f
             if has_child:
                 # deeper couplings subcycle inside this substep, between
@@ -1010,6 +1027,46 @@ class AMRHierarchy:
             items.append((("lam",), fluxes["lam"]))
         return items
 
+    def attach_mesh(self, mesh) -> int:
+        """Wire shard_map advection islands (parallel/sharded_step.py)
+        into the hierarchy's level advances — the AMR analog of the
+        single-level island step: each level's PPM/CTU Pallas kernels run
+        shard-local inside shard_map with explicit ppermute halos, while
+        the elliptic solves and all CF transfer machinery stay GSPMD.
+        This is the TPU-native counterpart of the reference running its
+        WHOLE hierarchy under MPI (LoadBalance assigns fine boxes to
+        ranks too, AMRNavierStokesRegrid.cpp:40-56).
+
+        Levels that cannot island (mapped metric, VD-corrected advecting
+        velocities, indivisible extents, non-PPM) stay on the GSPMD jnp
+        step — correct by the Pallas shard-locality gate
+        (parallel/pallas_gate.py), just slower.  Refluxing levels also
+        stay on the jnp step (the register increments consume global
+        flux arrays).  Returns the number of levels upgraded."""
+        from somar_tpu.parallel.sharded_step import ShardedNSStep
+        from somar_tpu.utils.printing import pout
+        n = 0
+        entries = [("level 0", self.level0, None)] + [
+            (f"level {i + 1}", c.level, c)
+            for i, c in enumerate(self.couplings)]
+        for name, lvl, c in entries:
+            if c is not None and c.is_mapped:
+                continue
+            if getattr(lvl, "use_vd_correction", False):
+                continue
+            try:
+                sh = ShardedNSStep(lvl, mesh)
+            except AssertionError as e:
+                pout(f"AMR shard_map island unavailable on {name} "
+                     f"({e}); GSPMD jnp step")
+                continue
+            if c is None:
+                self._sharded0 = sh
+            else:
+                c._sharded_step = sh
+            n += 1
+        return n
+
     def advance(self, s0: NSState, fine_states, origins, dt, geos=None,
                 weights=None, nt_mults=None, parent_sels=None):
         """One coarse step + nested subcycled fine steps + synchronization.
@@ -1040,6 +1097,9 @@ class AMRHierarchy:
         s0_old = s0
         if self.reflux_fields:
             s0_new, fl0 = level0.advance(s0, dt, collect_fluxes=True)
+        elif self._sharded0 is not None:
+            s0_new = self._sharded0.advance(s0, dt)
+            fl0 = None
         else:
             s0_new = level0.advance(s0, dt)
             fl0 = None
@@ -1071,7 +1131,8 @@ class AMRHierarchy:
                                                  CompositeParams)
             solver = AMRCompositeSolver(
                 self, CompositeParams(iters=1, purpose="vd",
-                                      use_tau=False))
+                                      use_tau=self.sync_use_tau,
+                                      use_reflux=self.sync_use_reflux))
             rhss = [self.eta_lambda * (s0_new.lam - 1.0) / dt]
             phis0 = [s0_new.e_lambda]
             for lev, c in enumerate(self.couplings):
@@ -1123,9 +1184,15 @@ class AMRHierarchy:
         state."""
         from somar_tpu.amr.composite import (AMRCompositeSolver,
                                              CompositeParams)
+        from somar_tpu.amr.flux_register import PatchFluxRegister
         level0 = self.level0
         levels = []
-        rhss = [level0.projector.cc_div(s0.vel, level0.vel_bcs_trace)]
+        # per-level velocity MAC fluxes + their divergences.  fluxs[lev]
+        # is a list over patches of per-direction flux tuples.
+        f0 = level0.projector.cc_fluxes(s0.vel, level0.vel_bcs_trace)
+        from somar_tpu.ops.stencil import mac_divergence
+        rhss = [mac_divergence(f0, level0.geo)]
+        fluxs = [[f0]]
         for lev, c in enumerate(self.couplings):
             if c.is_mapped and geos is not None:
                 level = c.make_level(geos[lev]["geo"], geos[lev]["aux"])
@@ -1133,19 +1200,69 @@ class AMRHierarchy:
                 level = c.level
             levels.append(level)
             K = c.K
-            if K > 1:
-                rhs = jnp.stack([
-                    level.projector.cc_div(
-                        _tree_index(fine_states[lev], k).vel,
-                        level.vel_bcs_trace)
-                    for k in range(K)])
-            else:
-                rhs = level.projector.cc_div(fine_states[lev].vel,
-                                             level.vel_bcs_trace)
-            rhss.append(rhs)
+            per_k = []
+            per_rhs = []
+            for k in range(K):
+                s_fk = (_tree_index(fine_states[lev], k) if K > 1
+                        else fine_states[lev])
+                fk = level.projector.cc_fluxes(s_fk.vel,
+                                               level.vel_bcs_trace)
+                per_k.append(fk)
+                per_rhs.append(mac_divergence(fk, level.geo))
+            fluxs.append(per_k)
+            rhss.append(jnp.stack(per_rhs) if K > 1 else per_rhs[0])
+        if self.sync_use_reflux:
+            # COMPOSITE divergence: replace the parent's velocity flux on
+            # CF interface faces with the averaged fine flux (reference:
+            # Divergence::compDivergenceCC's flux-register correction —
+            # the divergence the AMRCCProjector actually projects).
+            # Without this, an interface-reflux-consistent OPERATOR
+            # (amr/composite.py) chases a per-level rhs it can never
+            # zero there, and the leftover divergence compounds step
+            # over step (measured blow-up by step ~50).
+            for lev in range(len(self.couplings) - 1, -1, -1):
+                c = self.couplings[lev]
+                fr = PatchFluxRegister(c)
+                K = c.K
+                org = origins[lev]
+                parent_K = 1 if lev == 0 else self.couplings[lev - 1].K
+                psel = (parent_sels[lev]
+                        if (parent_sels is not None and parent_K > 1
+                            and parent_sels[lev] is not None) else None)
+                par_level = level0 if lev == 0 else levels[lev - 1]
+                geo_par = par_level.geo
+                new_rhs = rhss[lev]
+                for k in range(K):
+                    ok = org[k] if K > 1 else org
+                    wk = (weights[lev][k]
+                          if (weights is not None and K > 1) else 1.0)
+                    reg = fr.zeros()
+                    reg = fr.increment_fine(reg, fluxs[lev + 1][k], 1.0)
+                    if parent_K == 1:
+                        reg = fr.increment_coarse(reg, fluxs[lev][0], ok)
+                        new_rhs = fr.reflux(new_rhs, reg, ok, -wk,
+                                            geo_par)
+                    else:
+                        pk = (psel[k] if psel is not None
+                              else jnp.zeros((), jnp.int32))
+                        fpar = tuple(
+                            jax.lax.dynamic_index_in_dim(
+                                jnp.stack([fluxs[lev][kp][d]
+                                           for kp in range(parent_K)]),
+                                pk, 0, keepdims=False)
+                            for d in range(self.grid0.ndim))
+                        reg = fr.increment_coarse(reg, fpar, ok)
+                        cur = jax.lax.dynamic_index_in_dim(
+                            new_rhs, pk, 0, keepdims=False)
+                        cur = fr.reflux(cur, reg, ok, -wk, geo_par)
+                        new_rhs = jax.lax.dynamic_update_index_in_dim(
+                            new_rhs, cur, pk, 0)
+                rhss[lev] = new_rhs
         solver = AMRCompositeSolver(
             self, CompositeParams(iters=self.sync_composite_iters,
-                                  purpose="sync", use_tau=False))
+                                  purpose="sync",
+                                  use_tau=self.sync_use_tau,
+                                  use_reflux=self.sync_use_reflux))
         phis, _ = solver.solve(rhss, origins, geos=geos, weights=weights,
                                parent_sels=parent_sels)
 

@@ -110,18 +110,18 @@ class RunDriver:
             use_island = (self.hierarchy is None and self.geo.is_uniform
                           and ctx.ns.update_scheme == "ppm"
                           and ctx.ns.nonlinear_differencing_form == 0)
-            # 3D GSPMD runs decompose BOTH horizontal directions (the
+            # 3D runs decompose BOTH horizontal directions (the
             # near-square (ny, nx) factorization — ICI-friendly 2D
-            # torus); the shard_map island is 1-axis, and 2D domains
-            # only have x to shard.  amr.splitDirs masks which
-            # directions the decomposition may chop (reference:
-            # LoadBalance's box-chopping dirs; the vertical is never
-            # sharded regardless — line solves keep whole columns)
+            # torus); 2D domains only have x to shard.  amr.splitDirs
+            # masks which directions the decomposition may chop
+            # (reference: LoadBalance's box-chopping dirs; the vertical
+            # is never sharded regardless — line solves keep whole
+            # columns)
             split = ctx.amr.split_dirs
             allow_y = (self.grid.ndim == 3 and len(split) > 1
                        and split[1])
             allow_x = not split or split[0]
-            if allow_x and allow_y and not use_island and ndev >= 4:
+            if allow_x and allow_y and ndev >= 4:
                 axes = ("y", "x")
             elif allow_x:
                 axes = ("x",)
@@ -132,11 +132,25 @@ class RunDriver:
             self.mesh = make_mesh(ndev, axes=axes)
             self._shard_state = lambda s: shard_ns_state(s, self.grid,
                                                          self.mesh)
-            if use_island and self.mesh.axis_names == ("x",):
+            if self.hierarchy is not None:
+                # AMR: island the level advances where compatible (the
+                # MPI-runs-everything analog); incompatible levels stay
+                # GSPMD jnp, gated safe by parallel/pallas_gate.py
+                self.hierarchy.attach_mesh(self.mesh)
+            if use_island:
                 from somar_tpu.parallel.sharded_step import ShardedNSStep
-                self._sharded = ShardedNSStep(self.level, self.mesh)
-                self._step_fn = jax.jit(
-                    lambda s, dt: self._sharded.advance(s, dt))
+                try:
+                    self._sharded = ShardedNSStep(self.level, self.mesh)
+                except AssertionError as e:
+                    # shard too thin / indivisible nx: stay on the GSPMD
+                    # auto-partitioned jnp step (correct by the Pallas
+                    # shard-locality gate, parallel/pallas_gate.py)
+                    from somar_tpu.utils.printing import pout
+                    pout(f"shard_map island unavailable ({e}); "
+                         "using GSPMD jnp step")
+                else:
+                    self._step_fn = jax.jit(
+                        lambda s, dt: self._sharded.advance(s, dt))
         self._interrupted = False
         # periodic in-run callbacks (reference: Chombo Scheduler hook,
         # LepticAMR.H:166, executed per coarse step LepticAMR.cpp:799-800)

@@ -44,8 +44,12 @@ MAC/CC solves are the very same solver objects.  The parity test
 (tests/test_sharding.py) checks the full step against the single-device
 answer on an 8-virtual-device mesh.
 
-v1 scope: single-level, uniform (Cartesian) metric, PPM scheme,
-conservative differencing, sharding over one horizontal direction.
+Scope: single-level, uniform (Cartesian) metric, PPM scheme,
+conservative differencing; sharding over one ('x') or both ('y','x')
+horizontal directions — the production 2D ICI-torus layout for 3D runs.
+The vertical direction is never sharded (parallel/mesh.py layout policy).
+For the AMR patch levels' shard-local kernel path see
+amr/hierarchy.py PatchNSLevel + parallel/pallas_gate.py.
 """
 
 from __future__ import annotations
@@ -65,6 +69,7 @@ from somar_tpu.geometry.level_geometry import build_level_geometry
 from somar_tpu.ops.stencil import face_avg, mac_divergence, \
     mac_gradient_prepadded, slc
 from somar_tpu.parallel.halo import halo_exchange
+from somar_tpu.parallel.pallas_gate import pallas_scope
 from somar_tpu.physics.godunov import (ADVECT_GROW, _crop_faces,
                                        flux_divergence, pad_valid_faces,
                                        riemann_from_states,
@@ -81,63 +86,91 @@ def _replace_dir(bcs: FieldBCs, d: int, new_bc: BC) -> FieldBCs:
     return FieldBCs(lo=tuple(lo), hi=tuple(hi))
 
 
+@dataclasses.dataclass(frozen=True)
+class _ShardAxis:
+    """One sharded direction of the mesh."""
+    d: int          # logical direction
+    ax: int         # array axis
+    name: str       # mesh axis name
+    k: int          # number of shards along this axis
+    nloc: int       # owned cells per shard
+    periodic: bool  # global periodicity of the direction
+
+
 class ShardedNSStep:
-    """Sharded advance() for one NSLevel over a 1-axis device mesh.
+    """Sharded advance() for one NSLevel over a 1- or 2-axis device mesh
+    ('x', or the 2D ICI torus ('y','x') for 3D runs).
 
     Reference parallelism being replaced: Chombo SPMD LoadBalance +
     LevelData::exchange (somar.cpp:111-147, CopierCache.H:37-66).
     """
 
-    def __init__(self, level: NSLevel, mesh: Mesh, shard_dir: int = 0,
-                 axis_name: Optional[str] = None):
+    #: mesh axis name -> logical direction (parallel/mesh.py layout)
+    _DIR_OF_AXIS = {"x": 0, "y": 1}
+
+    def __init__(self, level: NSLevel, mesh: Mesh):
         p = level.params
         assert level.geo.is_uniform, \
-            "sharded step v1 requires a uniform (Cartesian) metric"
+            "sharded step requires a uniform (Cartesian) metric"
         assert p.update_scheme == "ppm", "sharded step requires PPM"
         assert p.nonlinear_differencing_form == 0, \
-            "sharded step v1 requires conservative differencing"
+            "sharded step requires conservative differencing"
         grid = level.grid
         self.level = level
         self.mesh = mesh
-        self.d = shard_dir
-        self.ax = grid.axis(shard_dir)
-        self.axis_name = axis_name or mesh.axis_names[0]
-        assert set(mesh.axis_names) == {self.axis_name}, \
-            "sharded step v1 shards over a single-axis mesh"
-        self.k = int(np.prod(mesh.devices.shape))
-        assert grid.nx[shard_dir] % self.k == 0, \
-            f"nx[{shard_dir}]={grid.nx[shard_dir]} not divisible by {self.k}"
-        self.nloc = grid.nx[shard_dir] // self.k
         H = ADVECT_GROW
         self.H = H
-        assert self.nloc >= H + 1, \
-            f"need >= {H + 1} cells per shard along dir {shard_dir}"
-        self.periodic_shard = grid.periodic[shard_dir]
+        self.sharded = []
+        for name, k in zip(mesh.axis_names, mesh.devices.shape):
+            assert name in self._DIR_OF_AXIS, \
+                f"unknown mesh axis {name!r} (expected 'x'/'y')"
+            k = int(k)
+            if k == 1:
+                continue   # degenerate axis: nothing to exchange
+            d = self._DIR_OF_AXIS[name]
+            assert grid.ndim == 3 or d == 0, \
+                "2D domains shard only over x"
+            assert grid.nx[d] % k == 0, \
+                f"nx[{d}]={grid.nx[d]} not divisible by {k}"
+            nloc = grid.nx[d] // k
+            assert nloc >= H + 1, \
+                f"need >= {H + 1} cells per shard along dir {d}"
+            self.sharded.append(_ShardAxis(
+                d=d, ax=grid.axis(d), name=name, k=k, nloc=nloc,
+                periodic=grid.periodic[d]))
+        self._by_dir = {s.d: s for s in self.sharded}
 
         # local extended grid: shard chunk + H authoritative halo cells
-        # each side along the sharded direction (the PatchNSLevel halo
+        # each side along every sharded direction (the PatchNSLevel halo
         # structure; x0 is per-shard-wrong but only metric-relevant, and
         # the metric is uniform)
         nx = list(grid.nx)
-        nx[shard_dir] = self.nloc + 2 * H
         periodic = list(grid.periodic)
-        periodic[shard_dir] = False
+        for s in self.sharded:
+            nx[s.d] = s.nloc + 2 * H
+            periodic[s.d] = False
         self.ext_grid = Grid(nx=tuple(nx), dx=grid.dx, x0=grid.x0,
                              periodic=tuple(periodic))
         self.ext_geo = build_level_geometry(self.ext_grid, level.geo.geo,
                                             dtype=p.dtype)
-        # island-side trace BCs: EXTRAP(1) along the sharded direction
+        # island-side trace BCs: EXTRAP(1) along the sharded directions
         # (halo data is authoritative — same convention as PatchNSLevel's
         # CF sides), the true problem BCs elsewhere
-        self.vel_bcs = tuple(_replace_dir(b, shard_dir, BC.extrap(1))
-                             for b in level.vel_bcs_trace)
-        self.scal_bcs = _replace_dir(level.scal_bcs, shard_dir,
-                                     BC.extrap(1))
-        self.lam_bcs = _replace_dir(level.lam_bcs, shard_dir, BC.extrap(1))
+        vel_bcs = list(level.vel_bcs_trace)
+        scal_bcs = level.scal_bcs
+        lam_bcs = level.lam_bcs
+        for s in self.sharded:
+            vel_bcs = [_replace_dir(b, s.d, BC.extrap(1)) for b in vel_bcs]
+            scal_bcs = _replace_dir(scal_bcs, s.d, BC.extrap(1))
+            lam_bcs = _replace_dir(lam_bcs, s.d, BC.extrap(1))
+        self.vel_bcs = tuple(vel_bcs)
+        self.scal_bcs = scal_bcs
+        self.lam_bcs = lam_bcs
 
         ndim = grid.ndim
         cc = [None] * ndim
-        cc[self.ax] = self.axis_name
+        for s in self.sharded:
+            cc[s.ax] = s.name
         self._spec_cc = P(*cc)
         self._spec_lead = P(*([None] + cc))
 
@@ -152,58 +185,74 @@ class ShardedNSStep:
             check_vma=False)
 
     # -------------------------------------------------- halo + BC extension
-    def _extend(self, f, bcs: FieldBCs, width: Optional[int] = None):
-        """Extend a local CC block along the sharded direction: `width`
-        cells of neighbor data via ppermute, with the true physical-BC
-        ghost formulas at the global edges (the shard-local equivalent of
+    def _extend_one(self, f, s: _ShardAxis, bcs: FieldBCs, W: int):
+        """Extend a local CC block along one sharded direction: W cells
+        of neighbor data via ppermute, with the true physical-BC ghost
+        formulas at the global edges (the shard-local equivalent of
         fill_ghosts_cc along that direction)."""
-        W = self.H if width is None else width
-        d, ax = self.d, self.ax
-        ext = halo_exchange(f, self.axis_name, ax, W,
-                            periodic=self.periodic_shard)
-        if not self.periodic_shard:
+        ext = halo_exchange(f, s.name, s.ax, W, periodic=s.periodic)
+        if not s.periodic:
             g = self.level.grid
-            idx = jax.lax.axis_index(self.axis_name)
-            n = f.shape[ax]
-            lo = _ghost_block(f, ax, bcs.lo[d], W, -1, g.dx[d])
-            hi = _ghost_block(f, ax, bcs.hi[d], W, +1, g.dx[d])
+            idx = jax.lax.axis_index(s.name)
+            n = f.shape[s.ax]
+            lo = _ghost_block(f, s.ax, bcs.lo[s.d], W, -1, g.dx[s.d])
+            hi = _ghost_block(f, s.ax, bcs.hi[s.d], W, +1, g.dx[s.d])
             ext = jnp.where(idx == 0,
-                            jnp.concatenate([lo, slc(ext, ax, W, None)],
-                                            axis=ax), ext)
-            ext = jnp.where(idx == self.k - 1,
-                            jnp.concatenate([slc(ext, ax, 0, W + n), hi],
-                                            axis=ax), ext)
+                            jnp.concatenate([lo, slc(ext, s.ax, W, None)],
+                                            axis=s.ax), ext)
+            ext = jnp.where(idx == s.k - 1,
+                            jnp.concatenate([slc(ext, s.ax, 0, W + n), hi],
+                                            axis=s.ax), ext)
         return ext
+
+    def _extend(self, f, bcs: FieldBCs, width: Optional[int] = None):
+        """Halo+BC extension along every sharded direction.  Sequential
+        per-axis exchanges fill the corners: the second exchange moves
+        the first one's halo columns too, so corners carry the diagonal
+        neighbor's data (the Copier corner-exchange analog)."""
+        W = self.H if width is None else width
+        out = f
+        for s in self.sharded:
+            out = self._extend_one(out, s, bcs, W)
+        return out
 
     def _crop_halo_cc(self, arr):
         """Ext-grid CC array -> the shard's own cells."""
-        return slc(arr, self.ax, self.H, self.H + self.nloc)
+        for s in self.sharded:
+            arr = slc(arr, s.ax, self.H, self.H + s.nloc)
+        return arr
 
     def _fc_bc(self, flux, dd: int):
         """apply_fc_bc on ext-valid faces: along unsharded directions the
-        ext grid spans the domain; along the sharded direction the
-        physical wall faces sit H in from the ext edges of the first/last
-        shard."""
+        ext grid spans the domain; along a sharded direction the physical
+        wall faces sit H in from the ext edges of the first/last shard."""
         bcs = self.level.vel_bcs_trace[dd]
-        if dd != self.d:
+        s = self._by_dir.get(dd)
+        if s is None:
             return apply_fc_bc(flux, dd, self.ext_grid, bcs)
-        if self.periodic_shard:
+        if s.periodic:
             return flux
-        ax = self.ax
-        idx = jax.lax.axis_index(self.axis_name)
+        idx = jax.lax.axis_index(s.name)
         if bcs.lo[dd].type == BCType.DIRICHLET:
             flux = jnp.where(idx == 0,
-                             _set_slice(flux, ax, self.H, bcs.lo[dd].value),
+                             _set_slice(flux, s.ax, self.H,
+                                        bcs.lo[dd].value),
                              flux)
         if bcs.hi[dd].type == BCType.DIRICHLET:
-            flux = jnp.where(idx == self.k - 1,
-                             _set_slice(flux, ax, self.H + self.nloc,
+            flux = jnp.where(idx == s.k - 1,
+                             _set_slice(flux, s.ax, self.H + s.nloc,
                                         bcs.hi[dd].value),
                              flux)
         return flux
 
     # ------------------------------------------------------------ island A
-    def _island_a(self, vel, scalars, lam, src_vel, src_scal, dt):
+    def _island_a(self, *args):
+        # shard-local by construction: the Pallas kernel paths are safe
+        # here even on a multi-device mesh (parallel/pallas_gate.py)
+        with pallas_scope(True):
+            return self._island_a_body(*args)
+
+    def _island_a_body(self, vel, scalars, lam, src_vel, src_scal, dt):
         """Shard-local: extend, trace every field (pre-Riemann states),
         assemble + pin the uncorrected MAC fluxes, return div(F*) and the
         stash.  Mirrors NSLevel.compute_advecting_velocities +
@@ -263,7 +312,11 @@ class ShardedNSStep:
         return rhs, tuple(adv), tuple(pre_vel), tuple(pre_scal), pre_lam
 
     # ------------------------------------------------------------ island B
-    def _island_b(self, phi, adv, pre_vel, pre_scal, pre_lam):
+    def _island_b(self, *args):
+        with pallas_scope(True):
+            return self._island_b_body(*args)
+
+    def _island_b_body(self, phi, adv, pre_vel, pre_scal, pre_lam):
         """Shard-local: correct the MAC fluxes with grad(phi), final
         Riemann of the stashed face states, conservative flux
         divergences."""
@@ -271,12 +324,13 @@ class ShardedNSStep:
         g, geo = self.ext_grid, self.ext_geo
         ndim = g.ndim
 
-        # phi on ext cells + one ghost ring (H+1 along the sharded dir,
+        # phi on ext cells + one ghost ring (H+1 along the sharded dirs,
         # BC fills elsewhere) -> MAC gradient at all ext-valid faces
         phi_bcs = lev.projector.phi_bcs
         p = self._extend(phi, phi_bcs, width=self.H + 1)
         ngrow = [1] * ndim
-        ngrow[self.d] = 0
+        for s in self.sharded:
+            ngrow[s.d] = 0
         p = fill_ghosts_cc(p, g, phi_bcs, tuple(ngrow))
         grad = mac_gradient_prepadded(p, geo)
 
@@ -297,12 +351,24 @@ class ShardedNSStep:
         return vel_terms, scal_terms, lam_term
 
     # ------------------------------------------------------------- advance
-    def advance(self, state: NSState, dt) -> NSState:
-        """One sharded time step — same math as NSLevel.advance (PPM)."""
+    def advance(self, state: NSState, dt, rings=None) -> NSState:
+        """One sharded time step — same math as NSLevel.advance (PPM).
+
+        rings: optional dict(mac=..., cc=...) of padded-shape coarse-fine
+        ghost-potential arrays (AMR patch levels).  The rings' effect on
+        the SOLVES (RHS corrections, global GSPMD ops) is exact; their
+        gradient contribution to the flux correction lives only on the
+        outermost CF-halo faces of the patch array, whose divergences
+        land in halo cells the subcycled advance overwrites from the
+        donor every substep (amr/hierarchy.py _overwrite_halo) — so it
+        is omitted from the shard-local islands.  Interior cells are
+        bitwise the jnp path."""
         lev = self.level
         p = lev.params
         grid = lev.grid
         ndim = grid.ndim
+        ring_mac = rings.get("mac") if rings else None
+        ring_cc = rings.get("cc") if rings else None
 
         # phase 0: global source terms (identical to NSLevel.advance)
         grav = lev._gravity_source(state.scalars)
@@ -335,6 +401,8 @@ class ShardedNSStep:
 
         # global MAC pressure solve (GSPMD: FFT / MG / leptic / BiCGStab)
         if p.is_incompressible:
+            if ring_mac is not None:
+                rhs = rhs - lev.projector._rhs_ring_correction(ring_mac)
             mac_phi, _ = lev.projector._solve(rhs, state.mac_phi)
         else:
             mac_phi = state.mac_phi
@@ -357,8 +425,10 @@ class ShardedNSStep:
                 state, vel, scalars, dt)
             pressure = state.pressure + cc_phi / dt
         elif p.is_incompressible:
-            vel, cc_phi, _ = lev.projector.project_cc(
-                vel, lev.vel_bcs_trace, phi0=state.cc_phi)
+            for _ in range(max(1, p.level_projection_iters)):
+                vel, cc_phi, _ = lev.projector.project_cc(
+                    vel, lev.vel_bcs_trace, phi0=state.cc_phi,
+                    ring=ring_cc)
             pressure = state.pressure + cc_phi / dt
 
         return NSState(vel=vel, scalars=scalars, lam=lam, mac_phi=mac_phi,

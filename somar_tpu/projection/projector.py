@@ -181,16 +181,22 @@ class LevelProjector:
         return out, phi, info
 
     # ------------------------------------------------------- CC projection
+    def cc_fluxes(self, vel_cart, vel_bcs: Sequence[FieldBCs]):
+        """Face-averaged MAC fluxes J u^d of a CC Cartesian-basis
+        velocity — the fluxes cc_div differences (exposed separately so
+        the composite sync projection can build the flux-register-
+        corrected COMPOSITE divergence, reference:
+        Divergence::compDivergenceCC)."""
+        geo, grid = self.geo, self.grid
+        u_mapped = geo.to_mapped(vel_cart)
+        return tuple(
+            cc_to_fc(geo.mult_by_J(u_mapped[d]), d, grid, vel_bcs[d])
+            for d in range(grid.ndim))
+
     def cc_div(self, vel_cart, vel_bcs: Sequence[FieldBCs]):
         """Divergence of the face-averaged MAC flux J u^d of a CC
         Cartesian-basis velocity — the CC-projection Poisson RHS."""
-        geo, grid = self.geo, self.grid
-        u_mapped = geo.to_mapped(vel_cart)
-        fluxes = []
-        for d in range(grid.ndim):
-            f = cc_to_fc(geo.mult_by_J(u_mapped[d]), d, grid, vel_bcs[d])
-            fluxes.append(f)
-        return mac_divergence(fluxes, geo)
+        return mac_divergence(self.cc_fluxes(vel_cart, vel_bcs), self.geo)
 
     def cc_correction(self, phi, ring=None, jd0=None):
         """Cartesian-basis CC correction velocity

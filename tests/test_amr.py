@@ -1039,6 +1039,37 @@ def test_amr_front_matches_uniform_fine_run():
     assert float(xl_fine) > 4.0 * dx_c
 
 
+def test_sync_tau_reflux_stable_lock_exchange():
+    """Regression for the round-2 sync-projection tau instability
+    (composite.py CompositeParams): FAS tau WITHOUT the elliptic reflux
+    blew up the 2-level lock exchange by step ~70 (measured, round 2 and
+    reproduced in tools/tau_stability.py); the root cause was the
+    flux-inconsistent composite operator at the CF interface.  With the
+    reflux-consistent operator AND the composite-divergence rhs (both
+    now default), tau stays ON (reference parity: MappedAMRMultiGrid's
+    AMRVCycle is FAS everywhere and AMRResidual refluxes) and the run is
+    stable well past the old blow-up horizon."""
+    Lx, Lz = 15.0, 2.0
+    params = NSParams(nu=1e-4, kappa=(1e-4,), gravity_method=1,
+                      mg=MGParams(eps=1e-6, imax=15))
+    g0 = Grid(nx=(64, 16), dx=(Lx / 64, Lz / 16), x0=(-Lx / 2, 0.0))
+    h = AMRHierarchy(build_level_geometry(g0, CartesianMap()),
+                     LockExchange(pert_amp=0.0), params, ratio=(4, 1),
+                     tag_params=TagParams(buoyancy_tag_tol=0.2,
+                                          tags_grow=1))
+    assert h.sync_use_tau and h.sync_use_reflux
+    s0 = h.level0.post_initialize(h.level0.initial_state())
+    s1, origin = h.initial_patch_state(s0)
+    step = jax.jit(h.advance)
+    dt = jnp.asarray(0.02)
+    for i in range(120):
+        s0, s1 = step(s0, s1, origin, dt)
+        if (i + 1) % 10 == 0:
+            s1, origin = h.regrid(s0, s1)
+            umax = float(jnp.max(jnp.abs(s0.vel)))
+            assert np.isfinite(umax) and umax < 10.0, (i + 1, umax)
+
+
 def test_nest_buffer_pushes_patch_inward():
     """amr.grid_buffer_size (the BR proper-nesting buffer): a level-2
     patch under a level-1 parent keeps `buffer` extra parent cells

@@ -163,6 +163,99 @@ print("sharded-step parity ok")
     assert "sharded-step parity ok" in r.stdout
 
 
+def test_sharded_step_parity_2d_mesh():
+    """ShardedNSStep over the 2D ('y','x') ICI torus (the 3D production
+    layout): a (2,2) mesh on the 3D lock exchange — walls along sharded
+    x, periodic sharded y — reproduces the single-device step; corner
+    halos ride the sequential per-axis ppermute exchanges."""
+    env = dict(_ENV)
+    env["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=4").strip()
+    r = subprocess.run([sys.executable, "-c", """
+import numpy as np, jax, jax.numpy as jnp
+from somar_tpu.parallel.mesh import make_mesh, shard_ns_state
+from somar_tpu.parallel.sharded_step import ShardedNSStep
+import __graft_entry__ as ge
+
+dt = jnp.asarray(0.005, jnp.float32)
+level, grid = ge._build_level(nx=32, nz=8, ny=12, mg_eps=1e-6)
+state0 = level.initial_state()
+step = jax.jit(lambda s, d: level.advance(s, d))
+ref = state0
+for _ in range(3):
+    ref = step(ref, dt)
+mesh = make_mesh(4, axes=("y", "x"))
+assert dict(mesh.shape) == {"y": 2, "x": 2}, mesh.shape
+ss = ShardedNSStep(level, mesh)
+assert len(ss.sharded) == 2, ss.sharded
+sstep = jax.jit(lambda s, d: ss.advance(s, d))
+out = shard_ns_state(state0, grid, mesh)
+for _ in range(3):
+    out = sstep(out, dt)
+for f in ("vel", "scalars", "lam", "mac_phi", "pressure"):
+    a, b = getattr(out, f), getattr(ref, f)
+    err = float(jnp.max(jnp.abs(a - b)))
+    scale = float(jnp.max(jnp.abs(b))) + 1e-12
+    tol = 1e-2 if f in ("mac_phi",) else 2e-5
+    assert err / scale < tol, (f, err / scale)
+print("2d-mesh sharded-step parity ok")
+"""], env=env, capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, r.stdout + "\n" + r.stderr
+    assert "2d-mesh sharded-step parity ok" in r.stdout
+
+
+def test_amr_island_matches_gspmd():
+    """attach_mesh: the AMR hierarchy's level advances run as shard_map
+    islands (Pallas-safe, explicit halos) and must reproduce the pure
+    GSPMD jnp step — base level everywhere, patch level on its interior
+    (the island omits the ring-gradient flux correction at the outermost
+    CF-halo faces, whose cells the subcycled advance overwrites from the
+    donor each substep)."""
+    env = dict(_ENV)
+    env["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=2").strip()
+    r = subprocess.run([sys.executable, "-c", """
+import numpy as np, jax, jax.numpy as jnp
+from somar_tpu.parallel.mesh import make_mesh, shard_ns_state
+from somar_tpu.amr.hierarchy import AMRHierarchy
+from somar_tpu.amr.tagging import TagParams
+from somar_tpu.problems.lock_exchange import LockExchange
+from somar_tpu.physics.navier_stokes import NSParams
+from somar_tpu.solvers.multigrid import MGParams
+import __graft_entry__ as ge
+
+level, grid = ge._build_level(nx=32, nz=8, ny=8, mg_eps=1e-6)
+params = NSParams(nu=1e-4, kappa=(1e-4,), gravity_method=1, cfl=0.9,
+                  mg=MGParams(eps=1e-6, imax=12))
+h = AMRHierarchy(level.geo, LockExchange(), params, ratio=(2, 1, 1),
+                 tag_params=TagParams(buoyancy_tag_tol=0.2, tags_grow=1))
+s0 = h.level0.post_initialize(h.level0.initial_state())
+fine, origin = h.initial_patch_state(s0)
+mesh = make_mesh(2, axes=("x",))
+s0 = shard_ns_state(s0, grid, mesh)
+fine = shard_ns_state(fine, h.couplings[0].ext_grid, mesh)
+dt = jnp.asarray(0.005, jnp.float32)
+
+ref0, ref1 = jax.jit(h.advance)(s0, fine, origin, dt)
+n = h.attach_mesh(mesh)
+assert n >= 2, n
+out0, out1 = jax.jit(h.advance)(s0, fine, origin, dt)
+
+mask = np.asarray(h.couplings[0]._halo_mask)
+for f in ("vel", "scalars", "lam"):
+    a, b = np.asarray(getattr(out0, f)), np.asarray(getattr(ref0, f))
+    scale = np.abs(b).max() + 1e-12
+    assert np.max(np.abs(a - b)) / scale < 2e-5, (f, "base")
+    a1, b1 = np.asarray(getattr(out1, f)), np.asarray(getattr(ref1, f))
+    interior = ~mask
+    err = np.max(np.abs((a1 - b1)) * interior) / (np.abs(b1).max() + 1e-12)
+    assert err < 2e-5, (f, "patch", err)
+print("amr island parity ok")
+"""], env=env, capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, r.stdout + "\n" + r.stderr
+    assert "amr island parity ok" in r.stdout
+
+
 @_SKIP_SLOW
 def test_sharded_step_parity_8dev():
     out = _run("""
@@ -247,3 +340,44 @@ print("driver sharded ok")
     scale = np.abs(b).max() + 1e-12
     assert np.max(np.abs(a - b)) / scale < 1e-4, \
         np.max(np.abs(a - b)) / scale
+
+
+def test_pallas_gate_shard_locality(monkeypatch):
+    """Pallas feature gates: off by default on a multi-device process,
+    on inside a shard_map island (pallas_scope(True)), env override wins
+    (VERDICT r2 item 1a: no unguarded Pallas custom call reachable inside
+    a GSPMD-partitioned jit)."""
+    import jax
+    from somar_tpu.parallel import pallas_gate
+    from somar_tpu.physics.godunov import _use_pallas_predictor
+    from somar_tpu.solvers.poisson_op import _use_fused_gsrb
+
+    monkeypatch.delenv("SOMAR_PALLAS", raising=False)
+    monkeypatch.delenv("SOMAR_FUSED_GSRB", raising=False)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    # multi-device process, no scope -> unsafe -> off
+    monkeypatch.setattr(jax, "device_count", lambda *a, **k: 8)
+    assert not _use_pallas_predictor()
+    assert not _use_fused_gsrb()
+    # shard-local island -> on
+    with pallas_gate.pallas_scope(True):
+        assert _use_pallas_predictor()
+        assert _use_fused_gsrb()
+        # nested force-off wins
+        with pallas_gate.pallas_scope(False):
+            assert not _use_pallas_predictor()
+    # single device -> on
+    monkeypatch.setattr(jax, "device_count", lambda *a, **k: 1)
+    assert _use_pallas_predictor()
+    assert _use_fused_gsrb()
+    # explicit GSPMD scope -> off even on one device
+    with pallas_gate.pallas_scope(False):
+        assert not _use_pallas_predictor()
+    # env override beats the gate
+    monkeypatch.setattr(jax, "device_count", lambda *a, **k: 8)
+    monkeypatch.setenv("SOMAR_PALLAS", "on")
+    assert _use_pallas_predictor()
+    monkeypatch.setenv("SOMAR_PALLAS", "off")
+    with pallas_gate.pallas_scope(True):
+        assert not _use_pallas_predictor()
