@@ -515,6 +515,7 @@ class PatchCoupling:
             weights = np.zeros(self.K, np.float32)
             weights[0] = 1.0
             self.tag_coverage = (0, 0)
+            self._drop_streak = 0
             return origins, weights
         self._record_coverage(tags, got[0], got[1], halo_axes,
                               interior_axes)
@@ -531,6 +532,8 @@ class PatchCoupling:
                                       self.parent_grid, self.ratio,
                                       interior_axes, halo_axes)
         self.tag_coverage = (dropped, total)
+        self._drop_streak = ((getattr(self, "_drop_streak", 0) + 1)
+                             if dropped > 0 else 0)
         if dropped > 0:
             warnings.warn(
                 f"AMR regrid dropped {dropped}/{total} tagged cells: the "
@@ -600,6 +603,8 @@ class PatchCoupling:
                     cands.append((ntags, p, boxes[rank]))
             rank += 1
         self.tag_coverage = (dropped_tot, total_tot)
+        self._drop_streak = ((getattr(self, "_drop_streak", 0) + 1)
+                             if dropped_tot > 0 else 0)
         if dropped_tot > 0:
             warnings.warn(
                 f"AMR regrid dropped {dropped_tot}/{total_tot} tagged "
@@ -697,7 +702,9 @@ class AMRHierarchy:
                  sync_composite_iters: int = 2,
                  grid_buffer_size: int = 0,
                  sync_use_tau: bool = True,
-                 sync_use_reflux: bool = True):
+                 sync_use_reflux: bool = True,
+                 auto_escalate_patches: bool = True,
+                 max_auto_patches: int = 8):
         """reflux: which advective fluxes get CF conservation corrections
         — any of "vel", "scalars", "lam" (reference knobs
         amr.advective_momentum/scalar/lambda_reflux; the shipped
@@ -733,6 +740,11 @@ class AMRHierarchy:
         self.sync_use_reflux = bool(sync_use_reflux)
         #: shard_map advection island for the base level (attach_mesh)
         self._sharded0 = None
+        #: coverage-loss hardening: double a coupling's patch budget K
+        #: when consecutive regrids drop tagged cells (see
+        #: _maybe_escalate_patches)
+        self.auto_escalate_patches = bool(auto_escalate_patches)
+        self.max_auto_patches = max(1, int(max_auto_patches))
         if self.eta_lambda > 0.0:
             self.level0.use_vd_correction = True
         self.grid0: Grid = geo0.grid
@@ -1534,6 +1546,71 @@ class AMRHierarchy:
                 new_s.append(scal[cc])
         return dataclasses.replace(state, vel=vel, scalars=jnp.stack(new_s))
 
+    def _maybe_escalate_patches(self, fine_states: list, from_level: int):
+        """Coverage-loss hardening: when a coupling's regrids have
+        dropped tagged cells twice in a row (tag_coverage — e.g. a
+        splitting front outgrowing the static footprint), DOUBLE its
+        patch budget K before this regrid re-chooses origins
+        (compiled-shape buckets 1->2->4->..., capped by
+        max_auto_patches), padding the state stack with weight-0
+        duplicate slots.  The jitted advance retraces once per bucket.
+        Reference bar: Berger-Rigoutsos covers every tag by emitting as
+        many boxes as needed (LepticMeshRefine.cpp:823-934); the dense
+        model buys the same guarantee in shape buckets.  Skipped for
+        mapped couplings, refluxing non-finest levels, and VD-corrected
+        levels (the documented multi-patch restrictions)."""
+        if not self.auto_escalate_patches:
+            return
+        import warnings
+        nlev = len(self.couplings)
+        for lev, c in enumerate(self.couplings):
+            if lev < from_level or getattr(c, "_drop_streak", 0) < 2:
+                continue
+            if c.K >= self.max_auto_patches or c.is_mapped:
+                continue
+            if self.reflux_fields and lev < nlev - 1:
+                continue
+            if getattr(c.level, "use_vd_correction", False):
+                continue
+            old_k = max(1, c.K)
+            new_k = min(2 * old_k, self.max_auto_patches)
+            s = fine_states[lev]
+            if old_k == 1:
+                fine_states[lev] = _tree_stack([s] * new_k)
+                if c.origin_f is not None:
+                    c.origin_f = np.tile(np.asarray(c.origin_f),
+                                         (new_k, 1))
+                c.weights = np.zeros(new_k, np.float32)
+                c.weights[0] = 1.0
+                c.parent_sel = np.zeros(new_k, np.int64)
+            else:
+                pad = new_k - old_k
+                parts = [_tree_index(s, k) for k in range(old_k)]
+                fine_states[lev] = _tree_stack(
+                    parts + [parts[0]] * pad)
+                if c.origin_f is not None:
+                    c.origin_f = np.concatenate(
+                        [np.asarray(c.origin_f)]
+                        + [np.asarray(c.origin_f[:1])] * pad, axis=0)
+                w = np.zeros(new_k, np.float32)
+                if c.weights is not None:
+                    w[:old_k] = np.asarray(c.weights)
+                else:
+                    w[0] = 1.0
+                c.weights = w
+                ps = np.zeros(new_k, np.int64)
+                if c.parent_sel is not None:
+                    ps[:old_k] = np.asarray(c.parent_sel)
+                c.parent_sel = ps
+            c.K = new_k
+            c._drop_streak = 0
+            warnings.warn(
+                f"AMR level {lev + 1} dropped tagged cells on "
+                f"consecutive regrids; patch budget escalated "
+                f"{old_k} -> {new_k} (one-time recompile; cap "
+                f"max_auto_patches={self.max_auto_patches}).",
+                RuntimeWarning, stacklevel=3)
+
     def regrid(self, s0: NSState, fine_states, dt=None,
                from_level: int = 0):
         """Re-tag and move every patch, coarse to fine; data fill = parent
@@ -1555,6 +1632,8 @@ class AMRHierarchy:
         single = not isinstance(fine_states, (list, tuple))
         if single:
             fine_states = [fine_states]
+        fine_states = list(fine_states)
+        self._maybe_escalate_patches(fine_states, from_level)
         smoothing = (self.regrid_smoothing_coeff > 0.0 and dt is not None
                      and (self.params.nu > 0.0 or any(
                          k > 0.0 for k in self.params.kappa))

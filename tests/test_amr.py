@@ -484,6 +484,58 @@ def test_multipatch_two_blobs_activates_two_patches():
     assert np.all(np.isfinite(np.asarray(f.vel)))
 
 
+def test_auto_patch_escalation_covers_splitting_front():
+    """Coverage-loss hardening: a K=1 static patch cannot cover two
+    separated fronts, so every regrid drops tagged cells (the silent
+    accuracy-loss mode).  After two consecutive dropping regrids the
+    hierarchy must DOUBLE the patch budget (weight-0 padded slots, one
+    retrace) and the next choose must cover both fronts with zero
+    dropped tags."""
+    import dataclasses
+    Lx, Lz = 15.0, 2.0
+    nx, nz = 96, 12
+    g = Grid(nx=(nx, nz), dx=(Lx / nx, Lz / nz), x0=(-Lx / 2, 0.0))
+    geo = build_level_geometry(g, CartesianMap())
+    params = NSParams(nu=1e-4, kappa=(1e-4,), gravity_method=1,
+                      mg=MGParams(eps=1e-5, imax=12))
+    h = AMRHierarchy(geo, LockExchange(pert_amp=0.0), params,
+                     ratio=(4, 1), patch_frac=0.2,
+                     tag_params=TagParams(buoyancy_tag_tol=0.12,
+                                          tags_grow=1),
+                     num_patches=1)
+    c = h.couplings[0]
+    assert c.K == 1
+    s0 = h.level0.post_initialize(h.level0.initial_state())
+    x = np.asarray(geo.phys_coords_cc()[0])
+    b = (np.abs(x + 4.0) < 0.8).astype(np.float32) \
+        + (np.abs(x - 4.0) < 0.8).astype(np.float32)
+    b2 = np.broadcast_to(b, g.shape)
+    s0 = dataclasses.replace(
+        s0, scalars=s0.scalars.at[0].set(jnp.asarray(b2)))
+
+    import warnings as _w
+    with _w.catch_warnings():
+        _w.simplefilter("ignore", RuntimeWarning)
+        f, origin = h.initial_patch_state(s0)       # drop streak 1
+        assert c.tag_coverage[0] > 0
+        f, origin = h.regrid(s0, f)                 # drop streak 2
+        assert c.K == 1 and c._drop_streak >= 2
+        fines, origins, weights = h.regrid(s0, (f,))  # escalates, re-chooses
+    assert c.K == 2
+    assert c.tag_coverage[0] == 0, c.tag_coverage
+    w = np.asarray(weights[0])
+    assert w.sum() == 2.0, w
+    org = np.asarray(origins[0])
+    assert abs(org[0, 1] - org[1, 1]) > c.ext_nx[0] // 2
+
+    # the escalated hierarchy still advances (one retrace, new shapes)
+    step = jax.jit(h.advance)
+    dt = jnp.asarray(0.02)
+    s0b, f2 = step(s0, fines[0], origins[0], dt, None, weights)
+    assert np.all(np.isfinite(np.asarray(f2.vel)))
+    assert np.all(np.isfinite(np.asarray(s0b.vel)))
+
+
 def test_no_subcycling_mode():
     """amr.useSubcycling=0: the fine level advances once per coarse step
     with the coarse dt (reference: LepticAMR's non-subcycled branch)."""

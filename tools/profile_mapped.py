@@ -52,7 +52,7 @@ def main():
     timeit(step, states, "full")
 
     def adv_vel(s, d):
-        return level.compute_advecting_velocities(s, d)
+        return level.compute_advecting_velocities(s, None, d)
 
     timeit(jax.jit(adv_vel), states, "adv_vel")
 
