@@ -128,8 +128,21 @@ def _bench_mg(nsteps):
                       pressure_solver="mg",
                       mg=MGParams(eps=1e-5, imax=12))
     level = NSLevel(geo, LockExchange(), params)
-    cups, _, _ = _bench_level(level, grid, nsteps, f"mg {grid.nx}")
-    return cups, {"grid": list(grid.nx)}
+    cups, _, state = _bench_level(level, grid, nsteps, f"mg {grid.nx}")
+    # BASELINE.md secondary metric: pressure-Poisson solve ms/step, MG path
+    # (the reference's MappedAMRMultiGrid hot loop) next to the fft number
+    import jax
+    proj = jax.jit(lambda v, s: level.projector.project_cc(
+        v, level.vel_bcs_trace, phi0=s.cc_phi)[0])
+    out = proj(state.vel, state)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(nsteps):
+        out = proj(state.vel, state)
+    jax.block_until_ready(out)
+    poisson_ms = 1e3 * (time.perf_counter() - t0) / nsteps
+    _note(f"# [mg] pressure-solve={poisson_ms:.2f} ms/step")
+    return cups, {"grid": list(grid.nx), "poisson_ms": round(poisson_ms, 2)}
 
 
 def _driver_from_config(path, overrides, tag):
