@@ -80,14 +80,11 @@ class AMRCompositeSolver:
 
     # ------------------------------------------------------------ pieces
     def _levels(self, geos):
-        out = []
-        for lev, c in enumerate(self.h.couplings):
-            if c.is_mapped and geos is not None:
-                out.append(c.make_level(geos[lev]["geo"],
-                                        geos[lev]["aux"]))
-            else:
-                out.append(c.level)
-        return out
+        """Per-coupling LISTS of per-patch level objects (a mapped
+        multi-patch coupling's K levels each carry their own traced
+        metric slice, AMRHierarchy._levels_for)."""
+        return [self.h._levels_for(lev, geos)
+                for lev in range(len(self.h.couplings))]
 
     def _covered_mask(self, lev, origins, weights):
         """1 where level `lev`'s cells are covered by a finer patch
@@ -160,8 +157,6 @@ class AMRCompositeSolver:
         res = [h.level0.projector.op.residual(phis[0], rhss[0])]
         parent_K = 1
         for lev, c in enumerate(h.couplings):
-            level = levels[lev]
-            par_level = h.level0 if lev == 0 else levels[lev - 1]
             K = c.K
             org = origins[lev]
             psel = (parent_sels[lev]
@@ -170,17 +165,21 @@ class AMRCompositeSolver:
             rrs = []
             par_res = res[lev]
             for k in range(K):
+                level = levels[lev][k]
                 phi_f = phis[lev + 1][k] if K > 1 else phis[lev + 1]
                 rhs_f = rhss[lev + 1][k] if K > 1 else rhss[lev + 1]
                 ok = org[k] if K > 1 else org
                 if parent_K == 1:
                     ph_par = phis[lev]
                     pk = None
+                    par_level = (h.level0 if lev == 0
+                                 else levels[lev - 1][0])
                 else:
                     pk = (psel[k] if psel is not None
                           else jnp.zeros((), jnp.int32))
                     ph_par = jax.lax.dynamic_index_in_dim(
                         phis[lev], pk, 0, keepdims=False)
+                    par_level = h._parent_level_for(lev, geos, pk)
                 ring = c._ring(ph_par, ok)
                 rr = level.projector.op.residual(
                     phi_f, rhs_f - level.projector._rhs_ring_correction(
@@ -225,7 +224,7 @@ class AMRCompositeSolver:
 
     # ------------------------------------------------------------- solve
     def _effective_rhss(self, phis, rhss, origins, levels, weights,
-                        parent_sels):
+                        parent_sels, geos=None):
         """FAS tau-correction (the heart of MappedAMRMultiGrid's
         AMRResidual/AMRRestrict cycle): the parent's COVERED-cell
         equation becomes the restricted fine equation,
@@ -246,8 +245,6 @@ class AMRCompositeSolver:
         eff = list(rhss)
         for lev in range(len(h.couplings) - 1, -1, -1):
             c = h.couplings[lev]
-            level = levels[lev]
-            par_level = h.level0 if lev == 0 else levels[lev - 1]
             parent_K = 1 if lev == 0 else h.couplings[lev - 1].K
             # per-parent-patch operator application L_par(phi_par) + the
             # parent's own CF-ring contribution (stacked when parent_K>1)
@@ -256,6 +253,8 @@ class AMRCompositeSolver:
                         and parent_sels[lev - 1] is not None) else None)
             apply_pars = []
             for kp in range(parent_K):
+                par_level = (h.level0 if lev == 0
+                             else levels[lev - 1][kp])
                 ph_par_kp = phis[lev][kp] if parent_K > 1 else phis[lev]
                 ap = par_level.projector.op.apply(ph_par_kp)
                 if lev > 0:
@@ -291,6 +290,7 @@ class AMRCompositeSolver:
                               for ax in range(ndim))
             new_par = eff[lev]
             for k in range(K):
+                level = levels[lev][k]
                 phi_f = phis[lev + 1][k] if K > 1 else phis[lev + 1]
                 rhs_f = eff[lev + 1][k] if K > 1 else eff[lev + 1]
                 ok = org[k] if K > 1 else org
@@ -298,6 +298,8 @@ class AMRCompositeSolver:
                     ph_par = phis[lev]
                     apply_par = apply_par_stack
                     par_entry = new_par
+                    par_level = (h.level0 if lev == 0
+                                 else levels[lev - 1][0])
                 else:
                     pk = (psel[k] if psel is not None
                           else jnp.zeros((), jnp.int32))
@@ -307,6 +309,7 @@ class AMRCompositeSolver:
                         apply_par_stack, pk, 0, keepdims=False)
                     par_entry = jax.lax.dynamic_index_in_dim(
                         new_par, pk, 0, keepdims=False)
+                    par_level = h._parent_level_for(lev, geos, pk)
                 ring = c._ring(ph_par, ok)
                 wk = (weights[lev][k]
                       if (weights is not None and K > 1) else None)
@@ -361,7 +364,8 @@ class AMRCompositeSolver:
             # level solves with parent-ring CF ghosts
             if p.use_tau or p.use_reflux:
                 eff = self._effective_rhss(phis, rhss, origins, levels,
-                                           weights, parent_sels)
+                                           weights, parent_sels,
+                                           geos=geos)
             else:
                 eff = list(rhss)
             phi0, _ = h.level0.projector._solve(eff[0], phi0=phis[0],
@@ -370,7 +374,6 @@ class AMRCompositeSolver:
             parent_phis = phi0
             parent_K = 1
             for lev, c in enumerate(h.couplings):
-                level = levels[lev]
                 K = c.K
                 org = origins[lev]
                 psel = (parent_sels[lev]
@@ -378,6 +381,7 @@ class AMRCompositeSolver:
                             and parent_sels[lev] is not None) else None)
                 outs = []
                 for k in range(K):
+                    level = levels[lev][k]
                     phi_f = phis[lev + 1][k] if K > 1 else phis[lev + 1]
                     rhs_f = eff[lev + 1][k] if K > 1 else eff[lev + 1]
                     if parent_K == 1:

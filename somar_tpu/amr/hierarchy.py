@@ -184,10 +184,10 @@ class PatchCoupling:
         #: parent's CF boundary
         self.nest_buffer = int(nest_buffer)
         self.K = int(num_patches)
-        if self.K > 1:
-            assert not self.is_mapped, \
-                "multi-patch levels require uniform geometry (per-patch " \
-                "metric bundles not wired)"
+        # mapped K > 1: the coupling's bundle carries a leading K axis
+        # (one traced metric slice per patch, stacked at regrid time by
+        # AMRHierarchy._refresh_bundle); every consumer rebuilds the
+        # patch level from ITS OWN slice
 
         # spanned dirs: the vertical + dirs where the parent array is
         # periodic (for a patch parent, "periodic" already means the
@@ -771,9 +771,6 @@ class AMRHierarchy:
             per_level_K = [1] * len(self.ratios)
             per_level_K[-1] = int(num_patches)
         self.num_patches = per_level_K[-1]
-        if reflux and any(k > 1 for k in per_level_K[:-1]):
-            raise NotImplementedError(
-                "refluxing requires single-patch levels above the finest")
         self.couplings: List[PatchCoupling] = []
         parent_geo = geo0
         parent_level = self.level0
@@ -790,9 +787,11 @@ class AMRHierarchy:
             if self.reflux_fields:
                 from somar_tpu.amr.flux_register import PatchFluxRegister
                 c.flux_register = PatchFluxRegister(c)
-            if self.eta_lambda > 0.0 and K == 1:
+            if self.eta_lambda > 0.0:
                 # patch levels consume their own composite eLambda
-                # (computeVDCorrection fills every level's grad_eLambda)
+                # (computeVDCorrection fills every level's grad_eLambda);
+                # K>1 levels consume the per-patch e_lambda slice the
+                # composite VD solve fills (stacked K axis throughout)
                 c.level.use_vd_correction = True
             self.couplings.append(c)
             parent_geo = c.level.geo
@@ -858,12 +857,14 @@ class AMRHierarchy:
             return s_new
         c = self.couplings[lev]
         K = c.K
-        if c.is_mapped and geos is not None:
-            level = c.make_level(geos[lev]["geo"], geos[lev]["aux"])
-            J_f = geos[lev]["geo"].J
-        else:
-            level = c.level
-            J_f = None
+        # per-patch traced metric bundles (stacked K axis when K>1: each
+        # patch's PatchNSLevel is rebuilt from ITS OWN metric slice — the
+        # dense analog of the reference building one LevelGeometry per
+        # box, AMRNavierStokesRegrid.cpp:688+)
+        levels_k = self._levels_for(lev, geos)
+        mapped = c.is_mapped and geos is not None
+        J_fk = [(lvl.geo.J if mapped else None) for lvl in levels_k]
+        level = levels_k[0]
         org = origins[lev]
         psel = (parent_sels[lev]
                 if (parent_sels is not None and parent_K > 1
@@ -875,8 +876,6 @@ class AMRHierarchy:
         nt = c.nt * (1 if nt_mults is None else int(nt_mults[lev]))
         dt_f = dt / nt
         refluxing = parent_fluxes is not None and bool(self.reflux_fields)
-        assert not (refluxing and parent_K > 1), \
-            "refluxing into a multi-patch parent is not supported"
         freg = c.flux_register if refluxing else None
 
         s_stack = fine_states[lev]
@@ -907,7 +906,7 @@ class AMRHierarchy:
             # recursion's time-interpolation anchor at this substep's
             # start (fresh CF halos, matching the pre-unification code)
             prev = [None] * K
-            fl_f = None
+            fl_pp = [None] * K
             for k in range(K):
                 if parent_K == 1:
                     donor0, donor_mid = donor0_all, donor_mid_all
@@ -923,18 +922,18 @@ class AMRHierarchy:
                     "cc": c._ring(donor_mid.cc_phi, origs[k], 1.0 / nt),
                 }
                 if refluxing:
-                    s_f, fl_f = level.advance(s_f, dt_f, rings=rings,
-                                              collect_fluxes=True)
-                    for key, flux in self._flux_items(fl_f):
+                    s_f, fl_pp[k] = levels_k[k].advance(
+                        s_f, dt_f, rings=rings, collect_fluxes=True)
+                    for key, flux in self._flux_items(fl_pp[k]):
                         regs_pp[k][key] = freg.increment_fine(
                             regs_pp[k][key], flux, 1.0 / nt)
                 else:
                     sh = (getattr(c, "_sharded_step", None)
-                          if level is c.level else None)
+                          if levels_k[k] is c.level else None)
                     if sh is not None:
                         s_f = sh.advance(s_f, dt_f, rings=rings)
                     else:
-                        s_f = level.advance(s_f, dt_f, rings=rings)
+                        s_f = levels_k[k].advance(s_f, dt_f, rings=rings)
                 patches[k] = s_f
             if has_child:
                 # deeper couplings subcycle inside this substep, between
@@ -945,8 +944,9 @@ class AMRHierarchy:
                 stack_new = self._advance_recursive(
                     lev + 1, stack_old, stack_new, fine_states, origins,
                     dt_f, geos,
-                    parent_fluxes=(fl_f if (refluxing and K == 1)
-                                   else None),
+                    parent_fluxes=(None if not refluxing else
+                                   (_tree_stack(fl_pp) if K > 1
+                                    else fl_pp[0])),
                     parent_level=level, weights=weights,
                     nt_mults=nt_mults, parent_sels=parent_sels,
                     parent_K=K)
@@ -955,38 +955,19 @@ class AMRHierarchy:
         fine_states[lev] = _tree_stack(patches) if K > 1 else patches[0]
 
         # -------- synchronization: average down into the parent --------
-        if parent_K > 1:
-            out = s_new
-            for k in range(K):
-                p = (psel[k] if psel is not None
-                     else jnp.zeros((), jnp.int32))
-                par = _tree_index_dyn(out, p)
-                par = c.average_down(par, patches[k], origs[k], J_f=J_f,
-                                     weight=(w[k] if K > 1 else None))
-                out = _tree_scatter_dyn(out, par, p)
-            return out
-
-        s_par = s_new
-        for k in range(K):
-            s_par = c.average_down(s_par, patches[k], origs[k], J_f=J_f,
-                                   weight=(w[k] if K > 1 else None))
         if refluxing:
             # conservation fix-up at the CF interface (reference:
             # MappedLevelFluxRegister::reflux, AMRNavierStokesSync.cpp:
-            # 71-164)
-            parent_geo = (self.level0.geo if lev == 0 else
-                          (geos[lev - 1]["geo"]
-                           if (geos is not None and
-                               self.couplings[lev - 1].is_mapped)
-                           else self.couplings[lev - 1].level.geo))
-            plev = parent_level if parent_level is not None else self.level0
-
-            def corr_of(key, field, regs, origin, scale):
+            # 71-164).  The parent level (its metric + implicit-reflux
+            # solvers) is selected PER FINE PATCH: a mapped multi-patch
+            # parent's level is rebuilt from the traced-indexed slice of
+            # its stacked metric bundle (_parent_level_for)
+            def corr_of(key, field, regs, origin, scale, plev):
                 """Explicit or implicit reflux correction of one field
                 (reference: the explicit path AMRNavierStokesSync.cpp:
                 71-164 vs doImplicitScalar/MomentumReflux :338,601)."""
                 rhs = freg.reflux(jnp.zeros_like(field), regs[key], origin,
-                                  dt, parent_geo)
+                                  dt, plev.geo)
                 if scale is not None:
                     rhs = rhs * scale
                 solver = None
@@ -1001,29 +982,68 @@ class AMRHierarchy:
                 corr, _ = solver._helmholtz_solve(rhs, 1.0, dt, rhs)
                 return corr
 
-            vel = s_par.vel
-            scalars = s_par.scalars
-            lam = s_par.lam
-            for k in range(K):
+            def apply_reflux(par, k, coarse_flux_items, pk=None):
+                """Close patch k's register with the parent's interface
+                fluxes and add the corrections to parent state `par`."""
+                plev = self._parent_level_for(lev, geos, pk)
                 regs = regs_pp[k]
-                for key, flux in self._flux_items(parent_fluxes):
+                for key, flux in coarse_flux_items:
                     regs[key] = freg.increment_coarse(regs[key], flux,
                                                       origs[k])
+                vel, scalars, lam = par.vel, par.scalars, par.lam
                 scale = w[k] if K > 1 else None
                 for key in regs:
                     if key[0] == "vel":
                         vel = vel.at[key[1]].add(
                             corr_of(key, vel[key[1]], regs, origs[k],
-                                    scale))
+                                    scale, plev))
                     elif key[0] == "scalars":
                         scalars = scalars.at[key[1]].add(
                             corr_of(key, scalars[key[1]], regs, origs[k],
-                                    scale))
+                                    scale, plev))
                     else:
                         lam = lam + corr_of(key, lam, regs, origs[k],
-                                            scale)
-            s_par = dataclasses.replace(s_par, vel=vel, scalars=scalars,
-                                        lam=lam)
+                                            scale, plev)
+                return dataclasses.replace(par, vel=vel, scalars=scalars,
+                                           lam=lam)
+
+        if parent_K > 1:
+            # multi-patch parent: each fine patch averages down into —
+            # and refluxes — the parent patch it nests in (traced psel),
+            # the dense analog of the reference refluxing across an
+            # arbitrary box-set hierarchy (AMRNavierStokesSync.cpp:88)
+            out = s_new
+            for k in range(K):
+                p = (psel[k] if psel is not None
+                     else jnp.zeros((), jnp.int32))
+                par = _tree_index_dyn(out, p)
+                par = c.average_down(par, patches[k], origs[k],
+                                     J_f=J_fk[k],
+                                     weight=(w[k] if K > 1 else None))
+                out = _tree_scatter_dyn(out, par, p)
+            if refluxing:
+                for k in range(K):
+                    p = (psel[k] if psel is not None
+                         else jnp.zeros((), jnp.int32))
+                    items = [
+                        (key, jax.tree.map(
+                            lambda f: jax.lax.dynamic_index_in_dim(
+                                f, p, 0, keepdims=False), flux))
+                        for key, flux in self._flux_items(parent_fluxes)]
+                    par = apply_reflux(_tree_index_dyn(out, p), k, items,
+                                       pk=p)
+                    out = _tree_scatter_dyn(out, par, p)
+            return out
+
+        s_par = s_new
+        for k in range(K):
+            s_par = c.average_down(s_par, patches[k], origs[k],
+                                   J_f=J_fk[k],
+                                   weight=(w[k] if K > 1 else None))
+        if refluxing:
+            items = self._flux_items(parent_fluxes)
+            for k in range(K):
+                s_par = apply_reflux(s_par, k, items)
         return s_par
 
     def _flux_items(self, fluxes: dict):
@@ -1206,21 +1226,18 @@ class AMRHierarchy:
         rhss = [mac_divergence(f0, level0.geo)]
         fluxs = [[f0]]
         for lev, c in enumerate(self.couplings):
-            if c.is_mapped and geos is not None:
-                level = c.make_level(geos[lev]["geo"], geos[lev]["aux"])
-            else:
-                level = c.level
-            levels.append(level)
+            lvls = self._levels_for(lev, geos)   # per-patch levels
+            levels.append(lvls)
             K = c.K
             per_k = []
             per_rhs = []
             for k in range(K):
                 s_fk = (_tree_index(fine_states[lev], k) if K > 1
                         else fine_states[lev])
-                fk = level.projector.cc_fluxes(s_fk.vel,
-                                               level.vel_bcs_trace)
+                fk = lvls[k].projector.cc_fluxes(s_fk.vel,
+                                                 lvls[k].vel_bcs_trace)
                 per_k.append(fk)
-                per_rhs.append(mac_divergence(fk, level.geo))
+                per_rhs.append(mac_divergence(fk, lvls[k].geo))
             fluxs.append(per_k)
             rhss.append(jnp.stack(per_rhs) if K > 1 else per_rhs[0])
         if self.sync_use_reflux:
@@ -1241,8 +1258,6 @@ class AMRHierarchy:
                 psel = (parent_sels[lev]
                         if (parent_sels is not None and parent_K > 1
                             and parent_sels[lev] is not None) else None)
-                par_level = level0 if lev == 0 else levels[lev - 1]
-                geo_par = par_level.geo
                 new_rhs = rhss[lev]
                 for k in range(K):
                     ok = org[k] if K > 1 else org
@@ -1251,12 +1266,16 @@ class AMRHierarchy:
                     reg = fr.zeros()
                     reg = fr.increment_fine(reg, fluxs[lev + 1][k], 1.0)
                     if parent_K == 1:
+                        geo_par = (level0 if lev == 0
+                                   else levels[lev - 1][0]).geo
                         reg = fr.increment_coarse(reg, fluxs[lev][0], ok)
                         new_rhs = fr.reflux(new_rhs, reg, ok, -wk,
                                             geo_par)
                     else:
                         pk = (psel[k] if psel is not None
                               else jnp.zeros((), jnp.int32))
+                        geo_par = self._parent_level_for(lev, geos,
+                                                         pk).geo
                         fpar = tuple(
                             jax.lax.dynamic_index_in_dim(
                                 jnp.stack([fluxs[lev][kp][d]
@@ -1285,7 +1304,6 @@ class AMRHierarchy:
         phi_par = phis[0]                  # array, or (Kp,)+shape stack
         parent_K = 1
         for lev, c in enumerate(self.couplings):
-            level = levels[lev]
             K = c.K
             org = origins[lev]
             psel = (parent_sels[lev]
@@ -1304,7 +1322,7 @@ class AMRHierarchy:
                         phi_par, p, 0, keepdims=False)
                 ring = c._ring(ph_src, org[k] if K > 1 else org)
                 phi_f = phis[lev + 1][k] if K > 1 else phis[lev + 1]
-                corr = level.projector.cc_correction(phi_f, ring)
+                corr = levels[lev][k].projector.cc_correction(phi_f, ring)
                 pats.append(dataclasses.replace(s_f, vel=s_f.vel - corr))
             fine_states[lev] = _tree_stack(pats) if K > 1 else pats[0]
             phi_par = phis[lev + 1]
@@ -1316,8 +1334,7 @@ class AMRHierarchy:
         for lev in range(len(self.couplings) - 1, -1, -1):
             c = self.couplings[lev]
             K = c.K
-            J_f = (geos[lev]["geo"].J
-                   if (c.is_mapped and geos is not None) else None)
+            mapped = c.is_mapped and geos is not None
             parent = s0 if lev == 0 else fine_states[lev - 1]
             parent_K = 1 if lev == 0 else self.couplings[lev - 1].K
             psel = (parent_sels[lev]
@@ -1332,6 +1349,7 @@ class AMRHierarchy:
                         else fine_states[lev])
                 ok = org[k] if K > 1 else org
                 wk = w[k] if w is not None else None
+                J_f = levels[lev][k].geo.J if mapped else None
                 if parent_K == 1:
                     parent = c.average_down(parent, s_fk, ok, J_f=J_f,
                                             weight=wk)
@@ -1363,12 +1381,57 @@ class AMRHierarchy:
         c = self.couplings[lev]
         if not c.is_mapped:
             return
+        if c.K > 1:
+            # one metric bundle per patch origin, stacked on a leading K
+            # axis (the dense analog of the reference building one
+            # LevelGeometry per box, AMRNavierStokesRegrid.cpp:688+)
+            bundles = []
+            lg0 = None
+            for k in range(c.K):
+                b, lg = c.build_patch_bundle(
+                    self._global_origin(lev, patch=k), self.grid0)
+                bundles.append(b)
+                if lg0 is None:
+                    lg0 = lg
+            c.bundle = _tree_stack(bundles)
+            c.level.geo = lg0
+            return
         bundle, lg = c.build_patch_bundle(self._global_origin(lev),
                                           self.grid0)
         c.bundle = bundle
         # the host template level keeps the concrete metric for tagging
         # (vorticity) and as the parent geometry of deeper couplings
         c.level.geo = lg
+
+    def _levels_for(self, lev: int, geos):
+        """Per-patch level objects for coupling `lev` (length K).  Mapped
+        couplings rebuild each patch's level from its own traced metric
+        slice; uniform couplings share the one template level."""
+        c = self.couplings[lev]
+        if c.is_mapped and geos is not None:
+            if c.K > 1:
+                bunds = [_tree_index(geos[lev], k) for k in range(c.K)]
+            else:
+                bunds = [geos[lev]]
+            return [c.make_level(b["geo"], b["aux"]) for b in bunds]
+        return [c.level] * c.K
+
+    def _parent_level_for(self, lev: int, geos, pk=None):
+        """Level object for coupling `lev`'s PARENT patch (lev = 0 →
+        level0).  `pk` is a traced patch index into a mapped multi-patch
+        parent's stacked metric bundle (its slice is gathered with
+        dynamic indexing, so the built level is fully traced)."""
+        if lev == 0:
+            return self.level0
+        cp = self.couplings[lev - 1]
+        if cp.is_mapped and geos is not None:
+            b = geos[lev - 1]
+            if cp.K > 1:
+                if pk is None:
+                    pk = jnp.zeros((), jnp.int32)
+                b = _tree_index_dyn(b, pk)
+            return cp.make_level(b["geo"], b["aux"])
+        return cp.level
 
     @property
     def geo_bundles(self):
@@ -1407,6 +1470,7 @@ class AMRHierarchy:
                     psel = np.zeros(c.K, np.int64)
                 if c.K > 1:
                     c.origin_f, c.weights, c.parent_sel = org, w, psel
+                    self._refresh_bundle(lev)
                     patches = [
                         c._interp_state_ext(par_patches[int(psel[k])],
                                             jnp.asarray(org[k]))
@@ -1418,6 +1482,7 @@ class AMRHierarchy:
                     c.origin_f = np.asarray(org[0])
                     c.weights = None
                     c.parent_sel = psel[:1].copy() if multi_parent else None
+                    self._refresh_bundle(lev)
                     s_f = c._interp_state_ext(
                         par_patches[int(psel[0])],
                         jnp.asarray(c.origin_f))
@@ -1556,21 +1621,17 @@ class AMRHierarchy:
         duplicate slots.  The jitted advance retraces once per bucket.
         Reference bar: Berger-Rigoutsos covers every tag by emitting as
         many boxes as needed (LepticMeshRefine.cpp:823-934); the dense
-        model buys the same guarantee in shape buckets.  Skipped for
-        mapped couplings, refluxing non-finest levels, and VD-corrected
-        levels (the documented multi-patch restrictions)."""
+        model buys the same guarantee in shape buckets.  Mapped,
+        refluxing, and VD-corrected couplings escalate too (their
+        stacked metric bundles and registers re-shape with K at the
+        regrid that follows)."""
         if not self.auto_escalate_patches:
             return
         import warnings
-        nlev = len(self.couplings)
         for lev, c in enumerate(self.couplings):
             if lev < from_level or getattr(c, "_drop_streak", 0) < 2:
                 continue
-            if c.K >= self.max_auto_patches or c.is_mapped:
-                continue
-            if self.reflux_fields and lev < nlev - 1:
-                continue
-            if getattr(c.level, "use_vd_correction", False):
+            if c.K >= self.max_auto_patches:
                 continue
             old_k = max(1, c.K)
             new_k = min(2 * old_k, self.max_auto_patches)
@@ -1729,6 +1790,7 @@ class AMRHierarchy:
                     psel = np.zeros(c.K, np.int64)
             if c.K > 1:
                 c.origin_f, c.weights, c.parent_sel = org, w, psel
+                self._refresh_bundle(lev)
                 patches = []
                 for k in range(c.K):
                     s_new_k = c._interp_state_ext(
@@ -1795,16 +1857,13 @@ class AMRHierarchy:
         factor = 1
         for lev, (c, s_f) in enumerate(zip(self.couplings, fine_states)):
             factor *= c.nt
-            if c.is_mapped and geos is not None:
-                level = c.make_level(geos[lev]["geo"], geos[lev]["aux"])
-            else:
-                level = c.level
+            lvls = self._levels_for(lev, geos)
             if c.K > 1:
                 for k in range(c.K):
-                    dt = jnp.minimum(dt, factor * level.compute_dt(
+                    dt = jnp.minimum(dt, factor * lvls[k].compute_dt(
                         _tree_index(s_f, k)))
             else:
-                dt = jnp.minimum(dt, factor * level.compute_dt(s_f))
+                dt = jnp.minimum(dt, factor * lvls[0].compute_dt(s_f))
         return dt
 
     def level_dts(self, s0: NSState, fine_states, geos=None):
@@ -1818,17 +1877,14 @@ class AMRHierarchy:
                 geos = [geos]
         out = [self.level0.compute_dt(s0)]
         for lev, (c, s_f) in enumerate(zip(self.couplings, fine_states)):
-            if c.is_mapped and geos is not None:
-                level = c.make_level(geos[lev]["geo"], geos[lev]["aux"])
-            else:
-                level = c.level
+            lvls = self._levels_for(lev, geos)
             if c.K > 1:
-                dt_l = level.compute_dt(_tree_index(s_f, 0))
+                dt_l = lvls[0].compute_dt(_tree_index(s_f, 0))
                 for k in range(1, c.K):
-                    dt_l = jnp.minimum(dt_l,
-                                       level.compute_dt(_tree_index(s_f, k)))
+                    dt_l = jnp.minimum(
+                        dt_l, lvls[k].compute_dt(_tree_index(s_f, k)))
             else:
-                dt_l = level.compute_dt(s_f)
+                dt_l = lvls[0].compute_dt(s_f)
             out.append(dt_l)
         return tuple(out)
 

@@ -36,6 +36,14 @@ def make_problem(ctx):
     if t == ProblemType.LOCK_EXCHANGE:
         return LockExchange()
     if t == ProblemType.BEAM_GENERATION:
+        if ctx.use_background_scalar and ctx.bg_profile == 1:
+            # the reference hardcodes the beam problem's linear
+            # stratification (BeamGenerationBCUtil.cpp:45:
+            # Nsq = 1.493e-5, bbar = -Nsq*z) rather than reading it
+            # from the input file; with the generic slope=-1 default
+            # the shipped config's omega/N would be ~1e-3 instead of
+            # sin(15 deg) and no critical-slope beams form
+            bg = LinearProfile(b0=0.0, slope=-1.493e-5)
         prob = BeamGeneration(background=bg, tidal_u0=ctx.tidal_u0[0],
                               tidal_omega=ctx.tidal_omega,
                               ndim=ctx.amr.ndim,

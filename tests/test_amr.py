@@ -293,6 +293,67 @@ def test_mapped_amr_advance_and_regrid():
     assert 0.0 < dt < 10.0
 
 
+def test_mapped_multipatch_amr_with_reflux():
+    """Lock exchange on the TwistedMap with MULTI-PATCH mapped levels
+    (amr.max_patches = 2 2) and refluxing on through the whole chain —
+    the full combination the reference's box-list hierarchy supports
+    natively (LepticMeshRefine.cpp:823-934 emits arbitrary box sets on
+    any metric; MappedLevelFluxRegister refluxes across them).  Each
+    patch's level is rebuilt from ITS OWN traced metric slice (the
+    coupling bundle carries a stacked K axis); the reflux gathers the
+    parent patch's metric by traced parent_sel.  Everything must stay
+    finite, buoyancy in range, and a regrid must keep the geo treedef
+    (the compiled step keeps serving)."""
+    from somar_tpu.geometry.geo_source import TwistedMap
+    Lx, Lz = 15.0, 2.0
+    nx, nz = 96, 12
+    g = Grid(nx=(nx, nz), dx=(Lx / nx, Lz / nz), x0=(-Lx / 2, 0.0))
+    geo = build_level_geometry(g, TwistedMap((0.2, 0.02), (Lx, Lz)))
+    params = NSParams(nu=1e-4, kappa=(1e-4,), gravity_method=1,
+                      mg=MGParams(eps=1e-4, imax=8, relax_mode="line"))
+    h = AMRHierarchy(geo, LockExchange(pert_amp=0.0), params,
+                     ratios=[(2, 1), (2, 1)], patch_frac=0.2,
+                     tag_params=TagParams(buoyancy_tag_tol=0.12,
+                                          tags_grow=1),
+                     num_patches=(2, 2),
+                     reflux=("scalars", "lam", "vel"))
+    assert all(c.is_mapped for c in h.couplings)
+    s0 = h.level0.post_initialize(h.level0.initial_state())
+    # two separated buoyancy lumps force two clusters per level
+    x = np.asarray(geo.phys_coords_cc()[0])
+    b = (np.abs(x + 4.0) < 0.8).astype(np.float32) \
+        + (np.abs(x - 4.0) < 0.8).astype(np.float32)
+    s0 = dataclasses.replace(
+        s0, scalars=s0.scalars.at[0].set(
+            jnp.asarray(np.broadcast_to(b, g.shape))))
+    fines, origins, weights = h.initial_patch_states(s0)
+    geos = h.geo_bundles
+    assert geos is not None
+    # stacked per-patch metric bundles: leading K axis on every leaf
+    assert jax.tree_util.tree_leaves(geos[0])[0].shape[0] == 2
+    step = jax.jit(h.advance)
+    dt = jnp.asarray(0.02)
+    for _ in range(3):
+        s0, fines = step(s0, fines, origins, dt, geos, weights,
+                         parent_sels=h.parent_sels)
+        fines = list(fines)
+    assert np.all(np.isfinite(np.asarray(s0.scalars[0])))
+    for f in fines:
+        assert np.all(np.isfinite(np.asarray(f.vel)))
+        bf = np.asarray(f.scalars[0])
+        assert bf.min() > -0.3 and bf.max() < 1.3
+    # regrid must refresh every patch's bundle without changing treedefs
+    old_treedef = jax.tree_util.tree_structure(geos)
+    fines, origins, weights = h.regrid(s0, fines)
+    geos = h.geo_bundles
+    assert jax.tree_util.tree_structure(geos) == old_treedef
+    s0, fines = step(s0, fines, origins, dt, geos, weights,
+                     parent_sels=h.parent_sels)
+    assert np.all(np.isfinite(np.asarray(s0.vel)))
+    dtc = float(jax.jit(h.compute_dt)(s0, fines, geos))
+    assert 0.0 < dtc < 10.0
+
+
 def test_refluxing_conserves_buoyancy_better():
     """Advective refluxing (reference: MappedLevelFluxRegister + the
     postTimeStep reflux calls) restores CF conservation: with nu=kappa=0
@@ -745,6 +806,57 @@ def test_composite_vd_correction_fills_fine_e_lambda():
     assert abs(np.asarray(s1.lam) - 1.0).max() < 0.016
 
 
+def test_vd_correction_on_multipatch_level():
+    """VD/freestream correction with a MULTI-PATCH fine level: the
+    composite eLambda solve fills each patch's own potential (stacked K
+    axis) and each patch CONSUMES its grad(eLambda) in its advecting
+    velocities (reference: computeVDCorrection fills grad_eLambda on
+    every level's boxes, AMRNavierStokesSync.cpp:850-1011 +
+    AMRNavierStokesAdvancePPM.cpp:280-286).  lambda stays pinned near 1
+    on the coarse level and on BOTH patches."""
+    Lx, Lz = 15.0, 2.0
+    nx, nz = 96, 12
+    g = Grid(nx=(nx, nz), dx=(Lx / nx, Lz / nz), x0=(-Lx / 2, 0.0))
+    geo = build_level_geometry(g, CartesianMap())
+    params = NSParams(nu=1e-4, kappa=(1e-4,), gravity_method=1,
+                      mg=MGParams(eps=1e-5, imax=12))
+    h = AMRHierarchy(geo, LockExchange(pert_amp=0.0), params,
+                     ratio=(4, 1), patch_frac=0.2, eta_lambda=0.9,
+                     tag_params=TagParams(buoyancy_tag_tol=0.12,
+                                          tags_grow=1),
+                     num_patches=2)
+    assert h.couplings[0].level.use_vd_correction
+    s0 = h.level0.post_initialize(h.level0.initial_state())
+    x = np.asarray(geo.phys_coords_cc()[0])
+    b = (np.abs(x + 4.0) < 0.8).astype(np.float32) \
+        + (np.abs(x - 4.0) < 0.8).astype(np.float32)
+    s0 = dataclasses.replace(
+        s0, scalars=s0.scalars.at[0].set(
+            jnp.asarray(np.broadcast_to(b, g.shape))))
+    # seed a lambda drift so the short run exercises a non-trivial rhs
+    xs = np.linspace(-1, 1, nx)[None, :]
+    zs = np.linspace(-1, 1, nz)[:, None]
+    bump = 0.004 * np.exp(-(xs ** 2 + zs ** 2) / 0.1)
+    s0 = dataclasses.replace(s0, lam=jnp.asarray(1.0 + bump, jnp.float32))
+
+    fines, origins, weights = h.initial_patch_states(s0)
+    assert np.asarray(weights[0]).tolist() == [1.0, 1.0]
+    step = jax.jit(h.advance)
+    f = fines[0]
+    for _ in range(3):
+        s0, f = step(s0, f, origins[0], jnp.asarray(0.02), None, weights)
+    e0 = np.asarray(s0.e_lambda)
+    ef = np.asarray(f.e_lambda)
+    assert e0.shape == g.shape and ef.shape[0] == 2
+    assert np.any(e0 != 0.0) and np.all(np.isfinite(e0))
+    H = h.halo
+    for k in range(2):
+        assert np.any(ef[k][:, 2 * H:-2 * H] != 0.0), k
+        assert np.all(np.isfinite(ef[k]))
+    assert abs(np.asarray(s0.lam) - 1.0).max() < 0.016
+    assert abs(np.asarray(f.lam) - 1.0).max() < 0.02
+
+
 def test_tag_coverage_detects_dropped_tags():
     """When the tagged region outgrows the static patch footprint, the
     regrid WARNS and records the dropped fraction (the reference's BR
@@ -932,6 +1044,59 @@ def test_multibox_intermediate_level_with_children():
 
 
 import pytest
+
+
+def test_multibox_reflux_into_multipatch_parent():
+    """Refluxing with a MULTI-PATCH parent level: two level-1 patches,
+    level-2 children nested in different parents (parent_sel = {0, 1}),
+    reflux on through the whole chain.  The reference refluxes across
+    an arbitrary box-set hierarchy (MappedLevelFluxRegister::reflux at
+    AMRNavierStokesSync.cpp:88 under MPI box layouts); the dense analog
+    closes each child register against the traced-selected parent
+    patch's interface fluxes.  Inviscid + solid walls: the level-0
+    buoyancy integral must drift no more with reflux than without, and
+    nothing may blow up."""
+    def run(reflux):
+        Lx, Lz = 15.0, 2.0
+        nx, nz = 96, 8
+        g = Grid(nx=(nx, nz), dx=(Lx / nx, Lz / nz), x0=(-Lx / 2, 0.0))
+        geo = build_level_geometry(g, CartesianMap())
+        params = NSParams(nu=0.0, kappa=(0.0,), gravity_method=1,
+                          mg=MGParams(eps=1e-5, imax=10))
+        h = AMRHierarchy(geo, LockExchange(pert_amp=0.0), params,
+                         ratios=[(2, 1), (2, 1)], patch_frac=0.2,
+                         tag_params=TagParams(buoyancy_tag_tol=0.12,
+                                              tags_grow=1),
+                         num_patches=(2, 4), reflux=reflux)
+        s0 = h.level0.post_initialize(h.level0.initial_state())
+        x = np.asarray(geo.phys_coords_cc()[0])
+        b = (np.abs(x + 4.0) < 0.8).astype(np.float32) \
+            + (np.abs(x - 4.0) < 0.8).astype(np.float32)
+        s0 = dataclasses.replace(
+            s0, scalars=s0.scalars.at[0].set(
+                jnp.asarray(np.broadcast_to(b, g.shape))))
+        fines, origins, weights = h.initial_patch_states(s0)
+        psel = np.asarray(h.couplings[1].parent_sel)
+        w1 = np.asarray(weights[1])
+        assert sorted(set(int(p) for p, wk in zip(psel, w1)
+                          if wk > 0)) == [0, 1]
+        step = jax.jit(h.advance)
+        dt = jnp.asarray(0.02)
+        b0 = float(jnp.sum(s0.scalars[0], dtype=jnp.float64))
+        fines = list(fines)
+        for _ in range(4):
+            s0, fines = step(s0, fines, origins, dt, None, weights,
+                             parent_sels=h.parent_sels)
+            fines = list(fines)
+        assert np.all(np.isfinite(np.asarray(s0.scalars[0])))
+        for f in fines:
+            assert np.all(np.isfinite(np.asarray(f.vel)))
+        b1 = float(jnp.sum(s0.scalars[0], dtype=jnp.float64))
+        return abs(b1 - b0)
+
+    drift_off = run(())
+    drift_on = run(("scalars", "lam", "vel"))
+    assert drift_on <= drift_off + 1e-4, (drift_on, drift_off)
 
 
 @pytest.mark.parametrize("level_solver", ["auto", "mg", "leptic"])
