@@ -367,7 +367,11 @@ class ProblemContext:
                 precond_mode=gi("precond_mode", 1),
                 num_mg=gi("numMG", 1),
                 max_depth=gi("maxDepth", -1),
-                relax_mode=relax_modes[gi("relax_mode", 1)],
+                # unspecified -> "auto" (per-MG-level smoother choice:
+                # line relaxation where the metric's vertical coupling
+                # dominates, else GSRB); an explicit relax_mode key keeps
+                # the reference's numeric meaning
+                relax_mode=relax_modes.get(gi("relax_mode", -999), "auto"),
                 verbosity=gi("verbosity", 0),
                 bottom_eps=br("eps", 1e-6),
                 bottom_imax=bi("imax", 80),

@@ -98,7 +98,10 @@ class FusedPlan:
         self.shape = grid.shape
         self.ndim = nd
         # variant selection
-        ncell = int(np.prod(grid.shape))
+        # tile-padded footprint (lane dim -> 128, sublane dim -> 8):
+        # logical bytes under-count VMEM by up to ~2x at odd sizes
+        from somar_tpu.ops.stencil_gsrb_pallas import _padded_cells
+        ncell = _padded_cells(grid.shape)
         if 14 * 4 * ncell <= _VMEM_BUDGET:
             self.mode = "small"
         elif nd == 3 and not self.periodic[0]:

@@ -138,6 +138,28 @@ def probe_stencil(apply_fn, shape, periodic, dtype=jnp.float32):
     return tuple(offsets), jnp.stack(ws), R
 
 
+def _ru(v: int, m: int) -> int:
+    return -(-v // m) * m
+
+
+def _padded_cells(shape) -> int:
+    """VMEM cells a buffer of `shape` actually occupies: Mosaic rounds the
+    lane (last) dim up to 128 and the sublane (second-to-last) dim up to
+    8.  Budgeting LOGICAL bytes under-counts by up to ~2x at odd domain
+    sizes (e.g. 136 lanes occupy 256) — the round-3 scoped-VMEM OOM that
+    killed the AMR bench came from exactly that (same rule as
+    ops/pallas_kernels._plan_blocking's bytes_of)."""
+    nd = len(shape)
+    n = 1
+    for i, v in enumerate(shape):
+        if i == nd - 1:
+            v = _ru(v, 128)
+        elif i == nd - 2:
+            v = _ru(v, 8)
+        n *= v
+    return n
+
+
 class StencilPlan:
     """Probed-stencil data for the fused mapped GSRB/residual kernels."""
 
@@ -150,7 +172,7 @@ class StencilPlan:
         self.periodic = tuple(periodic)
         self.ndim = len(shape)
         self.K = len(offsets)
-        ncell = int(np.prod(shape))
+        ncell = _padded_cells(shape)
         # small: phi/rhs/out + K+1 weights + ~6 temporaries live at once
         if 4 * ncell * (self.K + 10) <= _VMEM_BUDGET:
             self.mode = "small"
@@ -164,13 +186,21 @@ class StencilPlan:
             self.ok = False
 
     def _pick_bz(self, shape) -> Optional[int]:
+        # tile-padded bytes of one (window,)+rest block; in 2D the slab
+        # axis itself is the sublane dim, in 3D+ the padding falls on the
+        # trailing two axes of `rest`
+        rest = list(shape[1:])
+        pad_win = (lambda w: _ru(w, 8)) if len(rest) == 1 else (lambda w: w)
+        rest[-1] = _ru(rest[-1], 128)
+        if len(rest) >= 2:
+            rest[-2] = _ru(rest[-2], 8)
         plane = 4
-        for n in shape[1:]:
+        for n in rest:
             plane *= n
         # live set ~ (K + 6) window-sized buffers + pipeline slack
         for bz in range(min(shape[0] // 2, 32), 1, -1):
             if shape[0] % bz == 0 and \
-                    (self.K + 8) * plane * (bz + 6) <= _VMEM_BUDGET:
+                    (self.K + 8) * plane * pad_win(bz + 6) <= _VMEM_BUDGET:
                 return bz
         return None
 

@@ -431,10 +431,23 @@ class NSLevel:
             mac_phi = state.mac_phi
         if self.use_vd_correction:
             # freestream (volume-discrepancy) correction: += grad eLambda
-            # (reference: AMRNavierStokesAdvancePPM.cpp:280-286)
+            # (reference: AMRNavierStokesAdvancePPM.cpp:280-286).  On a
+            # patch level the CF-type phi BC expects ring ghost data the
+            # advance does not carry; with none, the ghost would read 0
+            # and the outermost face gradient would spike to e/dx (the
+            # round-3 multipatch lambda blow-up: |div grad e| ~ 50 in the
+            # halo band vs ~0.05 interior).  The patch halo already holds
+            # donor-filled coarse-consistent e_lambda, so a linear
+            # extrapolation at the array edge is the accurate ghost
+            # (reference computes grad_eLambda once with proper CF
+            # interpolation and stores it, AMRNavierStokesSync.cpp:1011).
+            from somar_tpu.core.bc import BC, BCType, FieldBCs
             from somar_tpu.ops.stencil import mac_gradient
-            grad_e = mac_gradient(state.e_lambda, self.geo,
-                                  self.projector.phi_bcs)
+            pb = self.projector.phi_bcs
+            fix = lambda b: BC.extrap(1) if b.type == BCType.CF else b
+            ebcs = FieldBCs(lo=tuple(fix(b) for b in pb.lo),
+                            hi=tuple(fix(b) for b in pb.hi))
+            grad_e = mac_gradient(state.e_lambda, self.geo, ebcs)
             adv = tuple(adv[d] + grad_e[d] for d in range(ndim))
         return tuple(adv), mac_phi
 

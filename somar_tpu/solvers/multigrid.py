@@ -57,6 +57,49 @@ def restrict_fullweight(fine, grid_f: Grid, ratio: Sequence[int]):
     return fine.reshape(new_shape).mean(axis=mean_axes)
 
 
+def prolong_linear_mg(coarse, grid_f: Grid, ratio: Sequence[int],
+                      periodic: Sequence[bool]):
+    """Unlimited piecewise-multilinear prolongation of an MG correction.
+
+    One order higher than piecewise-constant injection (reference:
+    ConstInterpPS, ProlongationStrategy.H:52) — the extra order roughly
+    halves the V-cycle count on variable-coefficient metrics because the
+    coarse-grid correction no longer injects O(h) staircase error for the
+    smoother to clean up.  Slopes are central in the interior, wrapped on
+    periodic axes, one-sided at walls; no limiter (corrections are signed
+    error fields, monotonicity is meaningless for them).
+    """
+    out = coarse
+    for ax in range(coarse.ndim):
+        d = grid_f.dir_of_axis(ax)
+        r = ratio[d]
+        if r == 1:
+            continue
+        n = out.shape[ax]
+        sl = lambda a, b: jax.lax.slice_in_dim(out, a, b, axis=ax)
+        if n < 2:
+            s = jnp.zeros_like(out)
+        elif periodic[d]:
+            s = 0.5 * (jnp.roll(out, -1, axis=ax) - jnp.roll(out, 1, axis=ax))
+        elif n == 2:
+            s = jnp.concatenate([sl(1, 2) - sl(0, 1)] * 2, axis=ax)
+        else:
+            s_int = 0.5 * (sl(2, n) - sl(0, n - 2))
+            s = jnp.concatenate(
+                [sl(1, 2) - sl(0, 1), s_int, sl(n - 1, n) - sl(n - 2, n - 1)],
+                axis=ax)
+        offsets = (jnp.arange(r, dtype=out.dtype) + 0.5) / r - 0.5
+        oshape = [1] * (out.ndim + 1)
+        oshape[ax + 1] = r
+        off = offsets.reshape(oshape)
+        vals = (jnp.expand_dims(out, ax + 1)
+                + off * jnp.expand_dims(s, ax + 1))
+        merged = list(out.shape)
+        merged[ax] = merged[ax] * r
+        out = vals.reshape(merged)
+    return out
+
+
 def prolong_const(coarse, grid_f: Grid, ratio: Sequence[int]):
     """Piecewise-constant injection of a coarse CC field onto the fine grid."""
     shape_c = coarse.shape
@@ -121,7 +164,13 @@ class MGParams:
     num_smooth_bottom: int = 16  # bottom-level smooth count
     num_mg: int = 1              # 1 = V-cycle, 2 = W-cycle
     max_depth: int = -1          # AMRMG.maxDepth
-    relax_mode: str = "gsrb"     # -1 none / 0 jacobi / 1 gsrb / 3 line
+    #: -1 none / 0 jacobi / 1 gsrb / 3 line / "auto" (per-level choice:
+    #: line where the metric's vertical coupling dominates, else gsrb —
+    #: the decision the reference leaves to the input file's relax_mode)
+    relax_mode: str = "auto"
+    #: correction prolongation order: 1 = multilinear (default), 0 =
+    #: piecewise-constant (reference ConstInterpPS parity)
+    prolong_order: int = 1
     verbosity: int = 0
     #: MG bottom solver: "bicgstab" (reference parity — AMRPressureSolver
     #: registers a BiCGStabSolver as the AMRMG bottom,
@@ -190,37 +239,97 @@ class LevelMultigrid:
                 self.ops.append(PoissonOp(lg, bcs))
         self.depth = len(self.ops)
         self.bcs_singular = self.ops[0].bcs_singular()
+        self.modes = [self._level_mode(op) for op in self.ops]
+
+    def _level_mode(self, op: PoissonOp) -> str:
+        """Smoother for one MG level.  'auto' picks vertical line
+        relaxation wherever the metric makes the vertical coupling
+        dominate the strongest horizontal one (terrain-following /
+        stretched maps; reference: LineGSRB is the prescribed smoother
+        for exactly that anisotropy, GSRB.H:92), else point-GSRB (which
+        rides the fused Pallas path on uniform metrics)."""
+        mode = self.params.relax_mode
+        if mode != "auto":
+            return mode
+        g = op.grid
+        if g.ndim < 2 or op._vertical_line_parts() is None:
+            return "gsrb"
+        try:
+            dv = g.vertical_dir
+            # cellwise coupling strength per direction (face coefficients
+            # averaged to cells); the anisotropy that stalls point
+            # smoothers is LOCAL, so compare couplings cell by cell
+            coup = []
+            for d in range(g.ndim):
+                jg = np.asarray(jax.device_get(op.geo.Jgup_diag[d])) \
+                    * np.ones([g.fc_shape(d)[a] for a in range(g.ndim)])
+                ax = g.axis(d)
+                cc = 0.5 * (np.take(jg, range(jg.shape[ax] - 1), axis=ax)
+                            + np.take(jg, range(1, jg.shape[ax]), axis=ax))
+                coup.append(cc / (g.dx[d] ** 2))
+            horiz = np.maximum.reduce(
+                [np.broadcast_to(c, g.shape)
+                 for d, c in enumerate(coup) if d != dv])
+            anis = np.max(np.broadcast_to(coup[dv], g.shape)
+                          / np.maximum(horiz, 1e-300))
+            return "line" if anis > 4.0 else "gsrb"
+        except Exception:
+            # traced geometry (AMR make_level inside jit): no concrete
+            # coefficients to inspect — fall back to computational dx
+            dv = g.vertical_dir
+            horiz = max(1.0 / g.dx[d] ** 2
+                        for d in range(g.ndim) if d != dv)
+            anis = (1.0 / g.dx[dv] ** 2) / horiz
+            return "line" if anis > 4.0 else "gsrb"
 
     # ------------------------------------------------------------- V-cycle
     def _vcycle(self, lev: int, phi, rhs, alpha, beta, singular: bool,
                 deltas=None):
         op = self.ops[lev]
         p = self.params
+        mode = self.modes[lev]
         jd = deltas[lev] if deltas is not None else None
         if lev == self.depth - 1:
             return self._bottom_solve(op, phi, rhs, alpha, beta, singular,
-                                      jd)
+                                      jd, mode)
 
-        phi = op.relax(phi, rhs, alpha, beta, p.num_smooth_down, p.relax_mode,
+        phi = op.relax(phi, rhs, alpha, beta, p.num_smooth_down, mode,
                        jgup_delta=jd)
         res = op.residual(phi, rhs, alpha, beta, jgup_delta=jd)
         ratio = self.ratios[lev]
-        crhs = restrict_fullweight(res, op.grid, ratio)
+        crhs = self._restrict_residual(lev, res, ratio)
         cphi = jnp.zeros_like(crhs)
         for _ in range(max(1, p.num_mg)):   # num_mg=2 -> W-cycle
             cphi = self._vcycle(lev + 1, cphi, crhs, alpha, beta, singular,
                                 deltas)
-        corr = prolong_const(cphi, op.grid, ratio)
+        if p.prolong_order >= 1:
+            corr = prolong_linear_mg(cphi, op.grid, ratio, op.grid.periodic)
+        else:
+            corr = prolong_const(cphi, op.grid, ratio)
         if singular:
             corr = corr - jnp.mean(corr)    # ZeroAvgConstInterpPS
         phi = phi + corr.astype(phi.dtype)
-        phi = op.relax(phi, rhs, alpha, beta, p.num_smooth_up, p.relax_mode,
+        phi = op.relax(phi, rhs, alpha, beta, p.num_smooth_up, mode,
                        jgup_delta=jd)
         return phi
 
+    def _restrict_residual(self, lev: int, res, ratio):
+        """Residual restriction.  On mapped metrics the FV-consistent
+        transfer is the J-weighted (volume-weighted) block average
+        (reference: MappedCoarseAverage's MAPPEDAVERAGE kernel); on
+        uniform maps J folds to a scalar and this is plain full
+        weighting."""
+        op_f, op_c = self.ops[lev], self.ops[lev + 1]
+        Jf, Jc = op_f.geo.J, op_c.geo.J
+        if jnp.ndim(Jf) == 0 and jnp.ndim(Jc) == 0:
+            return restrict_fullweight(res, op_f.grid, ratio)
+        num = restrict_fullweight(Jf * jnp.ones_like(res) * res,
+                                  op_f.grid, ratio)
+        return num / (Jc * jnp.ones_like(num))
+
     # -------------------------------------------------------- bottom solve
     def _bottom_solve(self, op: PoissonOp, phi, rhs, alpha, beta,
-                      singular: bool, jd):
+                      singular: bool, jd, mode: str):
         """Coarsest-level solve.  Default: a few smooths then BiCGStab to
         bottom.eps, relax-preconditioned — the reference feeds a
         BiCGStabSolver to AMRMG as the bottom solver
@@ -230,10 +339,10 @@ class LevelMultigrid:
         p = self.params
         if p.bottom_solver != "bicgstab":
             return op.relax(phi, rhs, alpha, beta, p.num_smooth_bottom,
-                            p.relax_mode, jgup_delta=jd)
+                            mode, jgup_delta=jd)
         # cheap pre-smooth knocks out the high-frequency component
         phi = op.relax(phi, rhs, alpha, beta, max(2, p.num_smooth_down),
-                       p.relax_mode, jgup_delta=jd)
+                       mode, jgup_delta=jd)
 
         def A(x):
             return op.apply(x, alpha, beta, jgup_delta=jd)
@@ -241,7 +350,9 @@ class LevelMultigrid:
         M = None
         if p.num_smooth_precond > 0 and p.precond_mode >= 0:
             pm = {0: "jacobi", 1: "gsrb", 3: "line"}.get(
-                p.precond_mode, p.relax_mode)
+                p.precond_mode, mode)
+            if p.precond_mode == 1 and mode == "line":
+                pm = "line"   # anisotropic level: precondition in kind
 
             def M(v):
                 return op.relax(jnp.zeros_like(v), v, alpha, beta,
@@ -292,14 +403,20 @@ class LevelMultigrid:
         r0 = op.norm(op.residual(phi, rhs, alpha, beta, jgup_delta=jd0))
         r0 = jnp.maximum(r0, p.norm_thresh)
 
+        # Best-iterate tracking: a Krylov bottom makes the per-cycle
+        # residual non-monotone, and the old single-cycle hang test
+        # aborted healthy solves on the first uptick (the round-3
+        # regression on stretched metrics).  Stall now means two
+        # consecutive cycles without improving on the BEST residual, and
+        # the returned iterate is the best one seen.
         def cond(state):
-            phi, rnorm, rprev, it = state
-            unconverged = rnorm > p.eps * r0
-            not_hung = (rprev - rnorm) > p.hang * rprev
+            phi, rnorm, best, _, stall, it = state
+            unconverged = best > p.eps * r0
+            not_hung = stall < 2
             return ((it < p.imin) | (unconverged & not_hung)) & (it < p.imax)
 
         def body(state):
-            phi, rnorm, _, it = state
+            phi, rnorm, best, phi_best, stall, it = state
             phi = self._vcycle(0, phi, rhs, alpha, beta, singular,
                                jgup_deltas)
             if singular:
@@ -313,8 +430,12 @@ class LevelMultigrid:
                 debug_print(
                     "    MG V-cycle {it}: |r|/|r0| = {r:.3e}",
                     it=it + 1, r=rnew / r0)
-            return (phi, rnew, rnorm, it + 1)
+            improved = rnew < (1.0 - p.hang) * best
+            phi_best = jnp.where(improved, phi, phi_best)
+            stall = jnp.where(improved, 0, stall + 1)
+            best = jnp.minimum(best, rnew)
+            return (phi, rnew, best, phi_best, stall, it + 1)
 
-        state = (phi, r0, 2.0 * r0, jnp.asarray(0))
-        phi, rnorm, _, iters = jax.lax.while_loop(cond, body, state)
-        return phi, (iters, rnorm / r0)
+        state = (phi, r0, r0, phi, jnp.asarray(0), jnp.asarray(0))
+        _, _, best, phi_best, _, iters = jax.lax.while_loop(cond, body, state)
+        return phi_best, (iters, best / r0)
