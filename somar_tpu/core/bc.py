@@ -42,9 +42,25 @@ class BCType(enum.IntEnum):
 
 @dataclasses.dataclass(frozen=True)
 class BC:
+    """value: Dirichlet face value or Neumann coordinate derivative — a
+    scalar, an array profile, or a CALLABLE `t -> scalar/array` for
+    time-dependent boundary data (reference: EllipticBCValueFunc receives
+    position AND time, EllipticBCInterface.H:52-64).  Callable values must
+    be bound with `bind_time`/`FieldBCs.at_time` before a ghost fill; time
+    is a traced operand so a ramped inflow costs no retrace."""
     type: BCType
-    value: float = 0.0  # Dirichlet face value or Neumann coordinate derivative
+    value: object = 0.0
     order: int = 1      # extrapolation order (0, 1 or 2) for EXTRAP
+
+    @property
+    def time_dependent(self) -> bool:
+        return callable(self.value)
+
+    def bind_time(self, t) -> "BC":
+        """Evaluate a callable value at (traced) time t."""
+        if not callable(self.value):
+            return self
+        return dataclasses.replace(self, value=self.value(t))
 
     @staticmethod
     def periodic() -> "BC":
@@ -101,6 +117,25 @@ class FieldBCs:
         z = lambda b: dataclasses.replace(b, value=0.0)
         return FieldBCs(lo=tuple(z(b) for b in self.lo), hi=tuple(z(b) for b in self.hi))
 
+    @property
+    def time_dependent(self) -> bool:
+        return any(b.time_dependent for b in self.lo + self.hi)
+
+    def at_time(self, t) -> "FieldBCs":
+        """Bind every callable BC value at (traced) time t; identity when
+        nothing is time-dependent (keeps the no-op path hashable)."""
+        if not self.time_dependent:
+            return self
+        return FieldBCs(lo=tuple(b.bind_time(t) for b in self.lo),
+                        hi=tuple(b.bind_time(t) for b in self.hi))
+
+
+def bind_bcs_time(bcs, t):
+    """at_time over a FieldBCs or a (nested) tuple of them."""
+    if isinstance(bcs, FieldBCs):
+        return bcs.at_time(t)
+    return tuple(bind_bcs_time(b, t) for b in bcs)
+
 
 def _take(arr, ax: int, idx_from: int, idx_to: int):
     """Slice helper: arr[..., idx_from:idx_to, ...] along axis ax."""
@@ -118,6 +153,8 @@ def _ghost_block(arr, ax: int, bc: BC, ngrow: int, side: int, h: float):
     """
     n = arr.shape[ax]
     assert n >= ngrow, f"need >= {ngrow} interior cells along axis {ax}"
+    assert not callable(bc.value), \
+        "time-dependent BC value not bound: call FieldBCs.at_time(t) first"
 
     def interior(k):
         # k-th interior cell counted from the boundary (k = 1..ngrow)

@@ -141,6 +141,14 @@ class NSLevel:
         self.vel_bcs_visc = problem.vel_bcs(grid, viscous=self.is_viscous)
         self.scal_bcs = problem.scalar_bcs(grid)
         self.lam_bcs = FieldBCs.from_periodic(grid, BC.extrap(1))
+        #: any callable (time-dependent) BC values? (reference:
+        #: EllipticBCValueFunc takes time, EllipticBCInterface.H:52-64).
+        #: When set, `advance` binds every BC value at the step's traced
+        #: midpoint time — see _bound_time_bcs.
+        self._time_bcs = (any(b.time_dependent for b in self.vel_bcs_trace)
+                          or any(b.time_dependent
+                                 for b in self.vel_bcs_visc)
+                          or self.scal_bcs.time_dependent)
 
         # projection machinery (shared MG hierarchy)
         mg_purposes = {k: v for k, v in
@@ -184,6 +192,15 @@ class NSLevel:
         # Laplacian op for explicit viscous source (per-component BCs)
         self._visc_ops = [PoissonOp(geo, self.vel_bcs_visc[m])
                           for m in range(ndim)]
+        # time-dependent BC values + implicit solves: force the lazy MG
+        # hierarchies into existence NOW so they are never constructed
+        # inside a _bound_time_bcs scope (whose traced values would leak
+        # into the cached ops across jit traces)
+        if self._time_bcs:
+            for hs in ((self.visc_solvers if self.is_viscous else [])
+                       + [h for h in self.diff_solvers if h is not None]):
+                if hs.bcs.time_dependent and hs._fft is None:
+                    hs.mg  # noqa: B018 — build side effect
 
         # precomputed problem fields
         self._sponge_ramp = None
@@ -268,10 +285,18 @@ class NSLevel:
         velocity so the first step starts divergence-free."""
         if not self.params.is_incompressible:
             return state
-        vel = state.vel
-        for _ in range(num_proj):
-            vel, phi, _ = self.projector.project_cc(vel, self.vel_bcs_trace)
-        return dataclasses.replace(state, vel=vel)
+
+        def run(state):
+            vel = state.vel
+            for _ in range(num_proj):
+                vel, phi, _ = self.projector.project_cc(
+                    vel, self.vel_bcs_trace)
+            return dataclasses.replace(state, vel=vel)
+
+        if self._time_bcs:
+            with self._bound_time_bcs(state.time):
+                return run(state)
+        return run(state)
 
     def initialize_pressure(self, state: NSState, dt, iters: int = 2) -> NSState:
         """Converge the lagged pressure with dummy advances that keep only
@@ -649,6 +674,61 @@ class NSLevel:
         {"vel": .., "scalars": .., "lam": ..} for AMR flux registers
         (reference: the incrementCoarse/incrementFine call sites in
         AMRNavierStokesAdvancePPM.cpp)."""
+        if self._time_bcs:
+            with self._bound_time_bcs(state.time + 0.5 * dt):
+                return self._advance_inner(state, dt, rings, collect_fluxes)
+        return self._advance_inner(state, dt, rings, collect_fluxes)
+
+    def _bound_time_bcs(self, t):
+        """Scope in which every callable (time-dependent) BC value is
+        bound at traced time t (reference: EllipticBCValueFunc receives
+        time, EllipticBCInterface.H:52-64).  Binding is a temporary
+        attribute swap restored on exit so no tracers leak into the level
+        object across jit traces; BC structural data (operator diagonals,
+        face factors) depends only on BC *types*, so swapping values is
+        trace-safe."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def scope():
+            saved = []
+
+            def swap(obj, name, val):
+                saved.append((obj, name, getattr(obj, name)))
+                setattr(obj, name, val)
+
+            vt = tuple(b.at_time(t) for b in self.vel_bcs_trace)
+            vv = tuple(b.at_time(t) for b in self.vel_bcs_visc)
+            swap(self, "vel_bcs_trace", vt)
+            swap(self, "vel_bcs_visc", vv)
+            swap(self, "scal_bcs", self.scal_bcs.at_time(t))
+            if self.is_viscous:
+                for m, hs in enumerate(self.visc_solvers):
+                    if hs.bcs.time_dependent:
+                        swap(hs, "bcs", vv[m])
+                        swap(hs._op, "bcs", vv[m])
+                        if hs._mg is not None:
+                            swap(hs._mg.ops[0], "bcs", vv[m])
+                for m, op in enumerate(self._visc_ops):
+                    if op.bcs.time_dependent:
+                        swap(op, "bcs", vv[m])
+            for hs in self.diff_solvers:
+                if hs is not None and hs.bcs.time_dependent:
+                    b = hs.bcs.at_time(t)
+                    swap(hs, "bcs", b)
+                    swap(hs._op, "bcs", b)
+                    if hs._mg is not None:
+                        swap(hs._mg.ops[0], "bcs", b)
+            try:
+                yield
+            finally:
+                for obj, name, val in reversed(saved):
+                    setattr(obj, name, val)
+
+        return scope()
+
+    def _advance_inner(self, state: NSState, dt, rings=None,
+                       collect_fluxes: bool = False):
         p = self.params
         if p.update_scheme == "rk3":
             from somar_tpu.physics.rk3 import advance_rk3

@@ -80,11 +80,24 @@ class VortexStreet(Problem):
     name = "VortexStreet"
 
     def __init__(self, inflow_vel=(1.0, 0.0, 0.0), pert_mag: float = 1e-2,
-                 seed: int = 0, sponge: SpongeSpec | None = None):
+                 seed: int = 0, sponge: SpongeSpec | None = None,
+                 ramp_time: float = 0.0):
         self.inflow = tuple(inflow_vel)
         self.pert_mag = float(pert_mag)
         self.seed = seed
         self.sponge = sponge
+        #: ramp_time > 0: the inflow Dirichlet value becomes the
+        #: time-dependent u0 * min(1, t/ramp_time) — exercises the
+        #: EllipticBCValueFunc-style time-dependent BC machinery
+        #: (reference interface: EllipticBCInterface.H:52-64)
+        self.ramp_time = float(ramp_time)
+
+    def _inflow_value(self, m: int):
+        u0 = self.inflow[m]
+        if self.ramp_time <= 0.0:
+            return u0
+        T = self.ramp_time
+        return lambda t: u0 * jnp.minimum(1.0, t / T)
 
     def vel_ic(self, geo: LevelGeometry):
         rng = np.random.default_rng(self.seed)
@@ -106,7 +119,7 @@ class VortexStreet(Problem):
                     lo.append(BC.periodic())
                     hi.append(BC.periodic())
                 elif d == 0:
-                    lo.append(BC.dirichlet(self.inflow[m]))
+                    lo.append(BC.dirichlet(self._inflow_value(m)))
                     hi.append(BC.extrap(1))
                 elif d == m:
                     lo.append(BC.dirichlet(0.0))

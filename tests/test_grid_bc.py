@@ -95,3 +95,56 @@ def test_apply_fc_bc_pins_faces():
     np.testing.assert_allclose(out[:, 0], 0.0)
     np.testing.assert_allclose(out[:, -1], 0.0)
     np.testing.assert_allclose(out[:, 1:-1], 1.0)
+
+
+def test_time_dependent_bc_values():
+    """BC.value may be a callable t -> value (reference:
+    EllipticBCValueFunc receives position AND time,
+    EllipticBCInterface.H:52-64): at_time(t) binds it as a traced
+    operand, and the bound fill matches the equivalent static fill."""
+    import jax
+
+    g = Grid(nx=(4, 3), dx=(0.25, 0.25))
+    f = jnp.ones(g.shape)
+    ramp = lambda t: 2.0 * jnp.minimum(1.0, t / 0.5)
+    bcs = FieldBCs(lo=(BC.dirichlet(ramp), BC.extrap(1)),
+                   hi=(BC.dirichlet(ramp), BC.extrap(1)))
+    assert bcs.time_dependent
+    assert not bcs.homogeneous().at_time(0.3).time_dependent
+
+    fill = jax.jit(lambda t: fill_ghosts_cc(f, g, bcs.at_time(t), 1))
+    for t, v in ((0.0, 0.0), (0.25, 1.0), (9.0, 2.0)):
+        got = fill(jnp.asarray(t))
+        want = fill_ghosts_cc(
+            f, g, FieldBCs(lo=(BC.dirichlet(v), BC.extrap(1)),
+                           hi=(BC.dirichlet(v), BC.extrap(1))), 1)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-6)
+    # unbound callables fail loudly, not silently
+    import pytest
+    with pytest.raises(AssertionError, match="at_time"):
+        fill_ghosts_cc(f, g, bcs, 1)
+
+
+def test_time_dependent_bc_no_retrace():
+    """Binding time as a traced operand must NOT retrace per time value
+    (the reference re-evaluates BC functors every fill; the TPU design
+    cannot afford a recompile per step)."""
+    import jax
+
+    g = Grid(nx=(4, 3), dx=(0.25, 0.25))
+    f = jnp.ones(g.shape)
+    calls = []
+
+    def ramp(t):
+        calls.append(1)
+        return 1.0 + 0.0 * t
+
+    bcs = FieldBCs(lo=(BC.dirichlet(ramp), BC.extrap(1)),
+                   hi=(BC.dirichlet(ramp), BC.extrap(1)))
+    fill = jax.jit(lambda t: fill_ghosts_cc(f, g, bcs.at_time(t), 1))
+    fill(jnp.asarray(0.1))
+    n0 = len(calls)
+    fill(jnp.asarray(0.7))
+    fill(jnp.asarray(1.3))
+    assert len(calls) == n0, "time value retraced the fill"
