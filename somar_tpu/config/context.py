@@ -385,7 +385,24 @@ class ProblemContext:
 
         mg = read_mg()
 
+        # run precision (the reference is all-double; the TPU default is
+        # f32 with f64 available as a run mode).  `amr.precision` accepts
+        # 32/64 (or "single"/"double"); f64 enables jax x64 globally —
+        # it must be read before any array work.
+        prec = str(pp.get_str("amr.precision", "32")).strip().lower()
+        if prec in ("64", "double", "f64", "float64"):
+            import jax as _jax
+            _jax.config.update("jax_enable_x64", True)
+            import jax.numpy as _jnp
+            dtype = _jnp.float64
+        elif prec in ("32", "single", "f32", "float32", ""):
+            import jax.numpy as _jnp
+            dtype = _jnp.float32
+        else:
+            raise ValueError(f"amr.precision = {prec!r}: use 32 or 64")
+
         ns = NSParams(
+            dtype=dtype,
             nu=pp.get_real("amr.viscosity", 0.0),
             kappa=kappa,
             viscous_solver_type=pp.get_int("amr.viscous_solver_type", 1),

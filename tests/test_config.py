@@ -113,3 +113,53 @@ def test_geo_factory_ledge_and_twisted():
     """)
     ctx2 = ProblemContext.from_parmparse(pp2)
     assert ctx2.new_geo_source().name == "Twisted"
+
+
+def test_precision_knob_f64_run_mode(tmp_path):
+    """`amr.precision = 64` runs the whole step in f64 (reference parity:
+    SOMAR is all-double).  x64 is a global jax switch, so the probe runs
+    in a subprocess; asserts the state dtype and finite physics."""
+    import subprocess
+    import sys
+
+    code = """
+import numpy as np, jax, jax.numpy as jnp
+from somar_tpu.config.context import ProblemContext
+ctx = ProblemContext.from_file(
+    "/root/reference/exec/inputs.LockExchange_Cartesian2D.machine",
+    ["amr.nx=48 16", "amr.nx_offset=-24 0", "amr.maxlevel=0",
+     "amr.precision=64", "amr.fixed_dt=0.02", "amr.verbosity=0",
+     "plot.plot_interval=-1", "plot.checkpoint_interval=-1"])
+assert ctx.ns.dtype == jnp.float64, ctx.ns.dtype
+from somar_tpu.driver import RunDriver
+import tempfile
+drv = RunDriver(ctx, out_dir=tempfile.mkdtemp())
+level = drv.level
+s = level.post_initialize(level.initial_state())
+assert s.vel.dtype == jnp.float64, s.vel.dtype
+step = jax.jit(lambda s, d: level.advance(s, d))
+for _ in range(2):
+    s = step(s, jnp.asarray(0.02, jnp.float64))
+assert s.vel.dtype == jnp.float64
+assert bool(jnp.all(jnp.isfinite(s.vel)))
+print("OK")
+"""
+    import os
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))
+    r = subprocess.run([sys.executable, "-c", code], env=env,
+                       capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "OK" in r.stdout
+
+
+def test_precision_knob_rejects_garbage():
+    import pytest
+    from somar_tpu.config.context import ProblemContext
+    with pytest.raises(ValueError, match="precision"):
+        ProblemContext.from_file(
+            "/root/reference/exec/inputs.LockExchange_Cartesian2D.machine",
+            ["amr.precision=banana"])
