@@ -1197,6 +1197,32 @@ class AMRHierarchy:
                                     weights, parent_sels=parent_sels)
         return s0, tuple(fine_states)
 
+    def initialize_pressure(self, s0: NSState, fine_states, origins, dt,
+                            geos=None, weights=None, parent_sels=None,
+                            iters: int = 1):
+        """Converge the lagged pressures on EVERY level with dummy
+        hierarchy advances that keep only the pressure fields
+        (reference: initializeGlobalPressure runs whole-hierarchy dummy
+        advances + resetStates, AMRNavierStokesInit.cpp:1093).  The
+        level-0-only variant (NSLevel.initialize_pressure) leaves the
+        fine levels' lagged pressure at zero, so their first real step
+        carries an O(dt) splitting transient."""
+        single = not isinstance(fine_states, (list, tuple))
+        fs = [fine_states] if single else list(fine_states)
+        keep = lambda dst, src: dataclasses.replace(
+            dst, pressure=src.pressure, mac_phi=src.mac_phi,
+            cc_phi=src.cc_phi)
+        for _ in range(max(1, int(iters))):
+            t0, tf = self.advance(s0, fs[0] if single else tuple(fs),
+                                  origins, dt, geos, weights,
+                                  parent_sels=parent_sels)
+            tf = [tf] if not isinstance(tf, (list, tuple)) else list(tf)
+            s0 = keep(s0, t0)
+            fs = [keep(f, t) for f, t in zip(fs, tf)]
+        if single:
+            return s0, fs[0]
+        return s0, tuple(fs)
+
     def _sync_project(self, s0: NSState, fine_states: list, origins,
                       geos=None, weights=None, parent_sels=None) -> NSState:
         """One composite sync-projection pass over the hierarchy (the

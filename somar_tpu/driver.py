@@ -263,6 +263,20 @@ class RunDriver:
                         self.hierarchy.geo_bundles, weights,
                         self.hierarchy.parent_sels,
                         iters=max(1, ctx.amr.init_projection_iters))
+                # hierarchy-wide initial pressure: dummy WHOLE-hierarchy
+                # advances keeping only the pressures, so fine levels
+                # start with a converged lagged pressure too (reference:
+                # initializeGlobalPressure dummy advances + resetStates,
+                # AMRNavierStokesInit.cpp:1093; the level-0-only pass
+                # above runs before the patches exist)
+                if ctx.amr.init_pressure_iters > 0:
+                    state, fine_state = _jax.jit(
+                        self.hierarchy.initialize_pressure,
+                        static_argnames=("iters",))(
+                            state, fine_state, origin, dt,
+                            self.hierarchy.geo_bundles, weights,
+                            self.hierarchy.parent_sels,
+                            iters=max(1, ctx.amr.init_pressure_iters))
             fine_state = self._shard_fine(fine_state)
             # substeps of coupling k per coarse step = prod of nt's above it
             self._amr_substeps = []

@@ -1415,3 +1415,40 @@ def test_composite_tau_multi_patch_ancestors():
         diff = (p2 - p2.mean()) - (e2 - e2.mean())
         assert np.max(np.abs(diff)) < 0.05 * scale, \
             (k, np.max(np.abs(diff)) / scale)
+
+
+def test_hierarchy_initialize_pressure_converges_fine_pressure():
+    """Hierarchy-wide initial pressure (reference:
+    initializeGlobalPressure runs dummy WHOLE-hierarchy advances and
+    keeps only the pressures, AMRNavierStokesInit.cpp:1093): the fine
+    level's lagged pressure is filled (the level-0-only init leaves it
+    at zero) while every prognostic field is untouched, and the dummy
+    advances CONTRACT toward the lagged-pressure fixed point: the
+    iter-1 -> iter-2 pressure change is well below the iter-0 -> iter-1
+    one."""
+    h = _hierarchy()
+    s0 = h.level0.post_initialize(h.level0.initial_state())
+    fines, origins = h.initial_patch_states(s0)
+    f0, origin = fines[0], origins[0]
+    dt = jnp.asarray(0.02)
+    init = jax.jit(h.initialize_pressure, static_argnames=("iters",))
+    s1, f1 = init(s0, f0, origin, dt, iters=1)
+    s2, f2 = init(s0, f0, origin, dt, iters=2)
+    # pressures transferred, state otherwise untouched
+    for fp in (f1, f2):
+        assert np.any(np.asarray(fp.pressure) != 0.0)
+        assert np.all(np.isfinite(np.asarray(fp.pressure)))
+        np.testing.assert_array_equal(np.asarray(fp.vel),
+                                      np.asarray(f0.vel))
+        np.testing.assert_array_equal(np.asarray(fp.scalars),
+                                      np.asarray(f0.scalars))
+        np.testing.assert_array_equal(np.asarray(fp.lam),
+                                      np.asarray(f0.lam))
+    d01 = abs(np.asarray(f1.pressure)).max()           # p0 = 0
+    d12 = abs(np.asarray(f2.pressure)
+              - np.asarray(f1.pressure)).max()
+    assert d12 < 0.8 * d01, (d12, d01)
+    # the coarse pressure converges too
+    c01 = abs(np.asarray(s1.pressure) - np.asarray(s0.pressure)).max()
+    c12 = abs(np.asarray(s2.pressure) - np.asarray(s1.pressure)).max()
+    assert c12 < 0.8 * max(c01, 1e-12), (c12, c01)
