@@ -78,6 +78,15 @@ class LevelProjector:
             if FFTPoissonSolver.supports(geo, self.phi_bcs):
                 self.fft = FFTPoissonSolver(geo, self.phi_bcs, dtype)
                 method = "fft"
+            elif self._leptic_favorable(geo):
+                # flat-aspect mapped domain: the leptic expansion is the
+                # purpose-built solver (reference: the epsilon = (H/L)^2
+                # convergence regime, LevelLepticSolver.H:41-52); its
+                # Krylov/MG fallback covers the rest of the spectrum
+                from somar_tpu.solvers.leptic import LevelLepticSolver
+                self.leptic = LevelLepticSolver(geo, self.phi_bcs,
+                                                dtype=dtype)
+                method = "leptic"
             else:
                 method = "mg"
         elif method == "fft":
@@ -87,6 +96,22 @@ class LevelProjector:
             from somar_tpu.solvers.leptic import LevelLepticSolver
             self.leptic = LevelLepticSolver(geo, self.phi_bcs, dtype=dtype)
         self.method = method
+
+    @staticmethod
+    def _leptic_favorable(geo) -> bool:
+        """True when the leptic expansion converges fast: a flat domain
+        (epsilon = (H/L)^2 <= ~0.05, LevelLepticSolver.H:41-52) with the
+        vertical axis leading and at least 2D."""
+        grid = geo.grid
+        if grid.ndim < 2:
+            return False
+        vert = grid.vertical_dir
+        if grid.axis(vert) != 0 or grid.periodic[vert]:
+            return False
+        H = grid.nx[vert] * grid.dx[vert]
+        L = max(grid.nx[d] * grid.dx[d]
+                for d in range(grid.ndim) if d != vert)
+        return (H / L) ** 2 <= 0.05
 
     @property
     def mg(self) -> LevelMultigrid:

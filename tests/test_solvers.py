@@ -219,3 +219,26 @@ def test_mg_auto_line_smoother_on_stretched_metric():
     mg2 = LevelMultigrid(build_level_geometry(g2, CartesianMap()), bcs,
                          params=MGParams())
     assert all(m == "gsrb" for m in mg2.modes), mg2.modes
+
+
+def test_projector_auto_selects_leptic_on_flat_mapped_domain():
+    """Solver mux 'auto' (reference: AMRPressureSolver's static leptic/MG
+    flags, AMRPressureSolver.cpp:39-40): a flat-aspect mapped domain
+    (epsilon = (H/L)^2 << 1, LevelLepticSolver.H:41-52) picks the leptic
+    solver, a uniform Cartesian grid keeps the spectral fast path, and a
+    tall mapped domain falls back to MG."""
+    from somar_tpu.projection.projector import LevelProjector
+    from somar_tpu.geometry.bathymetric import LedgeMap
+
+    def ledge(Lx, nx=32, nz=8):
+        g = Grid(nx=(nx, nz), dx=(Lx / nx, 1.0 / nz), x0=(-Lx / 2, 0.0))
+        src = LedgeMap((0.0, 1.0), hl=0.5, hr=1.0, xl=-1.0, xr=1.0)
+        return build_level_geometry(g, src)
+
+    flat = LevelProjector(ledge(16.0))          # eps = (1/16)^2 ~ 0.004
+    assert flat.method == "leptic", flat.method
+    tall = LevelProjector(ledge(2.0))           # eps = 0.25: not leptic
+    assert tall.method == "mg", tall.method
+    g = Grid(nx=(32, 8), dx=(0.5, 0.125), periodic=(True, False))
+    cart = LevelProjector(build_level_geometry(g, CartesianMap()))
+    assert cart.method == "fft", cart.method
