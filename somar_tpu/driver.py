@@ -441,7 +441,9 @@ class RunDriver:
                                 [None if c.parent_sel is None
                                  else np.asarray(c.parent_sel)
                                  for c in self.hierarchy.couplings]),
-                            old_state=state_old, old_fine=fine_old)
+                            old_state=state_old, old_fine=fine_old,
+                            hierarchy=self.hierarchy,
+                            cfl=ctx.ns.cfl)
         finally:
             signal.signal(signal.SIGINT, prev_handler)
 
@@ -480,5 +482,6 @@ class RunDriver:
                           else np.asarray(c.parent_sel)
                           for c in self.hierarchy.couplings]),
             old_state=locals().get("state_old"),
-            old_fine=locals().get("fine_old"))
+            old_fine=locals().get("fine_old"),
+            hierarchy=self.hierarchy, cfl=ctx.ns.cfl)
         return state, step

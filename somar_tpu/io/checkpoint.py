@@ -82,7 +82,7 @@ def write_checkpoint(path: str, state, level, step: int, dt: float,
                      extra: Optional[dict] = None,
                      fine_state=None, fine_grid=None, origin=None,
                      weights=None, parent_sels=None, old_state=None,
-                     old_fine=None):
+                     old_fine=None, hierarchy=None, cfl: float = 0.0):
     """Save full state for exact resume.  With fine_state/fine_grid/origin
     the AMR patch levels are stacked as groups level_1..level_N
     (reference: per-level checkpoint groups, AMRNavierStokesIO.cpp:92-165).
@@ -119,6 +119,135 @@ def write_checkpoint(path: str, state, level, step: int, dt: float,
                                old_state=(old_fine[k]
                                           if old_fine is not None
                                           else None))
+        _chombo_checkpoint_view(f, state, level, fine_state, hierarchy,
+                                step, dt, cfl, old_state, old_fine)
+
+
+def _chombo_checkpoint_view(f, state, level, fine_states, hierarchy,
+                            step, dt, cfl, old_state, old_fine):
+    """Chombo-layout view of the checkpoint, written INTO the same file
+    alongside the native datasets, so reference/SOMAR tooling built on
+    CH_HDF5 reads checkpoints exactly as it reads our plotfiles
+    (reference layout: writeCheckpointHeader component metadata +
+    writeCheckpointLevel per-level header attrs, boxes and the
+    new/old velocity/lambda/scalar + ccPressure/eLambda LevelDatas,
+    AMRNavierStokesIO.cpp:44-165).  Native dataset names
+    (`new_velocity_0`) and Chombo dataset names
+    (`new_velocity:datatype=0`) do not collide, so one file serves both
+    readers; resume reads the native view."""
+    grid = level.grid
+    ndim = grid.ndim
+    nscal = int(np.asarray(state.scalars).shape[-ndim - 1])
+
+    # ---- root header (writeCheckpointHeader): field-name metadata
+    f.attrs["num_components"] = np.int32(nscal)
+    for c in range(nscal):
+        f.attrs[f"component_{c}"] = np.bytes_(f"scalar_{c}")
+    f.attrs["lambda_component"] = np.bytes_("lambda")
+    for m in range(ndim):
+        f.attrs[f"vel_component_{m}"] = np.bytes_(
+            f"{'xyz'[m] if ndim == 3 or m < ndim - 1 else 'z'}_vel")
+    f.attrs["ccPressure_component"] = np.bytes_("ccPressure")
+    f.attrs["eLambda_component"] = np.bytes_("eLambda")
+    if "Chombo_global" not in f:
+        gg = f.create_group("Chombo_global")
+        gg.attrs["SpaceDim"] = np.int32(ndim)
+        gg.attrs["testReal"] = np.float64(0.0)
+
+    fs = ([] if fine_states is None or hierarchy is None
+          else list(fine_states))
+    nlev = 1 + len(fs)
+    domain_nx = np.asarray(grid.nx, np.int64)
+    lev_dt = float(dt)
+    for ilev in range(nlev):
+        g = f[f"level_{ilev}"]
+        if ilev == 0:
+            st, old = state, old_state
+            boxes = [(np.zeros(ndim, np.int64), domain_nx - 1,
+                      (slice(None),) * ndim)]
+            patch_ids = [None]
+            dx = grid.dx
+            rr = ([hierarchy.couplings[0].ratio[d] for d in range(ndim)]
+                  if hierarchy is not None and hierarchy.couplings
+                  else [1] * ndim)
+            t = float(state.time)
+        else:
+            c = hierarchy.couplings[ilev - 1]
+            st, old = fs[ilev - 1], (old_fine[ilev - 1]
+                                     if old_fine is not None else None)
+            domain_nx = domain_nx * np.asarray(
+                [c.ratio[d] for d in range(ndim)], np.int64)
+            boxes, patch_ids = _fine_level_boxes(hierarchy, ilev - 1, c,
+                                                 domain_nx)
+            if c.K == 1:
+                patch_ids = [None]
+            dx = c.ext_grid.dx
+            rr = ([hierarchy.couplings[ilev].ratio[d] for d in range(ndim)]
+                  if ilev < len(hierarchy.couplings) else [1] * ndim)
+            lev_dt /= c.nt
+            t = float(np.asarray(st.time).ravel()[0])
+
+        # ---- level header attrs (writeCheckpointLevel)
+        g.attrs["step_number"] = np.int32(step)
+        g.attrs["ref_ratio"] = _as_iv(rr, ndim)
+        g.attrs["vec_dx"] = _as_rv(dx, ndim)
+        g.attrs["dt"] = np.float64(lev_dt)
+        g.attrs["time"] = np.float64(t)
+        g.attrs["cfl"] = np.float64(cfl)
+        g.attrs["finest_level"] = np.int32(nlev - 1)
+        g.attrs["is_empty"] = np.int32(0)
+        g.attrs["prob_domain"] = _as_box(np.zeros(ndim, np.int64),
+                                         domain_nx - 1, ndim)
+        for d in range(ndim):
+            g.attrs[f"is_periodic_{d}"] = np.int32(
+                1 if grid.periodic[d] else 0)
+
+        box_recs = np.empty(len(boxes), _box_dtype(ndim))
+        for b, (lo, hi, _) in enumerate(boxes):
+            box_recs[b] = _as_box(lo, hi, ndim)
+        g.create_dataset("boxes", data=box_recs)
+        g.create_dataset("Processors",
+                         data=np.zeros(len(boxes), "<i4"))
+
+        def comp(field, m, k):
+            """Component m of a (maybe patch-stacked) field, box k."""
+            a = np.asarray(field)
+            if k is not None:                  # leading patch axis
+                a = a[k]
+            return (a[m] if m is not None else a)
+
+        def boxed(field, ncomp):
+            out = []
+            for (lo, hi, sl), k in zip(boxes, patch_ids):
+                ms = range(ncomp) if ncomp > 1 else [None]
+                out.append([comp(field, m, k)[sl] for m in ms])
+            return out
+
+        _write_chombo_leveldata(g, "new_velocity", boxed(st.vel, ndim),
+                                ndim, ndim)
+        _write_chombo_leveldata(
+            g, "old_velocity",
+            boxed(old.vel if old is not None else st.vel, ndim),
+            ndim, ndim)
+        _write_chombo_leveldata(g, "new_lambda", boxed(st.lam, 1), ndim, 1)
+        _write_chombo_leveldata(
+            g, "old_lambda",
+            boxed(old.lam if old is not None else st.lam, 1), ndim, 1)
+        scal = np.asarray(st.scalars)
+        oscal = np.asarray(old.scalars) if old is not None else scal
+        multi = scal.ndim == ndim + 2
+        for c_ in range(nscal):
+            sel = ((slice(None), c_) if multi else (c_,))
+            _write_chombo_leveldata(
+                g, f"new_scalar_component_{c_}",
+                boxed(scal[sel], 1), ndim, 1)
+            _write_chombo_leveldata(
+                g, f"old_scalar_component_{c_}",
+                boxed(oscal[sel], 1), ndim, 1)
+        _write_chombo_leveldata(g, "ccPressure", boxed(st.cc_phi, 1),
+                                ndim, 1)
+        _write_chombo_leveldata(g, "eLambda", boxed(st.e_lambda, 1),
+                                ndim, 1)
 
 
 def _read_level_group(g, grid, dtype, nscal, time):
@@ -335,6 +464,66 @@ def _fab_flat(arrays_by_dir_order):
          for a in arrays_by_dir_order])
 
 
+def _fine_level_boxes(hierarchy, lev, c, domain_nx):
+    """Active-patch interior boxes of fine level `lev` in that level's
+    0-based global index space: list of (lo_idx, hi_idx, interior
+    slices-into-ext-array), shared by the Chombo plotfile and checkpoint
+    writers."""
+    ndim = c.ext_grid.ndim
+    lo_list = []
+    patch_ids = []
+    if c.K > 1:
+        w = c.weights
+        for k in range(c.K):
+            if w is not None and float(w[k]) == 0.0:
+                continue
+            lo_list.append(hierarchy._global_origin(
+                lev, last_origin=c.origin_f[k], patch=k))
+            patch_ids.append(k)
+    else:
+        lo_list.append(hierarchy._global_origin(lev))
+        patch_ids.append(0)
+    int_start_ax = tuple(
+        c.halo if c.ext_grid.dir_of_axis(ax) in c.cf_dirs else 0
+        for ax in range(ndim))
+    boxes = []
+    for g in lo_list:
+        # ext-corner global -> interior box, per logical dir
+        lo_d = np.zeros(ndim, np.int64)
+        hi_d = np.zeros(ndim, np.int64)
+        sl = []
+        for ax in range(ndim):
+            d = c.ext_grid.dir_of_axis(ax)
+            lo_d[d] = g[ax] + int_start_ax[ax]
+            hi_d[d] = lo_d[d] + c.interior_nx[d] - 1
+            sl.append(slice(int_start_ax[ax],
+                            int_start_ax[ax] + c.interior_nx[d]))
+        boxes.append((lo_d, hi_d, tuple(sl)))
+    return boxes, patch_ids
+
+
+def _write_chombo_leveldata(g, name, per_box_comp_arrays, ndim, ncomp):
+    """One Chombo LevelData<FArrayBox> in group g (the layout CH_HDF5's
+    write() emits and read() consumes): `<name>:datatype=0` flat doubles,
+    `<name>:offsets=0` per-box offsets, `<name>_attributes` metadata."""
+    offsets = [0]
+    flat = []
+    for arrays in per_box_comp_arrays:
+        fb = _fab_flat(arrays)
+        flat.append(fb)
+        offsets.append(offsets[-1] + fb.size)
+    g.create_dataset(f"{name}:datatype=0",
+                     data=(np.concatenate(flat) if flat
+                           else np.zeros(0, np.float64)))
+    g.create_dataset(f"{name}:offsets=0",
+                     data=np.asarray(offsets, "<i8"))
+    ga = g.create_group(f"{name}_attributes")
+    ga.attrs["comps"] = np.int32(ncomp)
+    ga.attrs["ghost"] = _as_iv([0] * ndim, ndim)
+    ga.attrs["outputGhost"] = _as_iv([0] * ndim, ndim)
+    ga.attrs["objectType"] = np.bytes_("FArrayBox")
+
+
 def write_chombo_plotfile(path: str, state, level, step: int, plot_cfg=None,
                           hierarchy=None, fine_states=None, dt: float = 0.0):
     """Chombo-format HDF5 plotfile (the reference's writePlotFile layout:
@@ -369,42 +558,14 @@ def write_chombo_plotfile(path: str, state, level, step: int, plot_cfg=None,
             ratios.append([c.ratio[d] for d in range(ndim)])
             domain_nx = domain_nx * np.asarray(
                 [c.ratio[d] for d in range(ndim)], np.int64)
-            lo_list = []
-            if c.K > 1:
-                w = c.weights
-                for k in range(c.K):
-                    if w is not None and float(w[k]) == 0.0:
-                        continue
-                    lo_list.append(hierarchy._global_origin(
-                        lev, last_origin=c.origin_f[k], patch=k))
-            else:
-                lo_list.append(hierarchy._global_origin(lev))
-            boxes = []
-            int_start_ax = tuple(
-                c.halo if c.ext_grid.dir_of_axis(ax) in c.cf_dirs else 0
-                for ax in range(ndim))
-            for g in lo_list:
-                # ext-corner global -> interior box, per logical dir
-                lo_d = np.zeros(ndim, np.int64)
-                hi_d = np.zeros(ndim, np.int64)
-                sl = []
-                for ax in range(ndim):
-                    d = c.ext_grid.dir_of_axis(ax)
-                    lo_d[d] = g[ax] + int_start_ax[ax]
-                    hi_d[d] = lo_d[d] + c.interior_nx[d] - 1
-                    sl.append(slice(int_start_ax[ax],
-                                    int_start_ax[ax] + c.interior_nx[d]))
-                boxes.append((lo_d, hi_d, tuple(sl)))
+            boxes, patch_ids = _fine_level_boxes(hierarchy, lev, c,
+                                                 domain_nx)
             # per-patch fields (multi-patch: fields per active patch)
             if c.K > 1:
-                pf = []
-                w = c.weights
-                for k in range(c.K):
-                    if w is not None and float(w[k]) == 0.0:
-                        continue
-                    from jax import tree_util as tu
-                    s_k = tu.tree_map(lambda a: a[k], fs[lev])
-                    pf.append(_plot_fields(s_k, c.level, plot_cfg))
+                from jax import tree_util as tu
+                pf = [_plot_fields(tu.tree_map(lambda a: a[k], fs[lev]),
+                                   c.level, plot_cfg)
+                      for k in patch_ids]
                 levels.append((pf, boxes, c.ext_grid.dx, domain_nx.copy()))
             else:
                 levels.append((_plot_fields(fs[lev], c.level, plot_cfg),

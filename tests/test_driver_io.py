@@ -388,3 +388,74 @@ def test_multipatch_checkpoint_restart_exact(tmp_path):
     np.testing.assert_array_equal(np.asarray(c.weights), ck_w)
     assert steps2 == 3
     assert np.all(np.isfinite(np.asarray(state2.vel)))
+
+
+def test_chombo_checkpoint_schema(tmp_path):
+    """Checkpoints carry a Chombo-layout view alongside the native
+    resume datasets (reference: writeCheckpointHeader component metadata
+    + writeCheckpointLevel level attrs/boxes/LevelDatas,
+    AMRNavierStokesIO.cpp:44-165), so CH_HDF5-based SOMAR tooling reads
+    both our file kinds.  Cross-checks the Chombo flat data against the
+    native datasets bit-for-bit."""
+    import h5py
+
+    ctx = ProblemContext.from_parmparse(ParmParse.from_string(AMR_CFG))
+    driver = RunDriver(ctx, out_dir=str(tmp_path))
+    driver.run(max_steps=2, verbose=False)
+    with h5py.File(tmp_path / "chkpt_final.hdf5") as f:
+        # root header (writeCheckpointHeader)
+        assert f.attrs["lambda_component"] == b"lambda"
+        assert f.attrs["ccPressure_component"] == b"ccPressure"
+        assert f.attrs["eLambda_component"] == b"eLambda"
+        assert int(f.attrs["num_components"]) == 1
+        assert int(f["Chombo_global"].attrs["SpaceDim"]) == 2
+
+        for ilev in (0, 1):
+            g = f[f"level_{ilev}"]
+            # level header attrs (writeCheckpointLevel)
+            for key in ("step_number", "ref_ratio", "vec_dx", "dt",
+                        "time", "cfl", "finest_level", "is_empty",
+                        "prob_domain", "is_periodic_0", "is_periodic_1"):
+                assert key in g.attrs, (ilev, key)
+            assert int(g.attrs["finest_level"]) == 1
+            boxes = np.asarray(g["boxes"])
+            assert "Processors" in g
+            # every checkpoint LevelData the reference writes is present
+            # with consistent offsets
+            for name, ncomp in (("new_velocity", 2), ("old_velocity", 2),
+                                ("new_lambda", 1), ("old_lambda", 1),
+                                ("new_scalar_component_0", 1),
+                                ("old_scalar_component_0", 1),
+                                ("ccPressure", 1), ("eLambda", 1)):
+                data = np.asarray(g[f"{name}:datatype=0"])
+                offs = np.asarray(g[f"{name}:offsets=0"])
+                assert len(offs) == len(boxes) + 1
+                assert offs[0] == 0 and offs[-1] == data.size
+                ga = g[f"{name}_attributes"]
+                assert int(ga.attrs["comps"]) == ncomp
+                assert ga.attrs["objectType"] == b"FArrayBox"
+                assert np.all(np.isfinite(data))
+
+        # flat Chombo data matches the native resume datasets exactly
+        g0 = f["level_0"]
+        nat = np.asarray(g0["new_velocity_0"], np.float64)
+        flat = np.asarray(g0["new_velocity:datatype=0"])
+        np.testing.assert_array_equal(flat[:nat.size].reshape(nat.shape),
+                                      nat)
+        nat_b = np.asarray(g0["new_scalar_0"], np.float64)
+        flat_b = np.asarray(g0["new_scalar_component_0:datatype=0"])
+        np.testing.assert_array_equal(flat_b.reshape(nat_b.shape), nat_b)
+        # fine level: Chombo stores the interior of the ext patch
+        g1 = f["level_1"]
+        b0 = np.asarray(g1["boxes"])[0]
+        nxb = int(b0["hi_i"]) - int(b0["lo_i"]) + 1
+        nyb = int(b0["hi_j"]) - int(b0["lo_j"]) + 1
+        flat1 = np.asarray(g1["new_scalar_component_0:datatype=0"])
+        offs1 = np.asarray(g1["new_scalar_component_0:offsets=0"])
+        blk = flat1[offs1[0]:offs1[1]].reshape(nyb, nxb)
+        nat1 = np.asarray(g1["new_scalar_0"], np.float64)
+        halo = driver.hierarchy.couplings[0].halo
+        core = nat1[0] if nat1.ndim == 3 else nat1
+        np.testing.assert_array_equal(blk, core[:, halo:halo + nxb]
+                                      if core.shape[0] == nyb
+                                      else core[halo:halo + nyb, :])
