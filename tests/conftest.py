@@ -10,6 +10,15 @@ via __graft_entry__.dryrun_multichip.
 import os
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# persistent XLA compile cache: the suite's wall time is compile-dominated
+# on the 1-core CI host; warm reruns skip every XLA compile > 2 s.  Set as
+# an env var (not just jax.config) so the subprocess-spawning sharding and
+# precision tests inherit it.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 import jax  # noqa: E402
 
