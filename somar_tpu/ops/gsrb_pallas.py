@@ -75,6 +75,12 @@ class FusedPlan:
     def __init__(self, grid: Grid, bcs: FieldBCs):
         self.ok = False
         nd = grid.ndim
+        if nd < 2:
+            # Mosaic has no 1D vector layout (tpu.dynamic_rotate on a
+            # vector<Nxf32> is "Unsupported 1D shape"); 1D grids (the
+            # leptic solver's flattened horizontal problem in 2D) take
+            # the jnp relaxation path
+            return
         coef, periodic, flo, fhi = [], [], [], []
         for a in range(nd):
             d = grid.dir_of_axis(a)

@@ -172,6 +172,11 @@ class StencilPlan:
         self.periodic = tuple(periodic)
         self.ndim = len(shape)
         self.K = len(offsets)
+        if self.ndim < 2:
+            # Mosaic has no 1D vector layout (pltpu.roll on a 1D block
+            # fails "Unsupported 1D shape"); 1D grids take the jnp path
+            self.ok = False
+            return
         ncell = _padded_cells(shape)
         # small: phi/rhs/out + K+1 weights + ~6 temporaries live at once
         if 4 * ncell * (self.K + 10) <= _VMEM_BUDGET:
