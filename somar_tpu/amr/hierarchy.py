@@ -532,6 +532,7 @@ class PatchCoupling:
                                       self.parent_grid, self.ratio,
                                       interior_axes, halo_axes)
         self.tag_coverage = (dropped, total)
+        self._slot_overflow = 0
         self._drop_streak = ((getattr(self, "_drop_streak", 0) + 1)
                              if dropped > 0 else 0)
         if dropped > 0:
@@ -603,6 +604,7 @@ class PatchCoupling:
                     cands.append((ntags, p, boxes[rank]))
             rank += 1
         self.tag_coverage = (dropped_tot, total_tot)
+        self._slot_overflow = max(0, len(cands) - self.K)
         self._drop_streak = ((getattr(self, "_drop_streak", 0) + 1)
                              if dropped_tot > 0 else 0)
         if dropped_tot > 0:
@@ -678,6 +680,16 @@ class PatchCoupling:
             self._record_coverage(tags, origin[None, :], None, halo_axes,
                                   interior_axes)
         return np.asarray(origin, dtype=np.int64)
+
+
+class _RestartPlacement(Exception):
+    """Raised by init-time right-sizing when a COARSER level's footprint
+    grew (proper nesting demanded it); initial_patch_states restarts the
+    whole coarse-to-fine placement."""
+
+    def __init__(self, lev: int):
+        super().__init__(f"placement restart from level {lev}")
+        self.lev = lev
 
 
 class AMRHierarchy:
@@ -771,18 +783,50 @@ class AMRHierarchy:
             per_level_K = [1] * len(self.ratios)
             per_level_K[-1] = int(num_patches)
         self.num_patches = per_level_K[-1]
+        # stored build args so couplings can be RE-built at init-time
+        # right-sizing (see initial_patch_states: budget K and the box
+        # footprint grow until the initial tags are covered)
+        self._per_level_K = per_level_K
+        self._per_level_K0 = list(per_level_K)
+        self._frac_override = [None] * len(self.ratios)
+        self._geo0 = geo0
+        self._patch_frac = float(patch_frac)
+        self._use_subcycling = bool(use_subcycling)
+        self._max_grid_size = int(max_grid_size)
+        self._grid_buffer_size = int(grid_buffer_size)
         self.couplings: List[PatchCoupling] = []
-        parent_geo = geo0
-        parent_level = self.level0
-        parent_halo = (0,) * self.grid0.ndim
-        for ilev, rr in enumerate(self.ratios):
-            K = per_level_K[ilev]
+        self._build_couplings(0)
+
+    def _build_couplings(self, start_lev: int):
+        """(Re)build couplings[start_lev:] from the stored construction
+        args (per-level K, per-level patch_frac overrides).  Safe before
+        anything is compiled; a rebuild after compilation retraces."""
+        geo0 = self._geo0
+        problem, params = self.problem, self.params
+        del self.couplings[start_lev:]
+        if start_lev == 0:
+            parent_geo = geo0
+            parent_level = self.level0
+            parent_halo = (0,) * self.grid0.ndim
+        else:
+            cp = self.couplings[start_lev - 1]
+            parent_geo = cp.level.geo
+            parent_level = cp.level
+            parent_halo = tuple(
+                cp.halo if cp.ext_grid.dir_of_axis(ax) in cp.cf_dirs else 0
+                for ax in range(self.grid0.ndim))
+        for ilev in range(start_lev, len(self.ratios)):
+            rr = self.ratios[ilev]
+            K = self._per_level_K[ilev]
+            frac = (self._frac_override[ilev]
+                    if self._frac_override[ilev] is not None
+                    else self._patch_frac)
             c = PatchCoupling(parent_geo, parent_halo, problem, params,
-                              rr, patch_frac=patch_frac,
-                              use_subcycling=use_subcycling,
-                              max_grid_size=max_grid_size,
+                              rr, patch_frac=frac,
+                              use_subcycling=self._use_subcycling,
+                              max_grid_size=self._max_grid_size,
                               root_geo_source=geo0.geo, num_patches=K,
-                              nest_buffer=int(grid_buffer_size))
+                              nest_buffer=self._grid_buffer_size)
             c._parent_level = parent_level
             if self.reflux_fields:
                 from somar_tpu.amr.flux_register import PatchFluxRegister
@@ -1478,14 +1522,57 @@ class AMRHierarchy:
         Returns (fine_states, origins) tuples, coarse to fine — plus a
         weights tuple when any level is multi-patch.  Parent-patch
         selections (multi-patch parents) are stored on the couplings and
-        exposed via the parent_sels property."""
+        exposed via the parent_sels property.
+
+        Placement is restartable: when a fine level's tags cannot be
+        properly nested in its parent's footprint, the parent grows and
+        the whole placement re-runs (bounded; see
+        _grow_for_init_coverage)."""
+        for _round in range(12):
+            try:
+                return self._place_initial_patches(s0, allow_restart=True)
+            except _RestartPlacement:
+                continue
+        return self._place_initial_patches(s0, allow_restart=False)
+
+    def _place_initial_patches(self, s0: NSState, allow_restart: bool):
         states = []
         origins = []
         weights = []
         par_patches = [s0]
         par_w = None
-        for lev, c in enumerate(self.couplings):
+        for lev in range(len(self.couplings)):
+            c = self.couplings[lev]
             multi_parent = len(par_patches) > 1
+            # init-time right-sizing: probe the placement against the
+            # actual initial tags and GROW the level (patch budget K
+            # first, then the box footprint) until nothing is dropped —
+            # nothing is compiled yet, so a rebuild is free.  The
+            # reference needs no such pass because Berger-Rigoutsos emits
+            # arbitrarily many arbitrary boxes (LepticMeshRefine.cpp:
+            # 823-934); the dense static-shape model buys the same
+            # everything-covered guarantee by sizing the shapes here and
+            # via _maybe_escalate_patches at run time.
+            import warnings as _warnings
+            for _attempt in range(8):
+                with _warnings.catch_warnings(record=True) as _ws:
+                    _warnings.simplefilter("always")
+                    if multi_parent:
+                        c.choose_origins_multi(par_patches, par_w,
+                                               self.tag_params)
+                    elif c.K > 1:
+                        c.choose_origins(par_patches[0], self.tag_params)
+                    else:
+                        c.choose_origin(par_patches[0], self.tag_params)
+                if not self._grow_for_init_coverage(
+                        lev, allow_parent_growth=allow_restart):
+                    # exhausted (or nothing dropped): replay any warning
+                    # this final configuration produced
+                    for _w in _ws:
+                        _warnings.warn_explicit(_w.message, _w.category,
+                                                _w.filename, _w.lineno)
+                    break
+                c = self.couplings[lev]
             if c.K > 1 or multi_parent:
                 if multi_parent:
                     org, w, psel = c.choose_origins_multi(
@@ -1528,6 +1615,53 @@ class AMRHierarchy:
         if self.multi_patch:
             return tuple(states), tuple(origins), tuple(weights)
         return tuple(states), tuple(origins)
+
+    def _level_frac(self, lev: int) -> float:
+        return (self._frac_override[lev]
+                if self._frac_override[lev] is not None
+                else self._patch_frac)
+
+    def _grow_for_init_coverage(self, lev: int,
+                                allow_parent_growth: bool = True) -> bool:
+        """Init-time right-sizing step for coupling `lev`: after a probe
+        placement recorded its tag coverage, grow the level if tags were
+        dropped — double the patch budget K while it is under
+        max_auto_patches, then widen the static box footprint (patch_frac
+        override), and when even that can't reach the tags (proper
+        nesting: tags too close to the PARENT patch's CF boundary), widen
+        the parent level and restart the placement — the reference's
+        meshRefine grows coarser levels to properly nest fine tags the
+        same way (LepticMeshRefine.cpp:823-934).  Returns True when the
+        level was rebuilt (the caller re-probes); raises
+        _RestartPlacement when a coarser level changed."""
+        if not self.auto_escalate_patches:
+            return False
+        c = self.couplings[lev]
+        dropped, _total = getattr(c, "tag_coverage", (0, 0))
+        overflow = getattr(c, "_slot_overflow", 0)
+        if dropped <= 0 and overflow <= 0:
+            return False
+        if c.K < self.max_auto_patches:
+            self._per_level_K[lev] = min(2 * max(1, c.K),
+                                         self.max_auto_patches)
+        elif self._level_frac(lev) < 0.95:
+            self._frac_override[lev] = min(0.95, 1.5 * self._level_frac(lev))
+        elif (allow_parent_growth and lev > 0
+              and self._level_frac(lev - 1) < 0.95):
+            self._frac_override[lev - 1] = min(
+                0.95, 1.5 * self._level_frac(lev - 1))
+            # re-size this level from scratch under the grown parent
+            # (the maxed-out K/footprint were sized against the OLD
+            # nesting limits; weight-0 slots still compute, so a stale
+            # K=8 would quadruple the level's step cost)
+            self._per_level_K[lev] = self._per_level_K0[lev]
+            self._frac_override[lev] = None
+            self._build_couplings(lev - 1)
+            raise _RestartPlacement(lev - 1)
+        else:
+            return False            # cannot grow further; keep the warning
+        self._build_couplings(lev)
+        return True
 
     @property
     def parent_sels(self):

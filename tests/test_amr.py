@@ -326,7 +326,15 @@ def test_mapped_multipatch_amr_with_reflux():
     s0 = dataclasses.replace(
         s0, scalars=s0.scalars.at[0].set(
             jnp.asarray(np.broadcast_to(b, g.shape))))
-    fines, origins, weights = h.initial_patch_states(s0)
+    import warnings as _w
+    with _w.catch_warnings():
+        # init-time right-sizing (reference parity: BR + meshRefine cover
+        # every tag) must place BOTH levels with ZERO dropped tagged
+        # cells — a dropped-cell warning is a failure here
+        _w.simplefilter("error", RuntimeWarning)
+        fines, origins, weights = h.initial_patch_states(s0)
+    for c in h.couplings:
+        assert c.tag_coverage[0] == 0, c.tag_coverage
     geos = h.geo_bundles
     assert geos is not None
     # stacked per-patch metric bundles: leading K axis on every leaf
@@ -568,16 +576,24 @@ def test_auto_patch_escalation_covers_splitting_front():
     assert c.K == 1
     s0 = h.level0.post_initialize(h.level0.initial_state())
     x = np.asarray(geo.phys_coords_cc()[0])
+    # ONE lump at init (K=1 covers it; init-time right-sizing keeps K=1)
+    b1 = (np.abs(x + 4.0) < 0.8).astype(np.float32)
+    s1 = dataclasses.replace(
+        s0, scalars=s0.scalars.at[0].set(
+            jnp.asarray(np.broadcast_to(b1, g.shape))))
+    f, origin = h.initial_patch_state(s1)
+    assert c.K == 1 and c.tag_coverage[0] == 0
+    # the front SPLITS mid-run: two separated lumps
     b = (np.abs(x + 4.0) < 0.8).astype(np.float32) \
         + (np.abs(x - 4.0) < 0.8).astype(np.float32)
-    b2 = np.broadcast_to(b, g.shape)
     s0 = dataclasses.replace(
-        s0, scalars=s0.scalars.at[0].set(jnp.asarray(b2)))
+        s0, scalars=s0.scalars.at[0].set(
+            jnp.asarray(np.broadcast_to(b, g.shape))))
 
     import warnings as _w
     with _w.catch_warnings():
         _w.simplefilter("ignore", RuntimeWarning)
-        f, origin = h.initial_patch_state(s0)       # drop streak 1
+        f, origin = h.regrid(s0, f)                 # drop streak 1
         assert c.tag_coverage[0] > 0
         f, origin = h.regrid(s0, f)                 # drop streak 2
         assert c.K == 1 and c._drop_streak >= 2
@@ -908,6 +924,36 @@ def test_lock_exchange_amr_config_zero_dropped_tags(tmp_path):
     for c in driver.hierarchy.couplings:
         dropped, total = c.tag_coverage
         assert dropped == 0, (dropped, total)
+
+
+def test_dem_amr_config_zero_dropped_tags(tmp_path):
+    """The shipped DEM (terrain-following, maxlevel=2) config places its
+    initial hierarchy with ZERO dropped tags and runs several regrids
+    warning-free — init-time right-sizing grows patch budget/footprint
+    (and parents, for proper nesting) until everything is covered
+    (reference bar: LepticMeshRefine covers every tag by construction,
+    LepticMeshRefine.cpp:823-934)."""
+    import warnings as _w
+    from somar_tpu.config.context import ProblemContext
+    from somar_tpu.driver import RunDriver
+
+    ctx = ProblemContext.from_file(
+        "/root/reference/exec/inputs.LockExchange_DEM_2D.machine",
+        ["amr.maxsteps=4", "plot.plot_interval=-1",
+         "plot.checkpoint_interval=-1", "amr.verbosity=0",
+         "amr.nx=48 16", "amr.nx_offset=-24 0",
+         "amr.regrid_intervals=2 2", "AMRMG.eps=1e-4",
+         "amr.fixed_dt=0.01"])
+    assert ctx.amr.max_level == 2
+    driver = RunDriver(ctx, out_dir=str(tmp_path))
+    with _w.catch_warnings():
+        _w.simplefilter("error", RuntimeWarning)
+        state, steps = driver.run(verbose=False)
+    assert steps == 4
+    for c in driver.hierarchy.couplings:
+        dropped, total = c.tag_coverage
+        assert dropped == 0, (dropped, total)
+    assert np.all(np.isfinite(np.asarray(state.scalars[0])))
 
 
 def test_dynamic_subcycle_multipliers():
