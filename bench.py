@@ -169,9 +169,12 @@ def _bench_mapped(nsteps):
     level = drv.level
     state = level.post_initialize(level.initial_state())
     dt = jnp.asarray(1.0, jnp.float32)
+    solver = level.projector.method
+    _note(f"# [mapped] pressure solver: {solver}")
     elapsed, _, _ = _time_steps(drv._step_fn, state, dt, nsteps,
                                 f"mapped beam {drv.grid.nx}")
-    return drv.grid.ncells * nsteps / elapsed, {"grid": list(drv.grid.nx)}
+    return drv.grid.ncells * nsteps / elapsed, {
+        "grid": list(drv.grid.nx), "solver": solver}
 
 
 def _bench_amr(nsteps):
@@ -274,13 +277,29 @@ def _backend_watchdog():
     if os.environ.get("SOMAR_BENCH_DEGRADED"):
         return "cpu-fallback", True
     try:
-        probe = subprocess.run(
-            [sys.executable, "-c",
-             "import jax; print(jax.devices()[0].platform)"],
-            capture_output=True, text=True, timeout=300,
-            env=dict(os.environ))
-        if probe.returncode == 0 and probe.stdout.strip():
-            return probe.stdout.strip(), False
+        # NOTE: no capture_output+timeout combo here — the axon plugin
+        # spawns tunnel helpers that inherit the pipes, and after a
+        # timeout-kill subprocess.run blocks FOREVER waiting for those
+        # fds to close (observed: bench hung 50 min in this probe).
+        # Write to a file instead; kill the whole process group.
+        import tempfile
+        with tempfile.TemporaryFile() as out:
+            proc = subprocess.Popen(
+                [sys.executable, "-c",
+                 "import jax; print(jax.devices()[0].platform)"],
+                stdout=out, stderr=subprocess.DEVNULL,
+                env=dict(os.environ), start_new_session=True)
+            try:
+                rc = proc.wait(timeout=300)
+            except subprocess.TimeoutExpired:
+                import signal as _sig
+                os.killpg(proc.pid, _sig.SIGKILL)
+                proc.wait()
+                raise
+            out.seek(0)
+            text = out.read().decode().strip()
+        if rc == 0 and text:
+            return text.splitlines()[-1], False
         _note("# TPU backend unavailable (probe failed); degraded "
               "CPU-fallback bench")
     except subprocess.TimeoutExpired:

@@ -78,16 +78,16 @@ class LevelProjector:
             if FFTPoissonSolver.supports(geo, self.phi_bcs):
                 self.fft = FFTPoissonSolver(geo, self.phi_bcs, dtype)
                 method = "fft"
-            elif self._leptic_favorable(geo):
-                # flat-aspect mapped domain: the leptic expansion is the
-                # purpose-built solver (reference: the epsilon = (H/L)^2
-                # convergence regime, LevelLepticSolver.H:41-52); its
-                # Krylov/MG fallback covers the rest of the spectrum
-                from somar_tpu.solvers.leptic import LevelLepticSolver
-                self.leptic = LevelLepticSolver(geo, self.phi_bcs,
-                                                dtype=dtype)
-                method = "leptic"
             else:
+                # mapped metrics ride MG with the fused probed-stencil
+                # GSRB kernels.  The leptic expansion
+                # (projection.solver=leptic) stays OPT-IN: although the
+                # reference built it for exactly the flat-aspect regime
+                # (LevelLepticSolver.H:41-52), the kernelized MG measures
+                # 7.0 ms vs leptic's 107 ms on the BeamGeneration
+                # 640x512 metric on a TPU v5e chip — MPI-era
+                # latency-hiding tradeoffs don't transfer to one big
+                # vector core (see docs/STATUS.md round-4 log)
                 method = "mg"
         elif method == "fft":
             from somar_tpu.solvers.fft_poisson import FFTPoissonSolver
@@ -96,22 +96,6 @@ class LevelProjector:
             from somar_tpu.solvers.leptic import LevelLepticSolver
             self.leptic = LevelLepticSolver(geo, self.phi_bcs, dtype=dtype)
         self.method = method
-
-    @staticmethod
-    def _leptic_favorable(geo) -> bool:
-        """True when the leptic expansion converges fast: a flat domain
-        (epsilon = (H/L)^2 <= ~0.05, LevelLepticSolver.H:41-52) with the
-        vertical axis leading and at least 2D."""
-        grid = geo.grid
-        if grid.ndim < 2:
-            return False
-        vert = grid.vertical_dir
-        if grid.axis(vert) != 0 or grid.periodic[vert]:
-            return False
-        H = grid.nx[vert] * grid.dx[vert]
-        L = max(grid.nx[d] * grid.dx[d]
-                for d in range(grid.ndim) if d != vert)
-        return (H / L) ** 2 <= 0.05
 
     @property
     def mg(self) -> LevelMultigrid:

@@ -221,12 +221,13 @@ def test_mg_auto_line_smoother_on_stretched_metric():
     assert all(m == "gsrb" for m in mg2.modes), mg2.modes
 
 
-def test_projector_auto_selects_leptic_on_flat_mapped_domain():
-    """Solver mux 'auto' (reference: AMRPressureSolver's static leptic/MG
-    flags, AMRPressureSolver.cpp:39-40): a flat-aspect mapped domain
-    (epsilon = (H/L)^2 << 1, LevelLepticSolver.H:41-52) picks the leptic
-    solver, a uniform Cartesian grid keeps the spectral fast path, and a
-    tall mapped domain falls back to MG."""
+def test_projector_solver_mux():
+    """Solver mux (reference: AMRPressureSolver's static leptic/MG
+    flags, AMRPressureSolver.cpp:39-40): 'auto' keeps the spectral fast
+    path on uniform Cartesian grids and kernelized MG on mapped metrics
+    (measured 15x faster than the leptic expansion on the BeamGeneration
+    metric on TPU — see projector.py); the leptic solver remains
+    available opt-in."""
     from somar_tpu.projection.projector import LevelProjector
     from somar_tpu.geometry.bathymetric import LedgeMap
 
@@ -236,9 +237,9 @@ def test_projector_auto_selects_leptic_on_flat_mapped_domain():
         return build_level_geometry(g, src)
 
     flat = LevelProjector(ledge(16.0))          # eps = (1/16)^2 ~ 0.004
-    assert flat.method == "leptic", flat.method
-    tall = LevelProjector(ledge(2.0))           # eps = 0.25: not leptic
-    assert tall.method == "mg", tall.method
+    assert flat.method == "mg", flat.method
+    opt_in = LevelProjector(ledge(16.0), method="leptic")
+    assert opt_in.method == "leptic" and opt_in.leptic is not None
     g = Grid(nx=(32, 8), dx=(0.5, 0.125), periodic=(True, False))
     cart = LevelProjector(build_level_geometry(g, CartesianMap()))
     assert cart.method == "fft", cart.method
