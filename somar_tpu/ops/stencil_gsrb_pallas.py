@@ -178,8 +178,13 @@ class StencilPlan:
             self.ok = False
             return
         ncell = _padded_cells(shape)
-        # small: phi/rhs/out + K+1 weights + ~6 temporaries live at once
-        if 4 * ncell * (self.K + 10) <= _VMEM_BUDGET:
+        # small: phi/rhs/out + K+1 weights + temporaries + Mosaic's
+        # double-buffered operand copies.  Calibrated against a measured
+        # Mosaic stack allocation: 17.57M at K=6 on a padded
+        # 32x48x128 block = 22.3 buffer-equivalents, i.e. ~K+16 live
+        # buffers — the old K+10 model under-counted by ~6 and scoped-VMEM
+        # OOMed the 512-class AMR bench inside MG relax
+        if 4 * ncell * (self.K + 17) <= _VMEM_BUDGET:
             self.mode = "small"
             self.ok = True
         elif not self.periodic[0] and shape[0] >= 8:
