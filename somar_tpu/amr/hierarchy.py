@@ -778,10 +778,23 @@ class AMRHierarchy:
         # reference LepticMeshRefine box lists at every level)
         if isinstance(num_patches, (list, tuple)):
             per_level_K = [int(k) for k in num_patches]
+            n_explicit = len(per_level_K)
             per_level_K += [1] * (len(self.ratios) - len(per_level_K))
+            # an explicit per-level budget is a CONTRACT: right-sizing
+            # (init or runtime) must not override it — it may still widen
+            # the box footprint, but K stays what the user asked for
+            # (VERDICT r4: right-sizing silently growing an explicit
+            # num_patches=(2,2) to K=4 was a behavior bug)
+            pinned = [lev < n_explicit for lev in range(len(self.ratios))]
         else:
             per_level_K = [1] * len(self.ratios)
             per_level_K[-1] = int(num_patches)
+            # int form: K at the finest level only; the default (1) is
+            # "unspecified" and escalatable, any other value is a pin
+            pinned = [False] * len(self.ratios)
+            if int(num_patches) != 1:
+                pinned[-1] = True
+        self._pinned_K = pinned
         self.num_patches = per_level_K[-1]
         # stored build args so couplings can be RE-built at init-time
         # right-sizing (see initial_patch_states: budget K and the box
@@ -1641,7 +1654,7 @@ class AMRHierarchy:
         overflow = getattr(c, "_slot_overflow", 0)
         if dropped <= 0 and overflow <= 0:
             return False
-        if c.K < self.max_auto_patches:
+        if not self._pinned_K[lev] and c.K < self.max_auto_patches:
             self._per_level_K[lev] = min(2 * max(1, c.K),
                                          self.max_auto_patches)
         elif self._level_frac(lev) < 0.95:
@@ -1662,6 +1675,51 @@ class AMRHierarchy:
             return False            # cannot grow further; keep the warning
         self._build_couplings(lev)
         return True
+
+    def _grow_for_regrid_coverage(self, lev: int, fine_states: list,
+                                  old_globals: list, old_ws: list) -> bool:
+        """Runtime right-sizing step for coupling `lev` (regrid epochs):
+        after a probe origin choice recorded its tag coverage, grow the
+        level if tagged cells were dropped or candidate boxes overflowed
+        the slot budget — double the patch budget K (unless the user
+        pinned it with an explicit num_patches), then widen the static
+        box footprint.  Growing K pads the live state stack in place
+        (and this regrid's old-data bookkeeping); widening the footprint
+        rebuilds couplings lev.. — all of which this same regrid
+        re-chooses next.  Either way the jitted advance retraces once,
+        cached per shape bucket (reference bar: Berger-Rigoutsos covers
+        every tag by construction at EVERY regrid,
+        LepticMeshRefine.cpp:823-934).  Returns True when the level was
+        rebuilt (the caller re-probes)."""
+        if not self.auto_escalate_patches:
+            return False
+        c = self.couplings[lev]
+        dropped, _total = getattr(c, "tag_coverage", (0, 0))
+        overflow = getattr(c, "_slot_overflow", 0)
+        if dropped <= 0 and overflow <= 0:
+            return False
+        if not self._pinned_K[lev] and c.K < self.max_auto_patches:
+            _old_k, new_k = self._escalate_K(lev, fine_states)
+            og = old_globals[lev]
+            if og is not None:
+                if not isinstance(og, list):
+                    og = [og]
+                # padded slots duplicate slot 0 at weight 0: the overlap
+                # copy skips them
+                old_globals[lev] = og + [og[0]] * (new_k - len(og))
+            w = np.zeros(new_k, np.float32)
+            if old_ws[lev] is not None:
+                w[:len(old_ws[lev])] = old_ws[lev]
+            else:
+                w[0] = 1.0
+            old_ws[lev] = w
+            return True
+        if self._level_frac(lev) < 0.95:
+            self._frac_override[lev] = min(0.95,
+                                           1.5 * self._level_frac(lev))
+            self._build_couplings(lev)
+            return True
+        return False
 
     @property
     def parent_sels(self):
@@ -1791,46 +1849,57 @@ class AMRHierarchy:
         for lev, c in enumerate(self.couplings):
             if lev < from_level or getattr(c, "_drop_streak", 0) < 2:
                 continue
-            if c.K >= self.max_auto_patches:
+            if self._pinned_K[lev] or c.K >= self.max_auto_patches:
                 continue
-            old_k = max(1, c.K)
-            new_k = min(2 * old_k, self.max_auto_patches)
-            s = fine_states[lev]
-            if old_k == 1:
-                fine_states[lev] = _tree_stack([s] * new_k)
-                if c.origin_f is not None:
-                    c.origin_f = np.tile(np.asarray(c.origin_f),
-                                         (new_k, 1))
-                c.weights = np.zeros(new_k, np.float32)
-                c.weights[0] = 1.0
-                c.parent_sel = np.zeros(new_k, np.int64)
-            else:
-                pad = new_k - old_k
-                parts = [_tree_index(s, k) for k in range(old_k)]
-                fine_states[lev] = _tree_stack(
-                    parts + [parts[0]] * pad)
-                if c.origin_f is not None:
-                    c.origin_f = np.concatenate(
-                        [np.asarray(c.origin_f)]
-                        + [np.asarray(c.origin_f[:1])] * pad, axis=0)
-                w = np.zeros(new_k, np.float32)
-                if c.weights is not None:
-                    w[:old_k] = np.asarray(c.weights)
-                else:
-                    w[0] = 1.0
-                c.weights = w
-                ps = np.zeros(new_k, np.int64)
-                if c.parent_sel is not None:
-                    ps[:old_k] = np.asarray(c.parent_sel)
-                c.parent_sel = ps
-            c.K = new_k
-            c._drop_streak = 0
+            old_k, new_k = self._escalate_K(lev, fine_states)
             warnings.warn(
                 f"AMR level {lev + 1} dropped tagged cells on "
                 f"consecutive regrids; patch budget escalated "
                 f"{old_k} -> {new_k} (one-time recompile; cap "
                 f"max_auto_patches={self.max_auto_patches}).",
                 RuntimeWarning, stacklevel=3)
+
+    def _escalate_K(self, lev: int, fine_states: list):
+        """Double coupling `lev`'s patch budget K in place, padding the
+        state stack / origins / weights / parent_sel with weight-0
+        duplicates of slot 0 (compiled-shape buckets 1->2->4->...; the
+        jitted advance retraces once per bucket).  Returns
+        (old_k, new_k)."""
+        c = self.couplings[lev]
+        old_k = max(1, c.K)
+        new_k = min(2 * old_k, self.max_auto_patches)
+        s = fine_states[lev]
+        if old_k == 1:
+            fine_states[lev] = _tree_stack([s] * new_k)
+            if c.origin_f is not None:
+                c.origin_f = np.tile(np.asarray(c.origin_f),
+                                     (new_k, 1))
+            c.weights = np.zeros(new_k, np.float32)
+            c.weights[0] = 1.0
+            c.parent_sel = np.zeros(new_k, np.int64)
+        else:
+            pad = new_k - old_k
+            parts = [_tree_index(s, k) for k in range(old_k)]
+            fine_states[lev] = _tree_stack(
+                parts + [parts[0]] * pad)
+            if c.origin_f is not None:
+                c.origin_f = np.concatenate(
+                    [np.asarray(c.origin_f)]
+                    + [np.asarray(c.origin_f[:1])] * pad, axis=0)
+            w = np.zeros(new_k, np.float32)
+            if c.weights is not None:
+                w[:old_k] = np.asarray(c.weights)
+            else:
+                w[0] = 1.0
+            c.weights = w
+            ps = np.zeros(new_k, np.int64)
+            if c.parent_sel is not None:
+                ps[:old_k] = np.asarray(c.parent_sel)
+            c.parent_sel = ps
+        c.K = new_k
+        self._per_level_K[lev] = new_k
+        c._drop_streak = 0
+        return old_k, new_k
 
     def regrid(self, s0: NSState, fine_states, dt=None,
                from_level: int = 0):
@@ -1865,7 +1934,12 @@ class AMRHierarchy:
         if smoothing:
             mu_v, mu_s = self._smooth_mus(float(dt))
         old_globals = []
+        old_shapes = []
+        old_ws = []
         for lev, c in enumerate(self.couplings):
+            old_shapes.append(np.asarray(c.ext_grid.shape, np.int64))
+            w = getattr(c, "weights", None)
+            old_ws.append(None if w is None else np.asarray(w).copy())
             if c.origin_f is None:
                 old_globals.append(None)
             elif c.K > 1:
@@ -1876,12 +1950,13 @@ class AMRHierarchy:
             else:
                 old_globals.append(self._global_origin(lev))
 
-        def overlap_copy(s_new, old, new_g, old_g, ext_shape):
+        def overlap_copy(s_new, old, new_g, old_g, new_shape, old_shape):
             """Overwrite s_new with `old` wherever the two patches overlap
-            in global fine index space."""
-            shape = np.asarray(ext_shape)
+            in global fine index space (shapes may differ: runtime
+            right-sizing can widen the footprint between regrids)."""
             lo = np.maximum(old_g, new_g)
-            hi = np.minimum(old_g + shape, new_g + shape)
+            hi = np.minimum(old_g + np.asarray(old_shape),
+                            new_g + np.asarray(new_shape))
             if not np.all(hi > lo):
                 return s_new
             src = tuple(slice(int(a), int(b)) for a, b in
@@ -1903,11 +1978,12 @@ class AMRHierarchy:
         weights_out = []
         par_patches = [s0]
         par_w = None
-        for lev, c in enumerate(self.couplings):
-            old_fine = fine_states[lev]
-            old_w = getattr(c, "weights", None)
+        import warnings as _warnings
+        for lev in range(len(self.couplings)):
+            c = self.couplings[lev]
             if lev < from_level:
                 # not due: keep the patch and its data untouched
+                old_fine = fine_states[lev]
                 new_states.append(old_fine)
                 origins.append(jnp.asarray(c.origin_f))
                 weights_out.append(
@@ -1925,12 +2001,49 @@ class AMRHierarchy:
                 par_patches = [self._apply_smooth_op(parent_level, p,
                                                      mu_v, mu_s)
                                for p in par_patches]
+
+            # choose new origins with runtime right-sizing: probe,
+            # grow (K first unless pinned, then the box footprint),
+            # re-probe — the regrid-epoch analog of init-time
+            # right-sizing.  The reference needs no such pass because
+            # Berger-Rigoutsos covers every tag by construction at
+            # every regrid (LepticMeshRefine.cpp:823-934); the dense
+            # static-shape model buys the same guarantee with a
+            # re-size + one cached recompile per shape bucket.
+            org = w = psel = None
+            for _attempt in range(8):
+                with _warnings.catch_warnings(record=True) as _ws:
+                    _warnings.simplefilter("always")
+                    if multi_parent:
+                        org, w, psel = c.choose_origins_multi(
+                            par_patches, par_w, self.tag_params)
+                    elif c.K > 1:
+                        org, w = c.choose_origins(par_patches[0],
+                                                  self.tag_params)
+                        psel = np.zeros(c.K, np.int64)
+                    else:
+                        org = c.choose_origin(par_patches[0],
+                                              self.tag_params)
+                if not self._grow_for_regrid_coverage(
+                        lev, fine_states, old_globals, old_ws):
+                    # exhausted (or nothing dropped): replay any warning
+                    # this final configuration produced
+                    for _wmsg in _ws:
+                        _warnings.warn_explicit(
+                            _wmsg.message, _wmsg.category,
+                            _wmsg.filename, _wmsg.lineno)
+                    break
+                c = self.couplings[lev]
+
+            old_fine = fine_states[lev]   # may have been re-stacked
+            old_w = old_ws[lev]
             # old-patch data pre-smoothed for the overlap copy
             if c.K > 1:
                 old_patches = None
                 if old_globals[lev] is not None:
+                    n_old = len(old_globals[lev])
                     old_patches = [_tree_index(old_fine, j)
-                                   for j in range(c.K)]
+                                   for j in range(n_old)]
                     if smoothing:
                         old_patches = [
                             self._apply_smooth_op(c.level, p, mu_v, mu_s)
@@ -1939,15 +2052,6 @@ class AMRHierarchy:
                 old_fine = self._apply_smooth_op(c.level, old_fine,
                                                  mu_v, mu_s)
 
-            # choose new origins (+ parent patches where multi-parent)
-            if c.K > 1 or multi_parent:
-                if multi_parent:
-                    org, w, psel = c.choose_origins_multi(
-                        par_patches, par_w, self.tag_params)
-                else:
-                    org, w = c.choose_origins(par_patches[0],
-                                              self.tag_params)
-                    psel = np.zeros(c.K, np.int64)
             if c.K > 1:
                 c.origin_f, c.weights, c.parent_sel = org, w, psel
                 self._refresh_bundle(lev)
@@ -1959,12 +2063,13 @@ class AMRHierarchy:
                         new_g = self._global_origin(lev,
                                                     last_origin=org[k],
                                                     patch=k)
-                        for j in range(c.K):
+                        for j in range(len(old_patches)):
                             if old_w is not None and float(old_w[j]) == 0.0:
                                 continue
                             s_new_k = overlap_copy(
                                 s_new_k, old_patches[j], new_g,
-                                old_globals[lev][j], c.ext_grid.shape)
+                                old_globals[lev][j], c.ext_grid.shape,
+                                old_shapes[lev])
                     if smoothing:
                         s_new_k = self._solve_smooth_op(c.level, s_new_k,
                                                         mu_v, mu_s)
@@ -1978,8 +2083,7 @@ class AMRHierarchy:
                     c.parent_sel = psel[:1].copy()
                     src_par = par_patches[int(psel[0])]
                 else:
-                    c.origin_f = c.choose_origin(par_patches[0],
-                                                 self.tag_params)
+                    c.origin_f = np.asarray(org)
                     c.parent_sel = None
                     src_par = par_patches[0]
                 c.weights = None
@@ -1990,7 +2094,8 @@ class AMRHierarchy:
                     s_new = overlap_copy(s_new, old_fine,
                                          self._global_origin(lev),
                                          old_globals[lev],
-                                         c.ext_grid.shape)
+                                         c.ext_grid.shape,
+                                         old_shapes[lev])
                 if smoothing:
                     s_new = self._solve_smooth_op(c.level, s_new,
                                                   mu_v, mu_s)

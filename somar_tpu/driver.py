@@ -358,6 +358,20 @@ class RunDriver:
                         else:
                             fine_state, origin = got
                         fine_state = self._shard_fine(fine_state)
+                        # when runtime right-sizing changed the patch
+                        # stack's SHAPES, the pre-step old-time snapshot
+                        # lives on grids that no longer exist — re-point
+                        # it at the regridded data (the reference's
+                        # regrid moves old AND new data to the new
+                        # grids, AMRNavierStokesRegrid.cpp:688); shape-
+                        # preserving regrids keep the genuine old state
+                        def _shapes(t):
+                            import jax as _j
+                            return [(a.shape if hasattr(a, "shape")
+                                     else None)
+                                    for a in _j.tree_util.tree_leaves(t)]
+                        if _shapes(fine_old) != _shapes(fine_state):
+                            fine_old = fine_state
 
                 # next dt: CFL-limited, growth-capped (per-level dts
                 # feed both the coarse dt and next step's dynamic-
@@ -454,6 +468,29 @@ class RunDriver:
         if elapsed > 0:
             report.append(f"cell updates/sec: {cell_updates / elapsed:.4g}")
         report.append(f"total elapsed: {elapsed:.2f} s")
+        # peak-memory report (reference: get_memory_usage_from_OS +
+        # memory tracking at exec/somar.cpp:204-215; this project's
+        # recurring failure mode is VMEM/HBM ceilings, so make them
+        # observable on every run)
+        try:
+            import resource
+            rss_mb = resource.getrusage(
+                resource.RUSAGE_SELF).ru_maxrss / 1024.0
+            report.append(f"peak host RSS: {rss_mb:.0f} MB")
+        except Exception:
+            pass
+        try:
+            import jax
+            stats = jax.devices()[0].memory_stats() or {}
+            peak = stats.get("peak_bytes_in_use")
+            lim = stats.get("bytes_limit")
+            if peak is not None:
+                line = f"peak device HBM: {peak / 2**20:.0f} MB"
+                if lim:
+                    line += f" of {lim / 2**20:.0f} MB"
+                report.append(line)
+        except Exception:
+            pass
         # hierarchical timer report (CH_TIMER_REPORT analog,
         # exec/somar.cpp:222)
         report.append(timer.report())

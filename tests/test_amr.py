@@ -382,10 +382,10 @@ def test_refluxing_conserves_buoyancy_better():
         s0 = h.level0.post_initialize(h.level0.initial_state())
         s1, origin = h.initial_patch_state(s0)
         step = jax.jit(h.advance)
-        b0 = float(jnp.sum(s0.scalars[0], dtype=jnp.float64))
+        b0 = float(np.asarray(s0.scalars[0], np.float64).sum())
         for _ in range(8):
             s0, s1 = step(s0, s1, origin, jnp.asarray(0.02))
-        b1 = float(jnp.sum(s0.scalars[0], dtype=jnp.float64))
+        b1 = float(np.asarray(s0.scalars[0], np.float64).sum())
         assert np.all(np.isfinite(np.asarray(s0.scalars[0])))
         return abs(b1 - b0)
 
@@ -1128,7 +1128,7 @@ def test_multibox_reflux_into_multipatch_parent():
                           if wk > 0)) == [0, 1]
         step = jax.jit(h.advance)
         dt = jnp.asarray(0.02)
-        b0 = float(jnp.sum(s0.scalars[0], dtype=jnp.float64))
+        b0 = float(np.asarray(s0.scalars[0], np.float64).sum())
         fines = list(fines)
         for _ in range(4):
             s0, fines = step(s0, fines, origins, dt, None, weights,
@@ -1137,7 +1137,7 @@ def test_multibox_reflux_into_multipatch_parent():
         assert np.all(np.isfinite(np.asarray(s0.scalars[0])))
         for f in fines:
             assert np.all(np.isfinite(np.asarray(f.vel)))
-        b1 = float(jnp.sum(s0.scalars[0], dtype=jnp.float64))
+        b1 = float(np.asarray(s0.scalars[0], np.float64).sum())
         return abs(b1 - b0)
 
     drift_off = run(())
@@ -1243,10 +1243,10 @@ def test_rk3_amr_with_refluxing():
         s0 = h.level0.post_initialize(h.level0.initial_state())
         s1, origin = h.initial_patch_state(s0)
         step = jax.jit(h.advance)
-        b0 = float(jnp.sum(s0.scalars[0], dtype=jnp.float64))
+        b0 = float(np.asarray(s0.scalars[0], np.float64).sum())
         for _ in range(5):
             s0, s1 = step(s0, s1, origin, jnp.asarray(0.02))
-        b1 = float(jnp.sum(s0.scalars[0], dtype=jnp.float64))
+        b1 = float(np.asarray(s0.scalars[0], np.float64).sum())
         b = np.asarray(s0.scalars[0])
         assert np.all(np.isfinite(b))
         assert b.min() > -0.1 and b.max() < 1.1, (b.min(), b.max())
