@@ -53,22 +53,130 @@ def _baseline_cups() -> tuple:
     return ASSUMED_CPU_BASELINE, "assumed"
 
 
-def _time_steps(step, state, dt, nsteps, label):
-    """Compile once, then time nsteps; returns (cups_denominator-free
-    elapsed seconds, compile seconds, final state)."""
+# ---------------------------------------------------------------- honesty
+# Round-4 shipped a physically impossible MG number (0.1 ms "step" at
+# 512x128x128 = 222261x baseline) because identical-args timing loops are
+# served from a relay cache (documented in STATUS round 1) and nothing
+# sanity-checked the output.  Three defenses, all mandatory for every
+# timed path:
+#   1. vary an input VALUE every timed call (no retrace, defeats the
+#      cache);
+#   2. fingerprint the output and refuse timings whose state never
+#      changed across steps;
+#   3. a physics floor: a full NS step must move >= STEP_BYTES_MIN
+#      bytes/cell through HBM, a Poisson solve >= SOLVE_BYTES_MIN; any
+#      ms/step below ncells*bytes/HBM_BW_CEIL is impossible on this
+#      hardware and is REFUSED (reported as an error, not a number).
+HBM_BW_CEIL = 2.0e12     # B/s; generously above any v5e/v5p/v6e part
+STEP_BYTES_MIN = 64      # read+write of the ~9-field NS state alone
+SOLVE_BYTES_MIN = 16     # phi read+write plus rhs read, one pass
+
+
+class ImplausibleTiming(RuntimeError):
+    pass
+
+
+def _floor_ms(ncells: int, bytes_per_cell: float) -> float:
+    return 1e3 * ncells * bytes_per_cell / HBM_BW_CEIL
+
+
+def _sync(tree):
+    """Completion barrier: a 4-byte readback of one output buffer.
+    block_until_ready alone is NOT a barrier through the axon relay —
+    measured returning in 0.03 ms from a 320 ms in-flight loop."""
     import jax
+    import numpy as np
+    leaf = jax.tree_util.tree_leaves(tree)[0]
+    return float(np.asarray(leaf[(0,) * getattr(leaf, "ndim", 0)]))
+
+
+def _fingerprint(tree) -> float:
+    import jax
+    import numpy as np
+    tot = 0.0
+    for leaf in jax.tree_util.tree_leaves(tree)[:2]:
+        a = np.asarray(leaf).ravel()
+        tot += float(np.abs(a[:: max(1, a.size // 4096)]).sum())
+    return tot
+
+
+def _stats_ms(times) -> dict:
+    ms = sorted(1e3 * t for t in times)
+    n = len(ms)
+    med = ms[n // 2] if n % 2 else 0.5 * (ms[n // 2 - 1] + ms[n // 2])
+    return {"ms": round(med, 2), "ms_min": round(ms[0], 2),
+            "ms_max": round(ms[-1], 2)}
+
+
+def _check_floor(stats: dict, ncells: int, bytes_per_cell: float,
+                 label: str):
+    floor = _floor_ms(ncells, bytes_per_cell)
+    if stats["ms"] < floor:
+        raise ImplausibleTiming(
+            f"{label}: {stats['ms']:.3f} ms is below the HBM roofline "
+            f"floor {floor:.3f} ms ({bytes_per_cell} B/cell at "
+            f"{HBM_BW_CEIL:.0e} B/s) — measurement refused (cache "
+            f"artifact?)")
+
+
+def _time_steps(step, state, dt, nsteps, label, ncells):
+    """Compile once, then time 3 samples of an nsteps chained-dispatch
+    run (dt varied every call, one readback barrier per sample);
+    returns (per-step sample times, compile seconds, final state).
+    Raises ImplausibleTiming when the state does not evolve or the
+    median beats the HBM roofline floor."""
     t0 = time.perf_counter()
     state = step(state, dt)
-    jax.block_until_ready(state)
+    _sync(state)
     compile_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    for _ in range(nsteps):
-        state = step(state, dt)
-    jax.block_until_ready(state)
-    elapsed = time.perf_counter() - t0
-    _note(f"# [{label}] compile={compile_s:.1f}s "
-          f"ms/step={1e3 * elapsed / nsteps:.1f}")
-    return elapsed, compile_s, state
+    fp0 = _fingerprint(state)
+    samples = []
+    k = 0
+    for _rep in range(3):
+        t0 = time.perf_counter()
+        for _ in range(nsteps):
+            k += 1
+            state = step(state, dt * (1.0 + 1e-6 * k))
+        _sync(state)
+        samples.append((time.perf_counter() - t0) / nsteps)
+    if _fingerprint(state) == fp0:
+        raise ImplausibleTiming(
+            f"{label}: state identical across {3 * nsteps} timed steps "
+            f"— measurement refused")
+    st = _stats_ms(samples)
+    _check_floor(st, ncells, STEP_BYTES_MIN, label)
+    _note(f"# [{label}] compile={compile_s:.1f}s ms/step={st['ms']:.1f} "
+          f"[{st['ms_min']:.1f}, {st['ms_max']:.1f}]")
+    return samples, compile_s, state
+
+
+def _time_poisson(level, state, nsteps, label, ncells):
+    """Pressure-Poisson solve ms/step with chained phi and varied vel
+    (identical-args relay caching is what made r4's 0.04 ms fiction)."""
+    import jax
+    proj = jax.jit(lambda v, p: level.projector.project_cc(
+        v, level.vel_bcs_trace, phi0=p)[1])
+    phi = proj(state.vel, state.cc_phi)
+    _sync(phi)
+    fp0 = _fingerprint(phi)
+    samples = []
+    k = 0
+    for _rep in range(3):
+        t0 = time.perf_counter()
+        for _ in range(nsteps):
+            k += 1
+            phi = proj(state.vel * (1.0 + 1e-5 * k), phi)
+        _sync(phi)
+        samples.append((time.perf_counter() - t0) / nsteps)
+    if _fingerprint(phi) == fp0:
+        raise ImplausibleTiming(
+            f"{label}: potential identical across timed solves "
+            f"— measurement refused")
+    st = _stats_ms(samples)
+    _check_floor(st, ncells, SOLVE_BYTES_MIN, label)
+    _note(f"# [{label}] pressure-solve={st['ms']:.2f} ms "
+          f"[{st['ms_min']:.2f}, {st['ms_max']:.2f}]")
+    return st
 
 
 def _bench_level(level, grid, nsteps, label):
@@ -77,8 +185,11 @@ def _bench_level(level, grid, nsteps, label):
     state = level.initial_state()
     dt = jnp.asarray(0.01, jnp.float32)
     step = jax.jit(lambda s, d: level.advance(s, d))
-    elapsed, compile_s, state = _time_steps(step, state, dt, nsteps, label)
-    return grid.ncells * nsteps / elapsed, compile_s, state
+    times, compile_s, state = _time_steps(step, state, dt, nsteps, label,
+                                          grid.ncells)
+    st = _stats_ms(times)
+    cups = grid.ncells / (st["ms"] * 1e-3)
+    return cups, compile_s, state, st
 
 
 def _bench_headline(nsteps):
@@ -87,22 +198,12 @@ def _bench_headline(nsteps):
     ny = int(os.environ.get("BENCH_NY", 128))
     nz = int(os.environ.get("BENCH_NZ", 128))
     level, grid = _build_level(nx=nx, nz=nz, ny=ny, mg_eps=1e-5)
-    cups, compile_s, state = _bench_level(level, grid,
-                                          nsteps, f"fft {grid.nx}")
+    cups, compile_s, state, st = _bench_level(level, grid,
+                                              nsteps, f"fft {grid.nx}")
     # secondary BASELINE.md metric: pressure-Poisson solve ms/step
-    import jax
-    import jax.numpy as jnp
-    proj = jax.jit(lambda v, s: level.projector.project_cc(
-        v, level.vel_bcs_trace, phi0=s.cc_phi)[0])
-    out = proj(state.vel, state)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(nsteps):
-        out = proj(state.vel, state)
-    jax.block_until_ready(out)
-    poisson_ms = 1e3 * (time.perf_counter() - t0) / nsteps
-    _note(f"# [fft] pressure-solve={poisson_ms:.2f} ms/step")
-    return cups, {"grid": list(grid.nx), "poisson_ms": round(poisson_ms, 2)}
+    psolve = _time_poisson(level, state, nsteps, "fft", grid.ncells)
+    return cups, {"grid": list(grid.nx), "step": st,
+                  "poisson_ms": psolve["ms"], "poisson": psolve}
 
 
 def _bench_mg(nsteps):
@@ -128,21 +229,16 @@ def _bench_mg(nsteps):
                       pressure_solver="mg",
                       mg=MGParams(eps=1e-5, imax=12))
     level = NSLevel(geo, LockExchange(), params)
-    cups, _, state = _bench_level(level, grid, nsteps, f"mg {grid.nx}")
+    cups, _, state, st = _bench_level(level, grid, nsteps,
+                                      f"mg {grid.nx}")
     # BASELINE.md secondary metric: pressure-Poisson solve ms/step, MG path
-    # (the reference's MappedAMRMultiGrid hot loop) next to the fft number
-    import jax
-    proj = jax.jit(lambda v, s: level.projector.project_cc(
-        v, level.vel_bcs_trace, phi0=s.cc_phi)[0])
-    out = proj(state.vel, state)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(nsteps):
-        out = proj(state.vel, state)
-    jax.block_until_ready(out)
-    poisson_ms = 1e3 * (time.perf_counter() - t0) / nsteps
-    _note(f"# [mg] pressure-solve={poisson_ms:.2f} ms/step")
-    return cups, {"grid": list(grid.nx), "poisson_ms": round(poisson_ms, 2)}
+    # (the reference's MappedAMRMultiGrid hot loop) next to the fft number.
+    # Cross-check: this solve runs >= 1 V-cycle of >= 8 GSRB half-sweeps,
+    # so SOLVE_BYTES_MIN underestimates it by >10x; the floor still
+    # catches cache-served fiction (r4: 0.04 ms)
+    psolve = _time_poisson(level, state, nsteps, "mg", grid.ncells)
+    return cups, {"grid": list(grid.nx), "step": st,
+                  "poisson_ms": psolve["ms"], "poisson": psolve}
 
 
 def _driver_from_config(path, overrides, tag):
@@ -171,10 +267,12 @@ def _bench_mapped(nsteps):
     dt = jnp.asarray(1.0, jnp.float32)
     solver = level.projector.method
     _note(f"# [mapped] pressure solver: {solver}")
-    elapsed, _, _ = _time_steps(drv._step_fn, state, dt, nsteps,
-                                f"mapped beam {drv.grid.nx}")
-    return drv.grid.ncells * nsteps / elapsed, {
-        "grid": list(drv.grid.nx), "solver": solver}
+    times, _, _ = _time_steps(drv._step_fn, state, dt, nsteps,
+                              f"mapped beam {drv.grid.nx}",
+                              drv.grid.ncells)
+    st = _stats_ms(times)
+    return drv.grid.ncells / (st["ms"] * 1e-3), {
+        "grid": list(drv.grid.nx), "solver": solver, "step": st}
 
 
 def _bench_amr(nsteps):
@@ -196,29 +294,39 @@ def _bench_amr(nsteps):
         (fine, origin), weights = got, None
     dt = jnp.asarray(0.01, jnp.float32)
 
-    import jax
     step = drv._amr_step_fn
     t0 = time.perf_counter()
     state, fine = step(state, fine, origin, dt, h.geo_bundles, weights)
-    jax.block_until_ready(state)
+    _sync(state)
     compile_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    for _ in range(nsteps):
-        state, fine = step(state, fine, origin, dt, h.geo_bundles, weights)
-    jax.block_until_ready(state)
-    elapsed = time.perf_counter() - t0
     updates = drv.grid.ncells
-    subs = []
     factor = 1
     for c in h.couplings:
         factor *= c.nt
-        subs.append(factor)
         updates += factor * c.K * int(np.prod(c.ext_nx))
+    fp0 = _fingerprint(state)
+    samples = []
+    k = 0
+    for _rep in range(3):
+        t0 = time.perf_counter()
+        for _ in range(nsteps):
+            k += 1
+            state, fine = step(state, fine, origin,
+                               dt * (1.0 + 1e-6 * k), h.geo_bundles,
+                               weights)
+        _sync(state)
+        samples.append((time.perf_counter() - t0) / nsteps)
+    if _fingerprint(state) == fp0:
+        raise ImplausibleTiming(
+            "amr: state identical across timed steps — refused")
+    st = _stats_ms(samples)
+    _check_floor(st, updates, STEP_BYTES_MIN, "amr")
     _note(f"# [amr] compile={compile_s:.1f}s "
-          f"ms/coarse-step={1e3 * elapsed / nsteps:.1f} "
+          f"ms/coarse-step={st['ms']:.1f} "
+          f"[{st['ms_min']:.1f}, {st['ms_max']:.1f}] "
           f"levels={h.num_levels}")
-    return updates * nsteps / elapsed, {
-        "grid": list(drv.grid.nx), "levels": h.num_levels}
+    return updates / (st["ms"] * 1e-3), {
+        "grid": list(drv.grid.nx), "levels": h.num_levels, "step": st}
 
 
 def measure_baseline():
@@ -338,7 +446,15 @@ def main():
         pass
 
     base_cups, base_method = _baseline_cups()
-    cups, extra = _bench_headline(nsteps)
+    try:
+        cups, extra = _bench_headline(nsteps)
+    except ImplausibleTiming as e:
+        # refuse to print a fictional headline (see honesty block above)
+        print(json.dumps({
+            "metric": "cell-updates/sec/chip (3D lock exchange)",
+            "value": None, "unit": "cell-updates/s", "vs_baseline": None,
+            "extra": {"error": f"implausible timing refused: {e}"}}))
+        sys.exit(0)
     extra_all = {"fft": extra, "baseline_method": base_method,
                  "baseline_cups": base_cups,
                  "device": jax.devices()[0].platform}

@@ -555,11 +555,12 @@ def test_multipatch_two_blobs_activates_two_patches():
 
 def test_auto_patch_escalation_covers_splitting_front():
     """Coverage-loss hardening: a K=1 static patch cannot cover two
-    separated fronts, so every regrid drops tagged cells (the silent
-    accuracy-loss mode).  After two consecutive dropping regrids the
-    hierarchy must DOUBLE the patch budget (weight-0 padded slots, one
-    retrace) and the next choose must cover both fronts with zero
-    dropped tags."""
+    separated fronts.  The FIRST regrid that would drop tagged cells
+    right-sizes in place — it DOUBLES the patch budget (weight-0 padded
+    slots, one retrace) and re-chooses within the same regrid epoch, so
+    no step ever runs with dropped tags (round-5 contract; reference
+    bar: Berger-Rigoutsos covers every tag by construction at every
+    regrid, LepticMeshRefine.cpp:823-934)."""
     import dataclasses
     Lx, Lz = 15.0, 2.0
     nx, nz = 96, 12
@@ -590,14 +591,9 @@ def test_auto_patch_escalation_covers_splitting_front():
         s0, scalars=s0.scalars.at[0].set(
             jnp.asarray(np.broadcast_to(b, g.shape))))
 
-    import warnings as _w
-    with _w.catch_warnings():
-        _w.simplefilter("ignore", RuntimeWarning)
-        f, origin = h.regrid(s0, f)                 # drop streak 1
-        assert c.tag_coverage[0] > 0
-        f, origin = h.regrid(s0, f)                 # drop streak 2
-        assert c.K == 1 and c._drop_streak >= 2
-        fines, origins, weights = h.regrid(s0, (f,))  # escalates, re-chooses
+    # the first regrid right-sizes K 1 -> 2 and re-chooses, covering
+    # both fronts immediately
+    fines, origins, weights = h.regrid(s0, (f,))
     assert c.K == 2
     assert c.tag_coverage[0] == 0, c.tag_coverage
     w = np.asarray(weights[0])
