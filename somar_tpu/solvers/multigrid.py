@@ -409,6 +409,15 @@ class LevelMultigrid:
             rhs = op.compat_project(rhs)
         phi = jnp.zeros_like(rhs) if phi0 is None else phi0.astype(self.dtype)
 
+        # Convergence reference: ||rhs||, NOT the initial-guess residual.
+        # A warm start (the projectors chain the previous step's
+        # potential) makes the guess residual tiny; eps relative to IT
+        # demands 1e-5 of an already-converged answer, so warm solves
+        # grind to imax while cold solves pass — measured 11 stuck
+        # V-cycles on a warm 512 solve.  For phi0 = 0 the two references
+        # coincide exactly (residual(0) = rhs).  r0 (the guess residual)
+        # still seeds the hang/best-iterate tracking.
+        r_ref = jnp.maximum(op.norm(rhs), p.norm_thresh)
         r0 = op.norm(op.residual(phi, rhs, alpha, beta, jgup_delta=jd0))
         r0 = jnp.maximum(r0, p.norm_thresh)
 
@@ -420,9 +429,13 @@ class LevelMultigrid:
         # the returned iterate is the best one seen.
         def cond(state):
             phi, rnorm, best, _, stall, it = state
-            unconverged = best > p.eps * r0
+            unconverged = best > p.eps * r_ref
             not_hung = stall < 2
-            return ((it < p.imin) | (unconverged & not_hung)) & (it < p.imax)
+            # a warm start already below target skips even the imin
+            # cycles (imin guards against a deceptive first-cycle
+            # residual, which cannot happen when nothing ran yet)
+            return (((it < p.imin) | (unconverged & not_hung))
+                    & (it < p.imax) & (best > p.eps * r_ref))
 
         def body(state):
             phi, rnorm, best, phi_best, stall, it = state
@@ -447,4 +460,4 @@ class LevelMultigrid:
 
         state = (phi, r0, r0, phi, jnp.asarray(0), jnp.asarray(0))
         _, _, best, phi_best, _, iters = jax.lax.while_loop(cond, body, state)
-        return phi_best, (iters, best / r0)
+        return phi_best, (iters, best / r_ref)

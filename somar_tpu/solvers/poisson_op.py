@@ -201,7 +201,18 @@ class PoissonOp:
 
     def relax_gsrb(self, phi, rhs, alpha, beta, iters: int,
                    weight: float = 1.0, jgup_delta=None):
-        """Red-black Gauss-Seidel (reference: LevelGSRB, GSRBITER*)."""
+        """Red-black Gauss-Seidel (reference: LevelGSRB, GSRBITER*).
+
+        The reference splits each sweep into an interior pass
+        (fullStencilGSRB — "does not take special care at box
+        boundaries") plus boundaryGSRB fix-up passes with one-sided
+        stencils, and offers LooseGSRB (one asynchronous exchange
+        instead of two) as a comms shortcut (GSRB.H:33-90).  Both are
+        SUBSUMED here: the dense sweep's stencil carries exact
+        BC-folded coefficients at every cell (no boundary fix-up
+        needed — asserted against the ghost-fill operator to roundoff
+        in tests), and the single-array model has no exchanges to
+        loosen."""
         if jgup_delta is None:
             if self._fused_plan is not None:
                 from somar_tpu.ops.gsrb_pallas import gsrb_sweeps

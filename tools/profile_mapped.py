@@ -1,31 +1,22 @@
 """Phase-level profiling of the mapped (BeamGeneration) bench step.
 
 Times the full step and its MG/advection phases on the terrain-following
-non-diagonal metric at the bench resolution (640x512 by default).
+non-diagonal metric at the bench resolution (640x512 by default), with
+the honest timing discipline from tools/timing.py (chained in-jit loops,
+varied traced scalar, host-readback barrier).
 
 Usage: python tools/profile_mapped.py
 """
 from __future__ import annotations
 
+import dataclasses
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 ".."))
-
-
-def timeit(fn, args_seq, label, reps=5):
-    import jax
-    out = fn(*args_seq[0])
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for i in range(reps):
-        out = fn(*args_seq[i % len(args_seq)])
-    jax.block_until_ready(out)
-    ms = 1e3 * (time.perf_counter() - t0) / reps
-    print(f"{label:12s} {ms:8.2f} ms")
-    return ms
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from timing import per_iter  # noqa: E402
 
 
 def main():
@@ -45,48 +36,40 @@ def main():
           f"diagonal metric: {level.geo.is_diagonal}")
     s0 = level.post_initialize(level.initial_state())
     dt = jnp.asarray(1.0, jnp.float32)
-    step = drv._step_fn
-    s1 = step(s0, dt)
-    s2 = step(s1, dt)
-    states = [(s1, dt), (s2, dt)]
-    timeit(step, states, "full")
+    s1 = drv._step_fn(s0, dt)
 
-    def adv_vel(s, d):
-        return level.compute_advecting_velocities(s, None, d)
+    per_iter(lambda s: level.advance(s, dt), s1, "full step", n_lo=1,
+             n_hi=5)
 
-    timeit(jax.jit(adv_vel), states, "adv_vel")
+    def folded(phase_out, s):
+        leaf = jax.tree_util.tree_leaves(phase_out)[0]
+        return dataclasses.replace(
+            s, vel=s.vel * (1.0 + 1e-20 * jnp.sum(leaf)))
 
-    def cc_proj(s, d):
-        return level.projector.project_cc(s.vel, level.vel_bcs_trace,
-                                          phi0=s.cc_phi)[0]
+    per_iter(lambda s: folded(
+        level.compute_advecting_velocities(s, None, dt), s), s1,
+        "adv_vel (trace + MAC proj)", n_lo=1, n_hi=5)
 
-    timeit(jax.jit(cc_proj), states, "cc_proj")
+    per_iter(lambda s: folded(level.projector.project_cc(
+        s.vel, level.vel_bcs_trace, phi0=s.cc_phi)[0], s), s1,
+        "cc_proj", n_lo=1, n_hi=5)
 
-    # one MG pressure solve on a fixed rhs
-    from somar_tpu.ops.stencil import mac_divergence, cc_to_fc
+    per_iter(lambda s: folded(
+        level.get_new_scalars_and_lambda(s, dt), s), s1,
+        "scalars+lambda", n_lo=1, n_hi=5)
+
+    rhs = jax.jit(level.cell_divergence)(s1)
     op = level.projector.op
-    rhs1 = s1.vel[0] * 0.0 + jnp.sin(
-        jnp.arange(drv.grid.shape[0] * drv.grid.shape[1], dtype=jnp.float32)
-        .reshape(drv.grid.shape) * 0.01)
-    rhs1 = op.compat_project(rhs1)
-    rhs2 = rhs1 * 1.1
     mg = level.projector.mg
-
-    def solve(r):
-        return mg.solve(r)[0]
-
-    timeit(jax.jit(solve), [(rhs1,), (rhs2,)], "mg_solve")
-
-    def gsrb8(p, r):
-        return op.relax(p, r, 0.0, 1.0, 8, "gsrb")
-
-    z = jnp.zeros_like(rhs1)
-    timeit(jax.jit(gsrb8), [(z, rhs1), (z, rhs2)], "gsrb8")
-
-    def resid(p, r):
-        return op.residual(p, r, 0.0, 1.0)
-
-    timeit(jax.jit(resid), [(z, rhs1), (z, rhs2)], "residual")
+    _, (its, rel) = jax.jit(lambda r: mg.solve(r))(rhs)
+    print(f"(mg_solve: {int(its)} V-cycles to rel={float(rel):.2e}; "
+          f"modes {mg.modes[:4]})")
+    per_iter(lambda r: mg.solve(r)[0], rhs, "mg_solve (cold)", n_lo=1,
+             n_hi=4)
+    per_iter(lambda r: op.relax(jnp.zeros_like(r), r, 0.0, 1.0, 8,
+                                mg.modes[0]), rhs, "relax x8")
+    per_iter(lambda r: r - op.residual(jnp.zeros_like(r), r, 0.0, 1.0),
+             rhs, "residual")
 
 
 if __name__ == "__main__":
