@@ -41,16 +41,21 @@ def main():
     nx = int(os.environ.get("LEPTIC_NX", 2048))
     ny = int(os.environ.get("LEPTIC_NY", nx))
     nz = int(os.environ.get("LEPTIC_NZ", 32))
-    # flat ocean box: L = 64 km x 64 km, H = 1 km -> H/L = 1/64
-    Lx = Ly = 64.0
+    # leptic regime (Scotti & Santilli 2011, the paper cited at
+    # LevelLepticSolver.H:42): the expansion parameter is
+    # eps = (H / dx_horizontal)^2 — the method converges when grid
+    # columns are WIDER than the domain is deep.  Flat ocean box with
+    # dx_h = 2H -> eps = 0.25 (e.g. 1 km depth, 2 km horizontal cells).
     H = 1.0
-    grid = Grid(nx=(nx, ny, nz), dx=(Lx / nx, Ly / ny, H / nz),
+    dxh = 2.0 * H
+    Lx, Ly = dxh * nx, dxh * ny
+    grid = Grid(nx=(nx, ny, nz), dx=(dxh, dxh, H / nz),
                 x0=(0.0, 0.0, 0.0), periodic=(False, False, False))
     geo = build_level_geometry(grid, CartesianMap())
     bcs = FieldBCs.uniform(BC.neumann(), 3)
     eps = 1e-6
     print(f"device: {jax.devices()[0].platform}  grid: {grid.shape}  "
-          f"H/L = {H / Lx:.4g}  eps_leptic = {(H / Lx) ** 2:.2e}")
+          f"H/L = {H / Lx:.4g}  eps_leptic = {(H / dxh) ** 2:.2f}")
 
     key = jax.random.PRNGKey(0)
     rhs = jax.random.normal(key, grid.shape, jnp.float32)
@@ -60,13 +65,13 @@ def main():
 
     lep = LevelLepticSolver(geo, bcs, LepticParams(eps=eps, max_order=20))
     lsolve = jax.jit(lambda r: lep.solve(r))
-    phi_l, st = lsolve(rhs)
-    print(f"leptic: status={int(st.status)} orders={int(st.orders)} "
-          f"relres={float(st.relres):.2e}")
+    phi_l, (orders, relres, status) = lsolve(rhs)
+    print(f"leptic: status={int(status)} orders={int(orders)} "
+          f"relres={float(relres):.2e}")
     t_l = time_dispatch(lsolve, lambda i: (rhs * (1.0 + 1e-5 * i),))
     print(f"{'leptic solve dispatch':32s} {t_l:8.2f} ms")
-    out["leptic"] = {"ms": round(t_l, 2), "orders": int(st.orders),
-                     "relres": float(st.relres)}
+    out["leptic"] = {"ms": round(t_l, 2), "orders": int(orders),
+                     "relres": float(relres), "status": int(status)}
 
     mg = LevelMultigrid(geo, bcs, MGParams(eps=eps, imax=20))
     msolve = jax.jit(lambda r: mg.solve(r, singular=True))

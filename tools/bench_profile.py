@@ -51,26 +51,74 @@ def main():
              n_hi=5)
 
     def folded(phase_out, s):
-        """Consume a phase output into a same-shape state (chainable)."""
-        leaf = jax.tree_util.tree_leaves(phase_out)[0]
-        f = 1.0 + 1e-20 * jnp.sum(leaf)
-        return dataclasses.replace(s, vel=s.vel * f)
+        """Consume a phase output into a same-shape state (chainable).
+        Sums EVERY leaf — folding just one lets XLA dead-code-eliminate
+        the rest of the phase."""
+        acc = jnp.float32(0.0)
+        for leaf in jax.tree_util.tree_leaves(phase_out):
+            acc = acc + jnp.sum(leaf)
+        return dataclasses.replace(s, vel=s.vel * (1.0 + 1e-20 * acc))
 
-    def adv_vel(s):
+    def preamble(s):
+        """_advance_inner's setup through the advecting velocities."""
+        import jax.numpy as jnp
         from somar_tpu.core.bc import fill_ghosts_cc
-        from somar_tpu.physics.godunov import ADVECT_GROW
+        from somar_tpu.physics.godunov import ADVECT_GROW, pad_valid_faces
+        p = level.params
         grav = level._gravity_source(s.scalars)
-        src = tuple(grav[m] for m in range(grid.ndim))
+        sponge_v, _ = level._sponge_source(s.vel, s.scalars, dt)
+        visc_src = level._viscous_source(s.vel)
+        grad_p = (level.projector.cc_grad_cart(s.pressure)
+                  if p.is_incompressible else None)
+        src_vel = tuple(
+            (visc_src[m] if visc_src is not None
+             else jnp.zeros(grid.shape, p.dtype))
+            + grav[m]
+            - (grad_p[m] if grad_p is not None else 0.0)
+            + (sponge_v[m] if sponge_v is not None else 0.0)
+            for m in range(grid.ndim))
         u_mapped = level.geo.to_mapped(s.vel)
-        level._u_pad = [fill_ghosts_cc(u_mapped[dd], level.grid,
-                                       level.vel_bcs_trace[dd],
+        level._u_pad = [fill_ghosts_cc(u_mapped[d], grid,
+                                       level.vel_bcs_trace[d],
                                        ADVECT_GROW)
-                        for dd in range(grid.ndim)]
-        out = level.compute_advecting_velocities(s, src, dt)
-        level._u_pad = None
-        return folded(out, s)
+                        for d in range(grid.ndim)]
+        adv_vel, mac_phi = level.compute_advecting_velocities(
+            s, src_vel, dt)
+        level._adv_valid = adv_vel
+        level._adv_pad = tuple(pad_valid_faces(adv_vel[d], grid, d)
+                               for d in range(grid.ndim))
+        return (u_mapped, adv_vel, src_vel, grav, sponge_v, grad_p)
 
-    per_iter(adv_vel, s1, "adv_vel", n_lo=1, n_hi=5)
+    def cleanup():
+        level._u_pad = None
+        level._adv_pad = None
+        level._adv_valid = None
+
+    def p1(s):
+        env = preamble(s)
+        cleanup()
+        return folded(env[1], s)
+
+    def p2(s):
+        env = preamble(s)
+        out = level.get_new_scalars_and_lambda(s, dt)
+        cleanup()
+        return folded((env[1], out), s)
+
+    def p3(s):
+        env = preamble(s)
+        u_mapped, adv_vel, src_vel, grav, sponge_v, grad_p = env
+        scal = level.get_new_scalars_and_lambda(s, dt)
+        vel = level.get_new_velocity(s, u_mapped, adv_vel, src_vel,
+                                     grav, None, sponge_v, grad_p, dt)
+        cleanup()
+        return folded((scal, vel), s)
+
+    t1 = per_iter(p1, s1, "P1 preamble+adv_vel", n_lo=1, n_hi=5)
+    t2 = per_iter(p2, s1, "P2 = P1 + scal_lam", n_lo=1, n_hi=5)
+    t3 = per_iter(p3, s1, "P3 = P2 + velocity", n_lo=1, n_hi=5)
+    print(f"{'  scal_lam (P2-P1)':44s} {t2 - t1:8.3f} ms")
+    print(f"{'  velocity (P3-P2)':44s} {t3 - t2:8.3f} ms")
 
     per_iter(lambda s: folded(level.projector.project_cc(
         s.vel, level.vel_bcs_trace, phi0=s.cc_phi)[0], s), s1,

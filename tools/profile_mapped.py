@@ -54,9 +54,25 @@ def main():
         s.vel, level.vel_bcs_trace, phi0=s.cc_phi)[0], s), s1,
         "cc_proj", n_lo=1, n_hi=5)
 
-    per_iter(lambda s: folded(
-        level.get_new_scalars_and_lambda(s, dt), s), s1,
-        "scalars+lambda", n_lo=1, n_hi=5)
+    def scal_lam(s):
+        from somar_tpu.core.bc import fill_ghosts_cc
+        from somar_tpu.physics.godunov import ADVECT_GROW, pad_valid_faces
+        u_mapped = level.geo.to_mapped(s.vel)
+        level._u_pad = [fill_ghosts_cc(u_mapped[d], drv.grid,
+                                       level.vel_bcs_trace[d],
+                                       ADVECT_GROW)
+                        for d in range(drv.grid.ndim)]
+        adv_vel, _ = level.compute_advecting_velocities(s, None, dt)
+        level._adv_valid = adv_vel
+        level._adv_pad = tuple(pad_valid_faces(adv_vel[d], drv.grid, d)
+                               for d in range(drv.grid.ndim))
+        out = level.get_new_scalars_and_lambda(s, dt)
+        level._u_pad = None
+        level._adv_pad = None
+        level._adv_valid = None
+        return folded((adv_vel, out), s)
+
+    per_iter(scal_lam, s1, "adv_vel + scalars+lambda", n_lo=1, n_hi=5)
 
     rhs = jax.jit(level.cell_divergence)(s1)
     op = level.projector.op
