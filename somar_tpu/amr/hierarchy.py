@@ -220,7 +220,24 @@ class PatchCoupling:
                     want = min(want, max_grid_size)
                 want = max(4 * H, (want // (2 * r)) * (2 * r))
                 cap = n_f - 2 * max(H * r, H + r)
-                interior.append(min(want, cap))
+                want = min(want, cap)
+                if d == 0 and want + 2 * H > 128:
+                    # logical x is the array-minor (lane) axis and Mosaic
+                    # pads it to a 128 multiple: an ext of 136 occupies
+                    # 256 lanes — ~2x HBM/VMEM waste on every fine-level
+                    # op (measured 6.65 ms/substep where cell count
+                    # predicts ~2 at the 3D lock-exchange bench).  Snap
+                    # the ext (interior + 2H) to a lane multiple when a
+                    # 2r-aligned interior exists; runtime right-sizing
+                    # still grows the footprint if tags then overflow.
+                    cands = [m * 128 - 2 * H
+                             for m in range(1, (cap + 2 * H) // 128 + 1)
+                             if (m * 128 - 2 * H) % (2 * r) == 0
+                             and 4 * H <= m * 128 - 2 * H <= cap]
+                    if cands:
+                        up = [ci for ci in cands if ci >= want]
+                        want = min(up) if up else max(cands)
+                interior.append(want)
         self.interior_nx = tuple(interior)
         ext = [interior[d] + (2 * H if d in self.cf_dirs else 0)
                for d in range(ndim)]
