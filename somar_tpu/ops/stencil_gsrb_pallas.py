@@ -325,7 +325,7 @@ def _small_kernel(scal_ref, phi_ref, rhs_ref, wn_ref, r_ref, w0_ref,
 
 
 def _run_small(plan: StencilPlan, phi, rhs, w0, alpha, beta, iters, weight,
-               residual_only, interpret):
+               residual_only, interpret, Wn=None, R=None):
     kern = functools.partial(_small_kernel, plan=plan, iters=iters,
                              weight=weight, residual_only=residual_only)
     scal = jnp.stack([jnp.asarray(alpha, phi.dtype),
@@ -337,7 +337,9 @@ def _run_small(plan: StencilPlan, phi, rhs, w0, alpha, beta, iters, weight,
         out_specs=vspec,
         out_shape=jax.ShapeDtypeStruct(phi.shape, phi.dtype),
         interpret=interpret,
-    )(scal, phi, rhs, plan.Wn, plan.R, w0)
+    )(scal, phi, rhs,
+      plan.Wn if Wn is None else Wn,
+      plan.R if R is None else R, w0)
 
 
 # --------------------------------------------------------------------------
@@ -414,21 +416,24 @@ def _slab_kernel(scal_ref, phi_ref, pm_ref, pp_ref, rhs_ref, rm_ref, rp_ref,
 class _SlabAux:
     """Loop-invariant pre-assembled slab inputs (weights/rhs/W0 halos)."""
 
-    def __init__(self, plan, rhs, w0, residual_only):
+    def __init__(self, plan, rhs, w0, residual_only, Wn=None, R=None):
         bz = plan.bz
         hw = 1 if residual_only else 2
+        Wn = plan.Wn if Wn is None else Wn
+        R = plan.R if R is None else R
+        self.Wn, self.R = Wn, R
         self.rm, self.rp = _halo(rhs, bz, 1)
         # weight halos: assembled over the K axis at once (axis 0 of Wn is
         # the offset index; slab axis is 1)
         wm, wp = [], []
         for k in range(plan.K):
-            a, b = _halo(plan.Wn[k], bz, hw)
+            a, b = _halo(Wn[k], bz, hw)
             wm.append(a)
             wp.append(b)
         self.wm = (jnp.stack(wm, axis=1) if plan.K else
                    jnp.zeros((rhs.shape[0] // bz, 0, hw) + rhs.shape[1:]))
         self.wp = (jnp.stack(wp, axis=1) if plan.K else self.wm)
-        self.sm, self.sp = _halo(plan.R, bz, hw)
+        self.sm, self.sp = _halo(R, bz, hw)
         if not residual_only:
             self.dm, self.dp = _halo(w0, bz, hw)
         else:
@@ -436,7 +441,8 @@ class _SlabAux:
 
 
 def _run_slab(plan: StencilPlan, phi, rhs, w0, alpha, beta, weight,
-              residual_only, interpret, aux: Optional[_SlabAux] = None):
+              residual_only, interpret, aux: Optional[_SlabAux] = None,
+              Wn=None, R=None):
     bz = plan.bz
     n0 = plan.shape[0]
     rest = plan.shape[1:]
@@ -444,7 +450,7 @@ def _run_slab(plan: StencilPlan, phi, rhs, w0, alpha, beta, weight,
     hw = 1 if residual_only else 2
     pm, pp = _halo(phi, bz, hw)
     if aux is None:
-        aux = _SlabAux(plan, rhs, w0, residual_only)
+        aux = _SlabAux(plan, rhs, w0, residual_only, Wn=Wn, R=R)
     scal = jnp.stack([jnp.asarray(alpha, phi.dtype),
                       jnp.asarray(beta, phi.dtype)])
 
@@ -472,8 +478,8 @@ def _run_slab(plan: StencilPlan, phi, rhs, w0, alpha, beta, weight,
         out_specs=sblk,
         out_shape=jax.ShapeDtypeStruct(phi.shape, phi.dtype),
         interpret=interpret,
-    )(scal, phi, pm, pp, rhs, aux.rm, aux.rp, plan.Wn, aux.wm, aux.wp,
-      plan.R, aux.sm, aux.sp, w0, aux.dm, aux.dp)
+    )(scal, phi, pm, pp, rhs, aux.rm, aux.rp, aux.Wn, aux.wm, aux.wp,
+      aux.R, aux.sm, aux.sp, w0, aux.dm, aux.dp)
 
 
 # --------------------------------------------------------------------------
@@ -489,16 +495,24 @@ def _auto_interpret(interpret):
 
 
 def gsrb_sweeps(plan: StencilPlan, phi, rhs, alpha, beta, iters: int,
-                weight: float = 1.0, interpret=None):
+                weight: float = 1.0, interpret=None, Wn=None, R=None,
+                w0=None):
     """`iters` red-black sweeps of the probed-stencil Helmholtz smoother;
     equivalent to PoissonOp.relax_gsrb on the plan's operator (asserted to
-    roundoff in tests/test_stencil_gsrb_pallas.py)."""
+    roundoff in tests/test_stencil_gsrb_pallas.py).
+
+    Wn/R/w0 override the plan's probed weights / row sum / smoother
+    diagonal with RUNTIME (traced) arrays — the implicit-gravity altered
+    metric enters the operator linearly, so its solves pass
+    plan.Wn + delta weights (delta_stencil_weights below) instead of
+    falling back to the jnp path."""
     interpret = _auto_interpret(interpret)
-    w0 = plan.D
+    if w0 is None:
+        w0 = plan.D
     if plan.mode == "small":
         return _run_small(plan, phi, rhs, w0, alpha, beta, iters, weight,
-                          False, interpret)
-    aux = _SlabAux(plan, rhs, w0, False)
+                          False, interpret, Wn=Wn, R=R)
+    aux = _SlabAux(plan, rhs, w0, False, Wn=Wn, R=R)
 
     def body(_, p):
         return _run_slab(plan, p, rhs, w0, alpha, beta, weight, False,
@@ -507,11 +521,66 @@ def gsrb_sweeps(plan: StencilPlan, phi, rhs, alpha, beta, iters: int,
     return jax.lax.fori_loop(0, iters, body, phi)
 
 
-def helm_residual(plan: StencilPlan, phi, rhs, alpha, beta, interpret=None):
+def helm_residual(plan: StencilPlan, phi, rhs, alpha, beta, interpret=None,
+                  Wn=None, R=None):
     """rhs - (alpha*phi + beta*Lambda(phi)) via the probed stencil."""
     interpret = _auto_interpret(interpret)
     w0 = plan.D
     if plan.mode == "small":
         return _run_small(plan, phi, rhs, w0, alpha, beta, 0, 1.0, True,
-                          interpret)
-    return _run_slab(plan, phi, rhs, w0, alpha, beta, 1.0, True, interpret)
+                          interpret, Wn=Wn, R=R)
+    return _run_slab(plan, phi, rhs, w0, alpha, beta, 1.0, True, interpret,
+                     Wn=Wn, R=R)
+
+
+def delta_stencil_weights(plan: StencilPlan, op, jgup_delta):
+    """Traced stencil weights of a jgup_delta contribution, evaluated
+    at the plan's probed offsets (the IG altered metric enters the
+    operator LINEARLY: Lambda_total = Lambda_base + Lambda_delta;
+    reference: AlteredMetric.H:34-56).  Returns (dWn, dR) to add to
+    plan.Wn / plan.R, or None when the plan's offset set might not
+    cover the delta's support (the delta carries cross-metric terms, so
+    the base plan must span the full 3^nd-1 neighborhood — true for
+    non-diagonal base metrics, which is exactly where the IG projection
+    runs on mapped grids).
+
+    Runs 2*ncolors traced applications of the base operator — hoist the
+    result per solve (LevelMultigrid passes it down the V-cycle), not
+    per relax call."""
+    shape = plan.shape
+    nd = plan.ndim
+    if plan.K != 3 ** nd - 1:
+        return None
+    mods = _moduli(shape, plan.periodic)
+    if mods is None:
+        return None
+
+    def dapply(x):
+        return (op.apply(x, 0.0, 1.0, homogeneous=True,
+                         jgup_delta=jgup_delta)
+                - op.apply(x, 0.0, 1.0, homogeneous=True))
+
+    idx = [jax.lax.broadcasted_iota(jnp.int32, shape, a)
+           for a in range(nd)]
+    strides = []
+    s = 1
+    for m in mods[::-1]:
+        strides.append(s)
+        s *= m
+    strides = strides[::-1]
+    ncolors = s
+
+    def color_of(offsets):
+        c = jnp.zeros(shape, jnp.int32)
+        for a in range(nd):
+            c = c + ((idx[a] + offsets[a]) % mods[a]) * strides[a]
+        return c
+
+    base_color = color_of((0,) * nd)
+    dtype = plan.Wn.dtype
+    Y = jnp.stack([dapply((base_color == v).astype(dtype))
+                   for v in range(ncolors)])
+    dWs = [jnp.take_along_axis(Y, color_of(off)[None], axis=0)[0]
+           for off in plan.offsets]
+    dR = dapply(jnp.ones(shape, dtype))
+    return jnp.stack(dWs), dR

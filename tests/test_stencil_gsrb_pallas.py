@@ -197,3 +197,61 @@ def test_extrap_bc_plan_gate(monkeypatch):
     grid2, geo2, bcs2 = make(nx, periodic, lo2, hi)
     op2 = PoissonOp(geo2, bcs2)
     assert sp.build_stencil_plan(op2) is None
+
+
+def test_delta_weights_match_jnp(monkeypatch):
+    """Runtime delta weights (the implicit-gravity altered metric,
+    AlteredMetric.H:34-56): delta_stencil_weights evaluates the
+    jgup_delta contribution at the plan's probed offsets inside the
+    trace, and the kernels take the combined weights as operands — the
+    fused path then reproduces the jnp operator WITH the delta to
+    roundoff (residual and smoother)."""
+    case = CASES[1]          # ledge: non-diagonal 2D, all Neumann
+    op, plan, phi, rhs = _build(case, monkeypatch)
+    assert plan is not None and plan.K == 3 ** plan.ndim - 1
+    grid = op.grid
+    rng = np.random.RandomState(7)
+    diag, full = [], []
+    for d in range(grid.ndim):
+        fs = grid.fc_shape(d)
+        diag.append(jnp.asarray(-0.1 * rng.rand(*fs), jnp.float32))
+        full.append(jnp.asarray(
+            0.05 * rng.randn(grid.ndim, *fs), jnp.float32))
+    jd = (tuple(diag), tuple(full))
+
+    got = sp.delta_stencil_weights(plan, op, jd)
+    assert got is not None
+    dWn, dR = got
+    alpha, beta = 0.4, 1.7
+
+    rres = op.residual(phi, rhs, alpha, beta, jgup_delta=jd)
+    gres = sp.helm_residual(plan, phi, rhs, alpha, beta, interpret=True,
+                            Wn=plan.Wn + dWn, R=plan.R + dR)
+    scale = np.abs(np.asarray(rres)).max() + 1e-30
+    np.testing.assert_allclose(np.asarray(gres) / scale,
+                               np.asarray(rres) / scale, atol=2e-5)
+
+    for iters in (1, 3):
+        ref = op.relax_gsrb(phi, rhs, alpha, beta, iters, jgup_delta=jd)
+        got2 = sp.gsrb_sweeps(plan, phi, rhs, alpha, beta, iters,
+                              interpret=True, Wn=plan.Wn + dWn,
+                              R=plan.R + dR,
+                              w0=op.diag(0.0, 1.0, jd))
+        scale = np.abs(np.asarray(ref)).max() + 1e-30
+        np.testing.assert_allclose(np.asarray(got2) / scale,
+                                   np.asarray(ref) / scale, atol=2e-5)
+
+    # the delta weights work under jit with a TRACED delta scale (the
+    # IG projection's dt*theta is traced)
+    import jax as _jax
+
+    def f(s):
+        jds = ((tuple(s * x for x in diag)),
+               (tuple(s * x for x in full)))
+        g2 = sp.delta_stencil_weights(plan, op, jds)
+        return sp.helm_residual(plan, phi, rhs, alpha, beta,
+                                interpret=True, Wn=plan.Wn + g2[0],
+                                R=plan.R + g2[1])
+    out = _jax.jit(f)(jnp.float32(1.0))
+    np.testing.assert_allclose(np.asarray(out) / scale,
+                               np.asarray(rres) / scale, atol=2e-5)
