@@ -293,24 +293,26 @@ class LevelMultigrid:
 
     # ------------------------------------------------------------- V-cycle
     def _vcycle(self, lev: int, phi, rhs, alpha, beta, singular: bool,
-                deltas=None):
+                deltas=None, overrides=None):
         op = self.ops[lev]
         p = self.params
         mode = self.modes[lev]
         jd = deltas[lev] if deltas is not None else None
+        ov = overrides[lev] if overrides is not None else None
         if lev == self.depth - 1:
             return self._bottom_solve(op, phi, rhs, alpha, beta, singular,
-                                      jd, mode)
+                                      jd, mode, ov)
 
         phi = op.relax(phi, rhs, alpha, beta, p.num_smooth_down, mode,
-                       jgup_delta=jd)
-        res = op.residual(phi, rhs, alpha, beta, jgup_delta=jd)
+                       jgup_delta=jd, delta_overrides=ov)
+        res = op.residual(phi, rhs, alpha, beta, jgup_delta=jd,
+                          delta_overrides=ov)
         ratio = self.ratios[lev]
         crhs = self._restrict_residual(lev, res, ratio)
         cphi = jnp.zeros_like(crhs)
         for _ in range(max(1, p.num_mg)):   # num_mg=2 -> W-cycle
             cphi = self._vcycle(lev + 1, cphi, crhs, alpha, beta, singular,
-                                deltas)
+                                deltas, overrides)
         if p.prolong_order >= 1:
             corr = prolong_linear_mg(cphi, op.grid, ratio, op.grid.periodic)
         else:
@@ -319,7 +321,7 @@ class LevelMultigrid:
             corr = corr - jnp.mean(corr)    # ZeroAvgConstInterpPS
         phi = phi + corr.astype(phi.dtype)
         phi = op.relax(phi, rhs, alpha, beta, p.num_smooth_up, mode,
-                       jgup_delta=jd)
+                       jgup_delta=jd, delta_overrides=ov)
         return phi
 
     def _restrict_residual(self, lev: int, res, ratio):
@@ -338,7 +340,7 @@ class LevelMultigrid:
 
     # -------------------------------------------------------- bottom solve
     def _bottom_solve(self, op: PoissonOp, phi, rhs, alpha, beta,
-                      singular: bool, jd, mode: str):
+                      singular: bool, jd, mode: str, ov=None):
         """Coarsest-level solve.  Default: a few smooths then BiCGStab to
         bottom.eps, relax-preconditioned — the reference feeds a
         BiCGStabSolver to AMRMG as the bottom solver
@@ -348,10 +350,10 @@ class LevelMultigrid:
         p = self.params
         if p.bottom_solver != "bicgstab":
             return op.relax(phi, rhs, alpha, beta, p.num_smooth_bottom,
-                            mode, jgup_delta=jd)
+                            mode, jgup_delta=jd, delta_overrides=ov)
         # cheap pre-smooth knocks out the high-frequency component
         phi = op.relax(phi, rhs, alpha, beta, max(2, p.num_smooth_down),
-                       mode, jgup_delta=jd)
+                       mode, jgup_delta=jd, delta_overrides=ov)
 
         def A(x):
             return op.apply(x, alpha, beta, jgup_delta=jd)
@@ -365,10 +367,12 @@ class LevelMultigrid:
 
             def M(v):
                 return op.relax(jnp.zeros_like(v), v, alpha, beta,
-                                p.num_smooth_precond, pm, jgup_delta=jd)
+                                p.num_smooth_precond, pm, jgup_delta=jd,
+                                delta_overrides=ov)
 
         from somar_tpu.solvers.bicgstab import bicgstab
-        r = op.residual(phi, rhs, alpha, beta, jgup_delta=jd)
+        r = op.residual(phi, rhs, alpha, beta, jgup_delta=jd,
+                        delta_overrides=ov)
         if singular:
             r = op.compat_project(r)
         e, (its, relres) = bicgstab(A, r, M=M, params=p.bottom_params())
@@ -400,6 +404,14 @@ class LevelMultigrid:
         if singular is None:
             singular = self.bcs_singular and isinstance(alpha, float) and alpha == 0.0
         jd0 = jgup_deltas[0] if jgup_deltas is not None else None
+        # per-level runtime kernel weights with the delta folded in
+        # (probed ONCE here, loop-invariant across V-cycles); levels whose
+        # plan cannot represent the delta get None -> jnp fallback there
+        overrides = None
+        if jgup_deltas is not None:
+            overrides = [o.delta_kernel_overrides(jd)
+                         for o, jd in zip(self.ops, jgup_deltas)]
+        ov0 = overrides[0] if overrides is not None else None
         if not homogeneous:
             rhs = rhs - op.apply(jnp.zeros_like(rhs), alpha, beta,
                                  homogeneous=False, jgup_delta=jd0)
@@ -418,7 +430,8 @@ class LevelMultigrid:
         # coincide exactly (residual(0) = rhs).  r0 (the guess residual)
         # still seeds the hang/best-iterate tracking.
         r_ref = jnp.maximum(op.norm(rhs), p.norm_thresh)
-        r0 = op.norm(op.residual(phi, rhs, alpha, beta, jgup_delta=jd0))
+        r0 = op.norm(op.residual(phi, rhs, alpha, beta, jgup_delta=jd0,
+                                 delta_overrides=ov0))
         r0 = jnp.maximum(r0, p.norm_thresh)
 
         # Best-iterate tracking: a Krylov bottom makes the per-cycle
@@ -440,10 +453,11 @@ class LevelMultigrid:
         def body(state):
             phi, rnorm, best, phi_best, stall, it = state
             phi = self._vcycle(0, phi, rhs, alpha, beta, singular,
-                               jgup_deltas)
+                               jgup_deltas, overrides)
             if singular:
                 phi = phi - jnp.mean(phi)
-            rnew = op.norm(op.residual(phi, rhs, alpha, beta, jgup_delta=jd0))
+            rnew = op.norm(op.residual(phi, rhs, alpha, beta, jgup_delta=jd0,
+                                       delta_overrides=ov0))
             if p.verbosity >= 2:
                 # per-V-cycle residual trace (reference: AMRMG.verbosity
                 # prints |r| each cycle, MappedAMRMultiGrid::solve);

@@ -99,7 +99,7 @@ class PoissonOp:
         return alpha * phi + beta * lap
 
     def residual(self, phi, rhs, alpha=0.0, beta=1.0, homogeneous: bool = True,
-                 jgup_delta=None):
+                 jgup_delta=None, delta_overrides=None):
         if homogeneous and jgup_delta is None:
             if self._fused_plan is not None:
                 from somar_tpu.ops.gsrb_pallas import helm_residual
@@ -108,7 +108,34 @@ class PoissonOp:
                 from somar_tpu.ops.stencil_gsrb_pallas import helm_residual
                 return helm_residual(self._stencil_plan, phi, rhs, alpha,
                                      beta)
+        if homogeneous and delta_overrides is not None \
+                and self._stencil_plan is not None:
+            # runtime (traced) delta weights: the IG altered metric enters
+            # the operator linearly, so the kernel takes plan.Wn + dWn as
+            # operands (delta_kernel_overrides below) instead of falling
+            # back to the jnp path
+            from somar_tpu.ops.stencil_gsrb_pallas import helm_residual
+            Wn, R, _ = delta_overrides
+            return helm_residual(self._stencil_plan, phi, rhs, alpha, beta,
+                                 Wn=Wn, R=R)
         return rhs - self.apply(phi, alpha, beta, homogeneous, jgup_delta)
+
+    def delta_kernel_overrides(self, jgup_delta):
+        """(Wn, R, w0) runtime-weight operands for the probed-stencil
+        kernels with a traced jgup_delta folded in, or None when the
+        kernel path is unavailable (no plan, or the delta's support may
+        exceed the plan's probed offsets).  Costs 2*ncolors traced
+        operator applications — hoist once per solve (LevelMultigrid
+        does), never per relax call."""
+        if jgup_delta is None or self._stencil_plan is None:
+            return None
+        from somar_tpu.ops.stencil_gsrb_pallas import delta_stencil_weights
+        got = delta_stencil_weights(self._stencil_plan, self, jgup_delta)
+        if got is None:
+            return None
+        dWn, dR = got
+        plan = self._stencil_plan
+        return (plan.Wn + dWn, plan.R + dR, self.diag(0.0, 1.0, jgup_delta))
 
     def compat_project(self, rhs):
         """Remove the rhs component outside the singular (pure-Neumann)
@@ -200,7 +227,8 @@ class PoissonOp:
         return jax.lax.fori_loop(0, iters, body, phi)
 
     def relax_gsrb(self, phi, rhs, alpha, beta, iters: int,
-                   weight: float = 1.0, jgup_delta=None):
+                   weight: float = 1.0, jgup_delta=None,
+                   delta_overrides=None):
         """Red-black Gauss-Seidel (reference: LevelGSRB, GSRBITER*).
 
         The reference splits each sweep into an interior pass
@@ -222,6 +250,11 @@ class PoissonOp:
                 from somar_tpu.ops.stencil_gsrb_pallas import gsrb_sweeps
                 return gsrb_sweeps(self._stencil_plan, phi, rhs, alpha,
                                    beta, iters, weight)
+        if delta_overrides is not None and self._stencil_plan is not None:
+            from somar_tpu.ops.stencil_gsrb_pallas import gsrb_sweeps
+            Wn, R, w0 = delta_overrides
+            return gsrb_sweeps(self._stencil_plan, phi, rhs, alpha, beta,
+                               iters, weight, Wn=Wn, R=R, w0=w0)
         red, black = self._rb_masks
         inv_diag = weight / self.diag(alpha, beta, jgup_delta)
 
@@ -292,13 +325,14 @@ class PoissonOp:
         return jax.lax.fori_loop(0, iters, body, phi)
 
     def relax(self, phi, rhs, alpha, beta, iters: int, mode: str = "gsrb",
-              jgup_delta=None):
+              jgup_delta=None, delta_overrides=None):
         if mode == "jacobi":
             return self.relax_jacobi(phi, rhs, alpha, beta, iters,
                                      jgup_delta=jgup_delta)
         if mode == "gsrb":
             return self.relax_gsrb(phi, rhs, alpha, beta, iters,
-                                   jgup_delta=jgup_delta)
+                                   jgup_delta=jgup_delta,
+                                   delta_overrides=delta_overrides)
         if mode == "line":
             return self.relax_line_vertical(phi, rhs, alpha, beta, iters,
                                             jgup_delta=jgup_delta)

@@ -253,5 +253,43 @@ def test_delta_weights_match_jnp(monkeypatch):
                                 interpret=True, Wn=plan.Wn + g2[0],
                                 R=plan.R + g2[1])
     out = _jax.jit(f)(jnp.float32(1.0))
+    # scale by the RESIDUAL's magnitude (the loop above reassigned `scale`
+    # to the much smaller relax iterate's, which tightened the tolerance
+    # ~25x past f32 roundoff — host-SIMD-order marginal)
+    scale = np.abs(np.asarray(rres)).max() + 1e-30
     np.testing.assert_allclose(np.asarray(out) / scale,
                                np.asarray(rres) / scale, atol=2e-5)
+
+
+def test_mg_ig_solve_rides_delta_kernels(monkeypatch):
+    """The implicit-gravity MG solve (traced jgup_deltas) takes the
+    probed-stencil kernel path: LevelMultigrid hoists
+    PoissonOp.delta_kernel_overrides once per solve and relax/residual
+    ride the kernels with runtime weights.  Convergence must match the
+    jnp path (same V-cycle count +-1, same answer)."""
+    from somar_tpu.projection.altered_metric import AlteredMetric
+    from somar_tpu.problems.base import LinearProfile
+    from somar_tpu.solvers.multigrid import LevelMultigrid, MGParams
+
+    make, nx, periodic, lo, hi = CASES[1]   # ledge: non-diagonal 2D
+    grid, geo, bcs = make(nx, periodic, lo, hi)
+    x = grid.cc_coord_1d(0)[None, :] * np.ones(grid.shape)
+    z = grid.cc_coord_1d(1)[:, None] * np.ones(grid.shape)
+    rhs = jnp.asarray(np.sin(2 * np.pi * x) * np.cos(np.pi * z), jnp.float32)
+    dt_theta = jnp.float32(0.12)
+    results = {}
+    for flag in ("0", "1"):
+        monkeypatch.setenv("SOMAR_FUSED_GSRB", flag)
+        mg = LevelMultigrid(geo, bcs, params=MGParams(eps=1e-6, imax=20))
+        am = AlteredMetric(mg, LinearProfile(b0=0.0, slope=-25.0))
+        deltas = am.jgup_delta_list(dt_theta)
+        if flag == "1":
+            assert mg.ops[0]._stencil_plan is not None
+            assert mg.ops[0].delta_kernel_overrides(deltas[0]) is not None
+        phi, (iters, relres) = mg.solve(rhs, jgup_deltas=deltas)
+        results[flag] = (int(iters), float(relres), np.asarray(phi))
+    assert results["1"][1] < 1e-5
+    assert abs(results["1"][0] - results["0"][0]) <= 1
+    scale = np.abs(results["0"][2]).max() + 1e-30
+    np.testing.assert_allclose(results["1"][2] / scale,
+                               results["0"][2] / scale, atol=1e-4)
