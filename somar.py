@@ -29,10 +29,12 @@ def main(argv):
 
     # persistent compilation cache: a 512-class step costs minutes to
     # compile cold; cache hits bring restarts/param-sweeps to seconds
+    from somar_tpu.utils.cache import compile_cache_dir
     cache_dir = os.environ.get(
         "JAX_COMPILATION_CACHE_DIR",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     ".jax_cache"))
+        compile_cache_dir(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache")))
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

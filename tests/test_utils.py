@@ -102,3 +102,18 @@ def test_derived_fields():
     assert np.max(np.abs(err - err.mean())) < 0.15 * float(jnp.max(jnp.abs(w)))
     ke = float(kinetic_energy(level, state))
     np.testing.assert_allclose(ke, 0.25, rtol=0.02)   # integral of TG KE
+
+
+def test_compile_cache_dir_host_keyed_on_cpu(monkeypatch):
+    """CPU-backend runs get a host-keyed cache dir (XLA:CPU loads AOT
+    executables cached by a different machine despite mismatched CPU
+    features — measured wrong gather results); accelerator runs share
+    the plain dir."""
+    from somar_tpu.utils.cache import compile_cache_dir, machine_tag
+
+    tag = machine_tag()
+    assert len(tag) == 8
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    assert compile_cache_dir("/x/.jax_cache") == f"/x/.jax_cache-cpu-{tag}"
+    monkeypatch.setenv("JAX_PLATFORMS", "")
+    assert compile_cache_dir("/x/.jax_cache") == "/x/.jax_cache"

@@ -209,8 +209,10 @@ def djl_anchor():
 
 def main():
     import jax
-    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
-                         ".jax_cache")
+    from somar_tpu.utils.cache import compile_cache_dir
+    cache = compile_cache_dir(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                     ".jax_cache"))
     try:
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
